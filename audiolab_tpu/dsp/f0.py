@@ -1,0 +1,112 @@
+"""DSP f0 estimation (YIN) — fully vectorized on device.
+
+The reference offers 11 f0 methods (modules/rvc/pitch_extraction.py:24-352):
+pm/harvest/dio are C++ host libraries, crepe/rmvpe are neural.  Per SURVEY
+§2.5 the portable plan is: neural RMVPE (models/rmvpe.py) as default + this
+pure-DSP YIN as the dependency-free baseline/fallback and for harmony's pyin
+role (handlers/harmony.py:9-20).
+
+All frames are processed in parallel: framing -> FFT cross-correlation ->
+cumulative-mean-normalized difference -> thresholded lag pick, one jitted
+graph, no per-frame host loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("sr", "hop", "fmin", "fmax", "frame_length", "threshold"))
+def f0_autocorr(
+    x: jnp.ndarray,
+    sr: int = 16000,
+    hop: int = 160,
+    fmin: float = 50.0,
+    fmax: float = 1100.0,
+    frame_length: int = 1024,
+    threshold: float = 0.15,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """YIN f0 of ``(n,)`` -> (f0 Hz ``(T,)``, voiced probability ``(T,)``).
+
+    Unvoiced frames return 0 Hz (reference convention: pitch_extraction.py
+    leaves f0=0 where unvoiced).
+    """
+    tau_min = max(2, int(sr / fmax))
+    tau_max = int(np.ceil(sr / fmin))
+    w = frame_length
+    span = w + tau_max
+
+    n = x.shape[-1]
+    t_frames = n // hop + 1
+    pad = span  # generous tail pad so every frame has full support
+    xp = jnp.pad(x, (w // 2, pad))
+    idx = jnp.arange(t_frames)[:, None] * hop + jnp.arange(span)[None, :]
+    frames = xp[idx]  # (T, span)
+
+    # r(tau) = sum_{j<w} x_j x_{j+tau} via FFT cross-correlation
+    nfft = int(2 ** np.ceil(np.log2(span + w)))
+    head = frames[:, :w]
+    f_full = jnp.fft.rfft(frames, n=nfft)
+    f_head = jnp.fft.rfft(head, n=nfft)
+    r = jnp.fft.irfft(f_full * jnp.conj(f_head), n=nfft)[:, : tau_max + 1]
+
+    # energy terms via cumulative sums
+    cs = jnp.cumsum(frames * frames, axis=-1)
+    cs = jnp.pad(cs, ((0, 0), (1, 0)))
+    e0 = cs[:, w] - cs[:, 0]  # (T,)
+    taus = jnp.arange(tau_max + 1)
+    e_tau = cs[:, taus + w] - cs[:, taus]  # (T, tau)
+
+    d = e0[:, None] + e_tau - 2.0 * r  # difference function
+    d = jnp.maximum(d, 0.0)
+    # cumulative mean normalized difference
+    csum = jnp.cumsum(d[:, 1:], axis=-1)
+    cmnd = jnp.concatenate(
+        [jnp.ones((t_frames, 1)), d[:, 1:] * taus[1:][None, :] / (csum + 1e-9)], axis=-1
+    )
+
+    # restrict to [tau_min, tau_max]
+    valid = (taus >= tau_min)[None, :]
+    cmnd_v = jnp.where(valid, cmnd, jnp.inf)
+
+    # first *local minimum* below threshold (YIN step 4): a plain first
+    # crossing sits on the dip's left edge and biases f0 sharp by ~8 %.
+    nxt = jnp.concatenate([cmnd_v[:, 1:], jnp.full((t_frames, 1), jnp.inf)], axis=-1)
+    is_min = (cmnd_v < threshold) & (cmnd_v <= nxt)
+    any_below = is_min.any(axis=-1)
+    first_below = jnp.argmax(is_min, axis=-1)
+    global_min = jnp.argmin(cmnd_v, axis=-1)
+    tau_star = jnp.where(any_below, first_below, global_min)
+
+    # parabolic interpolation around tau_star for sub-sample lag
+    tm = jnp.clip(tau_star, tau_min + 1, tau_max - 1)
+    dm1 = jnp.take_along_axis(cmnd, (tm - 1)[:, None], axis=-1)[:, 0]
+    d0 = jnp.take_along_axis(cmnd, tm[:, None], axis=-1)[:, 0]
+    dp1 = jnp.take_along_axis(cmnd, (tm + 1)[:, None], axis=-1)[:, 0]
+    denom = dm1 - 2.0 * d0 + dp1
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (dm1 - dp1) / denom, 0.0)
+    tau_f = tm.astype(jnp.float32) + jnp.clip(delta, -1.0, 1.0)
+
+    f0 = sr / jnp.clip(tau_f, 1.0, None)
+    min_cmnd = jnp.min(cmnd_v, axis=-1)
+    voiced_prob = jnp.clip(1.0 - min_cmnd, 0.0, 1.0)
+    has_energy = e0 > 1e-6 * w  # silence gate (zero frames have cmnd 0/0)
+    voiced = (min_cmnd < 0.5) & has_energy
+    voiced_prob = jnp.where(has_energy, voiced_prob, 0.0)
+    f0 = jnp.where(voiced & (f0 >= fmin) & (f0 <= fmax), f0, 0.0)
+    return f0, voiced_prob
+
+
+def coarse_f0(f0: jnp.ndarray, f0_min: float = 50.0, f0_max: float = 1100.0) -> jnp.ndarray:
+    """Quantize f0 to the RVC 1-255 mel-scale bins (reference:
+    modules/rvc/pitch_extraction.py get_f0 coarse mapping)."""
+    f0_mel_min = 1127.0 * np.log(1.0 + f0_min / 700.0)
+    f0_mel_max = 1127.0 * np.log(1.0 + f0_max / 700.0)
+    f0_mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    scaled = (f0_mel - f0_mel_min) * 254.0 / (f0_mel_max - f0_mel_min) + 1.0
+    scaled = jnp.where(f0_mel > 0.0, scaled, 1.0)
+    return jnp.clip(jnp.rint(scaled), 1, 255).astype(jnp.int32)

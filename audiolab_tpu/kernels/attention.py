@@ -1,0 +1,147 @@
+"""Blockwise flash attention (Pallas, TPU).
+
+Replaces the reference's flash_attn CUDA dependency (requirements.txt:28,
+used by Zonos/ACE-Step/YuE attention stacks — SURVEY §2.5).  Online-softmax
+over KV blocks: scores never materialize in HBM; running (max, sum, acc)
+live in VMEM scratch across the kv grid axis.
+
+API: ``flash_attention(q, k, v, causal=False, scale=None)`` with
+``(batch, heads, seq, head_dim)`` inputs.  Off-TPU (CPU tests) a jnp
+reference path is used; numerics are validated against it in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attention_reference(q, k, v, causal=False, scale=None):
+    """Plain jnp softmax attention (fallback + test oracle)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / np.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    if causal:
+        tq, tk = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, causal: bool, bq: int, bk: int, kv_len: int,
+):
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)  # (bq, d)
+        k = k_ref[0].astype(jnp.float32)  # (bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+
+        key_ids = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        valid = key_ids < kv_len
+        if causal:
+            qry_ids = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            valid = valid & (key_ids <= qry_ids)
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_prev = m_scr[:]  # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    if causal:
+        # skip kv blocks entirely above the diagonal
+        pl.when(ik * bk <= (iq + 1) * bq - 1)(compute)
+    else:
+        compute()
+
+    @pl.when(ik == nk - 1)
+    def _():
+        l = jnp.where(l_scr[:] > 0.0, l_scr[:], 1.0)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Flash attention over ``(b, h, t, d)``; full precision accumulate."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(d))
+    if not _on_tpu() or d > 256:
+        return attention_reference(q, k, v, causal=causal, scale=scale)
+
+    bq = min(block_q, max(8, tq))
+    bk = min(block_k, max(8, tk))
+    tq_p = -(-tq // bq) * bq
+    tk_p = -(-tk // bk) * bk
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
+    qp = qp.reshape(b * h, tq_p, d)
+    kp = kp.reshape(b * h, tk_p, d)
+    vp = vp.reshape(b * h, tk_p, d)
+
+    grid = (b * h, tq_p // bq, tk_p // bk)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk, kv_len=tk
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out.reshape(b, h, tq_p, d)[:, :, :tq, :]
