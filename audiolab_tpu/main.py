@@ -1,0 +1,62 @@
+"""Server entry point (reference: main.py — CLI flags --listen/--port/
+--api-only, logging setup with per-lib silencing, graceful shutdown).
+
+The UI layer of the reference is Gradio (not available in this image); the
+full REST surface is served regardless, mirroring the reference's
+--api-only mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import sys
+
+
+def setup_logging() -> None:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s][%(name)s][%(levelname)s] %(message)s",
+    )
+    for noisy in ("jax", "jax._src", "urllib3", "matplotlib", "PIL"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser("audiolab_tpu")
+    parser.add_argument("--listen", action="store_true", help="bind 0.0.0.0")
+    parser.add_argument("--port", type=int, default=7860)
+    parser.add_argument("--api-only", action="store_true", help="REST only (default: also UI when available)")
+    parser.add_argument("--output-root", default="outputs/process")
+    args = parser.parse_args(argv)
+
+    setup_logging()
+    log = logging.getLogger("audiolab_tpu")
+
+    from audiolab_tpu.serve.api import create_app
+    from audiolab_tpu.serve.http import make_handler
+
+    router = create_app(output_root=args.output_root)
+    host = "0.0.0.0" if args.listen else "127.0.0.1"
+
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((host, args.port), make_handler(router))
+
+    def shutdown(_sig, _frame):
+        log.info("shutting down")
+        import threading
+
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGINT, shutdown)
+    signal.signal(signal.SIGTERM, shutdown)
+
+    log.info("serving on http://%s:%d (api at /api/v1)", host, args.port)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

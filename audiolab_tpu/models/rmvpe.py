@@ -1,0 +1,187 @@
+"""RMVPE f0 estimator in flax (reference: modules/rvc/infer/lib/rmvpe.py).
+
+Architecture parity with E2E(4, 1, (2,2)) so the published rmvpe.pt weights
+convert directly:
+
+  mel (128 bins, n_fft 1024, hop 160, 30-8000 Hz, log)        rmvpe.py:475-557
+  DeepUnet: 5 enc (ResEncoderBlocks, avgpool 2x2) + 4 inter + 5 dec
+  cnn 3x3 -> 3 ch                                              rmvpe.py:430-473
+  BiGRU(3*128 -> 256) -> Dense 360 -> sigmoid                  rmvpe.py:217-230
+  decode: local weighted argmax over 360 20-cent bins          rmvpe.py:558-687
+
+TPU notes: NHWC conv layout; the BiGRU runs as two lax.scan passes (time is
+the scan axis) — one compile, sequential in T but tiny (hidden 256).
+BatchNorms run in inference mode (scale/bias + running stats folded by the
+converter).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.kernels.mel import mel_spectrogram
+from audiolab_tpu.kernels.stft import spectrogram
+
+N_MELS = 128
+N_CLASS = 360
+
+
+class ConvBlockRes(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=True, name="bn2")(y)
+        y = nn.relu(y)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+        return y + x
+
+
+class ResEncoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int = 4
+    pool: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n_blocks):
+            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x)
+        if self.pool:
+            pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            return x, pooled
+        return x
+
+
+class ResDecoderBlock(nn.Module):
+    out_channels: int
+    n_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, x, skip):
+        # ConvTranspose2d k3 s2 p1 outpad1 == exact 2x upsample
+        x = nn.ConvTranspose(
+            self.out_channels, (3, 3), strides=(2, 2), padding="SAME",
+            use_bias=False, name="convt",
+        )(x)
+        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        x = nn.relu(x)
+        x = jnp.concatenate([x, skip], axis=-1)
+        for i in range(self.n_blocks):
+            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x)
+        return x
+
+
+class DeepUnet(nn.Module):
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    n_blocks: int = 4
+    en_out_channels: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        # x (b, T, 128, 1)
+        x = nn.BatchNorm(use_running_average=True, name="bn_in")(x)
+        skips = []
+        ch = self.en_out_channels
+        for i in range(self.en_de_layers):
+            skip, x = ResEncoderBlock(ch, self.n_blocks, pool=True, name=f"enc_{i}")(x)
+            skips.append(skip)
+            ch *= 2
+        # intermediate: first maps ch//2? reference: Intermediate(out_ch//2 -> out_ch)
+        for i in range(self.inter_layers):
+            x = ResEncoderBlock(ch, self.n_blocks, pool=False, name=f"inter_{i}")(x)
+        for i in range(self.en_de_layers):
+            ch //= 2
+            x = ResDecoderBlock(ch, self.n_blocks, name=f"dec_{i}")(x, skips[-1 - i])
+        return x
+
+
+class BiGRU(nn.Module):
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        # x (b, t, f)
+        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")(x)
+        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True, keep_order=True, name="bwd")(x)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class E2E(nn.Module):
+    """rmvpe.py:430-473 with n_blocks=4, n_gru=1, kernel (2,2)."""
+
+    @nn.compact
+    def __call__(self, mel):
+        # mel (b, T, 128) — note reference feeds (b, 1, T, 128) NCHW
+        t = mel.shape[1]
+        pad = (-t) % 32  # U-net needs T divisible by 2^5
+        x = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))[..., None]  # (b,T,128,1)
+        x = DeepUnet(name="unet")(x)
+        x = nn.Conv(3, (3, 3), padding="SAME", name="cnn")(x)  # (b,T,128,3)
+        x = x.reshape(x.shape[0], x.shape[1], -1)  # (b,T,384)
+        x = BiGRU(name="gru")(x)
+        x = nn.Dense(N_CLASS, name="fc")(x)
+        return jax.nn.sigmoid(x)[:, :t]
+
+
+_CENTS = 20 * np.arange(N_CLASS) + 1997.3794084376191  # rmvpe.py cents_mapping
+
+
+def decode_f0(hidden: jnp.ndarray, threshold: float = 0.03) -> jnp.ndarray:
+    """Salience (b, t, 360) -> f0 Hz (b, t) by ±4-bin local weighted average
+    around the argmax (rmvpe.py RMVPE.decode/to_local_average_cents)."""
+    cents_map = jnp.asarray(np.pad(_CENTS, 4))  # pad 4 each side
+    center = jnp.argmax(hidden, axis=-1)  # (b, t)
+    hp = jnp.pad(hidden, ((0, 0), (0, 0), (4, 4)))
+    idx = center[..., None] + jnp.arange(9)[None, None, :]  # (b,t,9)
+    w = jnp.take_along_axis(hp, idx, axis=-1)
+    c = cents_map[idx]
+    cents = jnp.sum(w * c, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1e-9)
+    maxx = jnp.max(hidden, axis=-1)
+    cents = jnp.where(maxx > threshold, cents, 0.0)
+    f0 = 10.0 * jnp.power(2.0, cents / 1200.0)
+    return jnp.where(cents > 0, f0, 0.0)
+
+
+class RMVPE:
+    """Inference wrapper: audio 16 kHz -> f0 (the reference's RMVPE class)."""
+
+    def __init__(self, params=None, batch_stats=None):
+        self.model = E2E()
+        self.variables = None
+        if params is not None:
+            self.variables = {"params": params, "batch_stats": batch_stats or {}}
+
+    def init(self, rng, t_frames: int = 320):
+        mel = jnp.zeros((1, t_frames, N_MELS))
+        self.variables = self.model.init(rng, mel)
+        return self.variables
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _run(self, variables, mel):
+        return self.model.apply(variables, mel)
+
+    def mel(self, audio16k: jnp.ndarray) -> jnp.ndarray:
+        m = mel_spectrogram(
+            audio16k, sr=16000, n_fft=1024, hop=160, n_mels=N_MELS,
+            fmin=30.0, fmax=8000.0, htk=False, norm="slaney", power=1.0,
+        )
+        return jnp.log(jnp.clip(m, 1e-5, None))
+
+    def infer(self, audio16k: jnp.ndarray, threshold: float = 0.03) -> jnp.ndarray:
+        """(n,) or (b, n) 16 kHz audio -> f0 (b, t) at 100 Hz frame rate."""
+        if audio16k.ndim == 1:
+            audio16k = audio16k[None]
+        mel = self.mel(audio16k)
+        hidden = self._run(self.variables, mel)
+        return decode_f0(hidden, threshold)

@@ -1,0 +1,203 @@
+"""Band-Split RoFormer source separation in flax.
+
+The reference's best separators are BS/mel-RoFormer torch checkpoints run
+through the audio-separator package (modules/separator/stem_separator.py:
+379-386 lists them with SDR 12.96 vocals).  This is a from-scratch flax
+implementation of the architecture family:
+
+  stereo STFT -> per-band linear "band split" -> axial transformer
+  (alternating attention over time and over bands, rotary embeddings)
+  -> per-band mask MLPs -> complex mask * STFT -> iSTFT per stem
+
+TPU notes: attention runs on the Pallas flash kernel; the axial layout keeps
+sequence lengths short (T≈400 frames per 8 s chunk, B=62 bands) so both
+axes tile the MXU well; everything is one jitted graph per chunk batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.kernels.attention import flash_attention
+from audiolab_tpu.kernels.stft import istft, stft
+
+# default 1025-bin band layout (sums to n_fft//2+1 for n_fft=2048)
+DEFAULT_BANDS: tuple[int, ...] = (
+    (2,) * 24 + (4,) * 12 + (12,) * 8 + (24,) * 8 + (48,) * 8 + (128,) + (129,)
+)
+
+
+@dataclass(frozen=True)
+class RoformerConfig:
+    dim: int = 192
+    depth: int = 6                  # axial (time, freq) pairs
+    heads: int = 8
+    stems: Sequence[str] = ("vocals", "other")
+    freqs_per_bands: Sequence[int] = DEFAULT_BANDS
+    n_fft: int = 2048
+    hop: int = 512
+    channels: int = 2               # stereo
+    ff_mult: int = 4
+
+    @property
+    def n_bands(self) -> int:
+        return len(self.freqs_per_bands)
+
+
+def rope(x: jnp.ndarray) -> jnp.ndarray:
+    """Rotary position embedding over axis -2 (sequence)."""
+    b, h, t, d = x.shape
+    half = d // 2
+    freqs = 1.0 / (10000.0 ** (np.arange(0, half, dtype=np.float32) / half))
+    angles = jnp.arange(t)[:, None] * freqs[None, :]  # (t, half)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+class RMSNorm(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        return x * jax.lax.rsqrt(var + 1e-6) * scale
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, _ = x.shape
+        d = self.dim // self.heads
+        x = RMSNorm(name="norm")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(z):
+            return z.reshape(b, t, self.heads, d).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_first, (q, k, v))
+        q, k = rope(q), rope(k)
+        o = flash_attention(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        return nn.Dense(self.dim, use_bias=False, name="to_out")(o)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        x = RMSNorm(name="norm")(x)
+        x = nn.Dense(self.dim * self.mult, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    ff_mult: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + Attention(self.dim, self.heads, name="attn")(x)
+        x = x + FeedForward(self.dim, self.ff_mult, name="ff")(x)
+        return x
+
+
+class BandSplit(nn.Module):
+    cfg: RoformerConfig
+
+    @nn.compact
+    def __call__(self, spec):
+        # spec (b, t, n_bins, 2*channels) real/imag interleaved features
+        c = self.cfg
+        outs = []
+        start = 0
+        for i, width in enumerate(c.freqs_per_bands):
+            band = spec[:, :, start : start + width, :]
+            band = band.reshape(*band.shape[:2], -1)  # (b,t,width*2*ch)
+            band = RMSNorm(name=f"norm_{i}")(band)
+            outs.append(nn.Dense(c.dim, name=f"proj_{i}")(band))
+            start += width
+        return jnp.stack(outs, axis=2)  # (b, t, bands, dim)
+
+
+class MaskEstimator(nn.Module):
+    cfg: RoformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        # x (b, t, bands, dim) -> complex mask (b, t, n_bins, 2*channels)
+        c = self.cfg
+        outs = []
+        for i, width in enumerate(c.freqs_per_bands):
+            h = RMSNorm(name=f"norm_{i}")(x[:, :, i, :])
+            h = nn.Dense(c.dim * 4, name=f"fc1_{i}")(h)
+            h = nn.glu(h, axis=-1)
+            h = nn.Dense(width * 2 * c.channels, name=f"fc2_{i}")(h)
+            outs.append(h.reshape(*h.shape[:2], width, 2 * c.channels))
+        return jnp.concatenate(outs, axis=2)
+
+
+class BSRoformer(nn.Module):
+    cfg: RoformerConfig = RoformerConfig()
+
+    @nn.compact
+    def __call__(self, audio):
+        """audio (b, channels, n) -> dict stem -> (b, channels, n)."""
+        c = self.cfg
+        b, ch, n = audio.shape
+        real, imag = stft(audio, n_fft=c.n_fft, hop=c.hop)  # (b, ch, t, bins)
+        spec = jnp.stack([real, imag], axis=-1)  # (b, ch, t, bins, 2)
+        spec = spec.transpose(0, 2, 3, 1, 4).reshape(
+            b, real.shape[-2], c.n_fft // 2 + 1, ch * 2
+        )  # (b, t, bins, ch*2)
+
+        x = BandSplit(c, name="band_split")(spec)  # (b, t, bands, dim)
+        t_frames, n_bands = x.shape[1], x.shape[2]
+
+        for i in range(c.depth):
+            # time attention: fold bands into batch
+            xt = x.transpose(0, 2, 1, 3).reshape(b * n_bands, t_frames, c.dim)
+            xt = TransformerBlock(c.dim, c.heads, c.ff_mult, name=f"time_{i}")(xt)
+            x = xt.reshape(b, n_bands, t_frames, c.dim).transpose(0, 2, 1, 3)
+            # freq (band) attention: fold time into batch
+            xf = x.reshape(b * t_frames, n_bands, c.dim)
+            xf = TransformerBlock(c.dim, c.heads, c.ff_mult, name=f"freq_{i}")(xf)
+            x = xf.reshape(b, t_frames, n_bands, c.dim)
+
+        x = RMSNorm(name="final_norm")(x)
+
+        out = {}
+        for stem in c.stems:
+            mask = MaskEstimator(c, name=f"mask_{stem}")(x)  # (b,t,bins,ch*2)
+            masked = _complex_mul(spec, mask, ch)
+            # back to (b, ch, t, bins) re/im
+            masked = masked.reshape(b, t_frames, c.n_fft // 2 + 1, ch, 2)
+            masked = masked.transpose(0, 3, 1, 2, 4)
+            wav = istft(
+                masked[..., 0], masked[..., 1], n_fft=c.n_fft, hop=c.hop, length=n
+            )
+            out[stem] = wav
+        return out
+
+
+def _complex_mul(spec: jnp.ndarray, mask: jnp.ndarray, ch: int) -> jnp.ndarray:
+    """Complex multiply spec*mask where last axis packs (ch*2) re/im pairs."""
+    b, t, f, _ = spec.shape
+    s = spec.reshape(b, t, f, ch, 2)
+    m = mask.reshape(b, t, f, ch, 2)
+    re = s[..., 0] * m[..., 0] - s[..., 1] * m[..., 1]
+    im = s[..., 0] * m[..., 1] + s[..., 1] * m[..., 0]
+    return jnp.stack([re, im], axis=-1).reshape(b, t, f, ch * 2)

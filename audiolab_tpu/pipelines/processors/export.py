@@ -1,0 +1,69 @@
+"""Export processor (reference: wrappers/export.py + handlers/ableton.py,
+handlers/reaper.py): BPM detect, write an Ableton .als or Reaper .rpp
+referencing the current stems, zip the bundle."""
+
+from __future__ import annotations
+
+import os
+
+from audiolab_tpu.core.audio_io import read_audio
+from audiolab_tpu.core.project import ProjectFiles
+from audiolab_tpu.pipelines.base import (
+    BaseProcessor,
+    ProgressFn,
+    TypedInput,
+    null_progress,
+    register_processor,
+)
+from audiolab_tpu.utils.daw import (
+    detect_bpm,
+    write_ableton_project,
+    write_reaper_project,
+    zip_project,
+)
+
+
+class Export(BaseProcessor):
+    title = "Export"
+    priority = 5
+    description = "Export stems as an Ableton or Reaper project."
+    allowed_kwargs = {
+        "project_format": TypedInput(
+            default="ableton", description="DAW project format",
+            choices=["ableton", "reaper"], type=str,
+        ),
+        "pitch_shift": TypedInput(
+            default=0, description="Pitch shift metadata from Clone", type=int,
+            ge=-24, le=24,
+        ),
+    }
+
+    def process_audio(
+        self, inputs: list[ProjectFiles], callback: ProgressFn = null_progress, **kw
+    ) -> list[ProjectFiles]:
+        fmt = kw.get("project_format", "ableton")
+        for proj in inputs:
+            stems = proj.last_outputs
+            if not stems:
+                continue
+            callback(0, "Detecting BPM", 2)
+            first = read_audio(stems[0])
+            bpm = detect_bpm(first.samples, first.sample_rate)
+
+            stage = proj.stage_dir("export")
+            base = os.path.splitext(os.path.basename(proj.src_file))[0]
+            callback(1, f"Writing {fmt} project", 2)
+            if fmt == "ableton":
+                proj_file = write_ableton_project(
+                    os.path.join(stage, f"{base}.als"), stems, bpm, first.sample_rate
+                )
+            else:
+                proj_file = write_reaper_project(
+                    os.path.join(stage, f"{base}.rpp"), stems, bpm, first.sample_rate
+                )
+            bundle = zip_project(os.path.join(stage, f"{base}_project.zip"), [proj_file] + stems)
+            proj.add_output("export", [bundle])
+        return inputs
+
+
+register_processor(Export())

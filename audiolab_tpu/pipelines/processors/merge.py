@@ -1,0 +1,102 @@
+"""Merge processor (reference: wrappers/merge.py).
+
+Overlays stems sample-accurately (the reference uses pydub overlay :103),
+re-applies a stored reverb IR to cloned vocals (:103-120), optionally
+pitch-shifts non-cloned stems to match the Clone transpose, and normalizes
+clip-safe (:15-45).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from audiolab_tpu.core.audio_io import read_audio, write_audio
+from audiolab_tpu.core.project import ProjectFiles
+from audiolab_tpu.dsp.pitch import pitch_shift
+from audiolab_tpu.dsp.reverb import apply_reverb
+from audiolab_tpu.pipelines.base import (
+    BaseProcessor,
+    ProgressFn,
+    TypedInput,
+    null_progress,
+    register_processor,
+)
+
+import jax.numpy as jnp
+
+
+def _mix(tracks: list[np.ndarray]) -> np.ndarray:
+    n = max(t.shape[-1] for t in tracks)
+    c = max(t.shape[0] for t in tracks)
+    out = np.zeros((c, n), dtype=np.float32)
+    for t in tracks:
+        tt = np.broadcast_to(t, (c, t.shape[-1])) if t.shape[0] == 1 else t
+        out[:, : tt.shape[-1]] += tt
+    return out
+
+
+def clip_safe_normalize(x: np.ndarray, headroom_db: float = 1.0) -> np.ndarray:
+    """wrappers/merge.py:15-45 — normalize only if clipping."""
+    peak = np.abs(x).max() if x.size else 0.0
+    limit = 10.0 ** (-headroom_db / 20.0)
+    if peak > limit:
+        x = x * (limit / peak)
+    return x
+
+
+class Merge(BaseProcessor):
+    title = "Merge"
+    priority = 6
+    description = "Mix processed stems back into a single track."
+    allowed_kwargs = {
+        "pitch_shift": TypedInput(
+            default=0, description="Semitones applied to non-cloned stems", type=int,
+            ge=-24, le=24,
+        ),
+        "reapply_reverb": TypedInput(
+            default=True, description="Re-apply captured reverb IR to cloned vocals",
+            type=bool,
+        ),
+    }
+
+    def process_audio(
+        self, inputs: list[ProjectFiles], callback: ProgressFn = null_progress, **kw
+    ) -> list[ProjectFiles]:
+        shift = int(kw.get("pitch_shift", 0) or 0)
+        reapply = kw.get("reapply_reverb", True)
+        for proj in inputs:
+            stems = proj.last_outputs
+            if not stems:
+                continue
+            sr = None
+            tracks = []
+            for i, f in enumerate(stems):
+                callback(i, f"Merging {os.path.basename(f)}", len(stems))
+                a = read_audio(f)
+                sr = sr or a.sample_rate
+                x = a.samples
+                is_cloned = "(Cloned)" in f or "cloned" in f.lower()
+                if is_cloned and reapply:
+                    params_path = os.path.join(proj.project_dir, "reverb_params.json")
+                    if os.path.exists(params_path):
+                        with open(params_path) as fh:
+                            params = json.load(fh)
+                        x = apply_reverb(x, params)
+                elif shift and not is_cloned and "(Vocals)" not in f:
+                    x = np.stack(
+                        [np.asarray(pitch_shift(jnp.asarray(ch), sr, float(shift))) for ch in x]
+                    )
+                tracks.append(np.asarray(x, dtype=np.float32))
+            mixed = clip_safe_normalize(_mix(tracks))
+            stage = proj.stage_dir("merged")
+            base = os.path.splitext(os.path.basename(proj.src_file))[0]
+            out = os.path.join(stage, f"{base}_merged.wav")
+            write_audio(out, mixed, sr)
+            proj.add_output("merged", [out])
+        return inputs
+
+
+register_processor(Merge())

@@ -1,0 +1,203 @@
+"""RVC voice-conversion pipeline — the product's deepest hot path
+(reference call stack: SURVEY §3.3, modules/rvc/infer/modules/vc/pipeline.py).
+
+Reference behavior reproduced:
+  - 16 kHz input, Butterworth high-pass 48 Hz (pipeline.py:252)
+  - HuBERT features (layer 9+proj v1 / layer 12 v2)      (:186-191)
+  - optional retrieval blend k=8, 1/d² weights            (:194-203)
+  - 2x nearest feature upsample to 100 Hz frames          (:206-223)
+  - f0 extraction + semitone transpose + 1-255 coarse     (pitch_extraction.py)
+  - consonant 'protect' blend where f0 is unvoiced        (:206-223)
+  - SynthesizerTrn.infer -> waveform at model sr          (:225-229)
+
+TPU redesign: the reference crosses CPU⇄GPU per ~60 s segment; here the
+whole chain — features, retrieval, f0, synth — is ONE jitted graph over a
+batch of fixed-size chunks (core/chunking), so long tracks run as a single
+device program with a crossfade stitch at the end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as sps
+
+from audiolab_tpu.core.chunking import extract_chunks, plan_chunks, stitch_chunks
+from audiolab_tpu.dsp.f0 import coarse_f0, f0_autocorr
+from audiolab_tpu.kernels.resample import resample
+from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
+from audiolab_tpu.models.rvc.synthesizer import SynthesizerConfig, SynthesizerTrn
+from audiolab_tpu.retrieval.index import knn_blend
+
+
+@dataclass
+class RVCPipelineConfig:
+    version: str = "v2"
+    sr: int = 48000           # model output rate
+    chunk_seconds: float = 8.0  # canonical compile-cached chunk length (16 kHz)
+    overlap_seconds: float = 0.4
+    f0_method: str = "rmvpe"  # rmvpe | yin
+    f0_min: float = 50.0
+    f0_max: float = 1100.0
+
+
+class VoiceConverter:
+    """Holds the three parameter trees (hubert, synthesizer, optional rmvpe)
+    and exposes ``convert`` — the VC.vc_single equivalent."""
+
+    def __init__(
+        self,
+        synth_cfg: SynthesizerConfig,
+        synth_params,
+        hubert_params,
+        rmvpe=None,
+        index_features: np.ndarray | None = None,
+        cfg: RVCPipelineConfig | None = None,
+        hubert_cfg: HubertConfig | None = None,
+    ):
+        self.cfg = cfg or RVCPipelineConfig(sr=synth_cfg.sr)
+        self.synth_cfg = synth_cfg
+        self.synth = SynthesizerTrn(synth_cfg)
+        self.hubert = HubertFeatureExtractor(
+            version=self.cfg.version, cfg=hubert_cfg or HubertConfig()
+        )
+        self.synth_params = synth_params
+        self.hubert_params = hubert_params
+        self.rmvpe = rmvpe
+        self.index_features = (
+            jnp.asarray(index_features) if index_features is not None else None
+        )
+
+    # ---------------- single-chunk jitted core ----------------
+
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("use_index",))
+    def _convert_chunk(
+        self,
+        hubert_params,
+        synth_params,
+        wav16: jnp.ndarray,     # (b, n) 16 kHz chunk
+        f0: jnp.ndarray,        # (b, t100) Hz, already transposed
+        sid: jnp.ndarray,       # (b,)
+        index_data: jnp.ndarray | None,
+        index_rate: float,
+        protect: float,
+        rng: jax.Array,
+        use_index: bool = False,
+    ) -> jnp.ndarray:
+        feats = self.hubert.apply({"params": hubert_params}, wav16)  # (b,t50,d)
+        feats0 = feats
+        if use_index and index_data is not None:
+            b, t, d = feats.shape
+            blended = knn_blend(feats.reshape(b * t, d), index_data, index_rate)
+            feats = blended.reshape(b, t, d)
+
+        # 2x nearest upsample to 100 Hz frames (reference F.interpolate)
+        feats = jnp.repeat(feats, 2, axis=1)
+        feats0 = jnp.repeat(feats0, 2, axis=1)
+
+        t100 = min(feats.shape[1], f0.shape[1])
+        feats = feats[:, :t100]
+        feats0 = feats0[:, :t100]
+        f0 = f0[:, :t100]
+
+        # consonant protection (pipeline.py:206-223): at unvoiced frames fall
+        # back toward the un-indexed features
+        pitchff = jnp.where(f0[..., None] > 0, 1.0, protect)
+        feats = feats * pitchff + feats0 * (1.0 - pitchff)
+
+        pitch = coarse_f0(f0, self.cfg.f0_min, self.cfg.f0_max)
+        lengths = jnp.full((wav16.shape[0],), t100, jnp.int32)
+        audio = self.synth.apply(
+            {"params": synth_params},
+            feats,
+            lengths,
+            pitch,
+            f0,
+            sid,
+            rng,
+            method=SynthesizerTrn.infer,
+        )
+        return audio  # (b, t100 * upp)
+
+    # ---------------- host orchestration ----------------
+
+    def _extract_f0(self, wav16: np.ndarray, transpose: int) -> np.ndarray:
+        """(b, n) -> (b, t100) f0 Hz at 100 Hz frame rate."""
+        if self.cfg.f0_method == "rmvpe" and self.rmvpe is not None:
+            f0 = np.asarray(self.rmvpe.infer(jnp.asarray(wav16)))
+        else:
+            f0 = np.stack(
+                [
+                    np.asarray(
+                        f0_autocorr(
+                            jnp.asarray(w), sr=16000, hop=160,
+                            fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
+                        )[0]
+                    )
+                    for w in wav16
+                ]
+            )
+        return f0 * (2.0 ** (transpose / 12.0))
+
+    def convert(
+        self,
+        audio16k: np.ndarray,
+        sid: int = 0,
+        transpose: int = 0,
+        index_rate: float = 0.75,
+        protect: float = 0.33,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Full conversion of a mono 16 kHz track -> waveform at model sr."""
+        x = np.asarray(audio16k, dtype=np.float32)
+        # high-pass 48 Hz (pipeline.py:252)
+        b, a = sps.butter(5, 48, btype="high", fs=16000)
+        x = sps.filtfilt(b, a, x).astype(np.float32)
+
+        chunk = int(self.cfg.chunk_seconds * 16000)
+        chunk -= chunk % 320  # align to hubert hop so frames tile exactly
+        overlap = int(self.cfg.overlap_seconds * 16000)
+        overlap -= overlap % 320
+        plan = plan_chunks(len(x), chunk, overlap)
+        chunks = extract_chunks(jnp.asarray(x), plan)  # (count, chunk)
+
+        f0 = self._extract_f0(np.asarray(chunks), transpose)  # (count, t100)
+
+        rng = jax.random.PRNGKey(seed)
+        use_index = self.index_features is not None and index_rate > 0
+        out = self._convert_chunk(
+            self.hubert_params,
+            self.synth_params,
+            chunks,
+            jnp.asarray(f0),
+            jnp.full((plan.count,), sid, jnp.int32),
+            self.index_features,
+            index_rate,
+            protect,
+            rng,
+            use_index=use_index,
+        )  # (count, out_chunk)
+
+        # stitch at the model rate: the chunk grid scales exactly by sr/16000
+        # because chunk/hop are 320-aligned and upp*100 == sr
+        from audiolab_tpu.core.chunking import ChunkPlan
+
+        scale = self.synth_cfg.sr / 16000.0
+        out_chunk = out.shape[-1]
+        out_hop = int(round(plan.hop * scale))
+        out_plan = ChunkPlan(
+            chunk=out_chunk,
+            hop=out_hop,
+            n=int(round(plan.n * scale)),
+            count=plan.count,
+            padded=(plan.count - 1) * out_hop + out_chunk,
+        )
+        y = stitch_chunks(out, out_plan)
+        peak = float(jnp.abs(y).max())
+        if peak > 0.99:
+            y = y * (0.99 / peak)
+        return np.asarray(y, dtype=np.float32)
