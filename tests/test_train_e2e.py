@@ -1,0 +1,105 @@
+"""End-to-end RVC training pipeline test: synthetic dataset -> preprocess ->
+feature extract -> index -> 1 epoch train -> export -> reload -> infer.
+
+Tiny nets + short slices keep CPU compile bounded; exercises the full
+train1key path (SURVEY §3.4)."""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiolab_tpu.core.audio_io import write_wav
+from audiolab_tpu.train import data as D
+from audiolab_tpu.train.checkpoint import export_generator, load_generator
+from audiolab_tpu.train.trainer import TrainRVCConfig, build_index, train_rvc
+from tests.test_train import tiny_cfg
+
+
+def _stub_hubert(wavs):
+    """(b, n) 16 kHz -> (b, t50, 32): framed energy features, hop 320."""
+    b, n = wavs.shape
+    t = n // 320
+    frames = wavs[:, : t * 320].reshape(b, t, 320)
+    basis = jnp.asarray(np.random.default_rng(7).standard_normal((320, 32)) * 0.1)
+    return jnp.tanh(frames @ basis)
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "raw"
+    in_dir.mkdir()
+    sr = 48000
+    for i in range(2):
+        t = np.arange(int(sr * 2.2)) / sr
+        x = 0.3 * np.sin(2 * np.pi * (180 + 40 * i) * t) + 0.01 * rng.standard_normal(len(t))
+        write_wav(str(in_dir / f"take{i}.wav"), x.astype(np.float32), sr)
+    return str(in_dir)
+
+
+def test_preprocess_extract_index_train(dataset, tmp_path):
+    exp = str(tmp_path / "exp")
+    n = D.preprocess_dataset(
+        dataset, exp,
+        D.PreprocessConfig(sr=48000, slice_seconds=0.8, overlap_seconds=0.2,
+                           threshold_db=-60.0),
+    )
+    assert n >= 4
+    m = D.extract_features(exp, _stub_hubert)
+    assert m == n
+    fl = D.write_filelist(exp, sid=0)
+    entries = json.loads(Path(fl).read_text())
+    assert len(entries) == n
+
+    idx_path = build_index(exp)
+    assert Path(idx_path).exists()
+
+    cfg = TrainRVCConfig(
+        sr=48000, batch_size=2, epochs=1, save_every_epoch=1, use_mesh=False,
+        synth_overrides=dict(
+            spec_channels=1025, segment_size=3840, inter_channels=16,
+            hidden_channels=16, filter_channels=32, n_heads=2, n_layers=1,
+            upsample_initial_channel=32, spk_embed_dim=4, gin_channels=16,
+            feat_channels=32,
+        ),
+    )
+    # shrink the discriminator for CPU: monkeypatch via create-time periods is
+    # plumbed through trainer only at full size, so patch the default here
+    import audiolab_tpu.train.trainer as T
+
+    orig = T.create_train_state
+
+    def small_cts(*a, **kw):
+        kw["periods"] = (2, 3)
+        return orig(*a, **kw)
+
+    T.create_train_state = small_cts
+    try:
+        metrics = train_rvc(exp, cfg)
+    finally:
+        T.create_train_state = orig
+    assert np.isfinite(metrics["loss_gen_total"])
+
+    # export round-trip + inference with trained weights
+    params, synth_cfg = load_generator(str(Path(exp) / "model_final.npz"))
+    assert "enc_q" not in params
+    from audiolab_tpu.models.rvc.synthesizer import SynthesizerTrn
+
+    model = SynthesizerTrn(synth_cfg)
+    t = 16
+    audio = model.apply(
+        {"params": params},
+        jnp.zeros((1, t, synth_cfg.feat_channels)),
+        jnp.full((1,), t, jnp.int32),
+        jnp.ones((1, t), jnp.int32),
+        jnp.full((1, t), 200.0),
+        jnp.zeros((1,), jnp.int32),
+        None,
+        method=SynthesizerTrn.infer,
+    )
+    assert audio.shape == (1, t * synth_cfg.upp)
+    assert np.isfinite(np.asarray(audio)).all()
