@@ -30,14 +30,18 @@ def _on_tpu() -> bool:
         return False
 
 
-def attention_reference(q, k, v, causal=False, scale=None):
-    """Plain jnp softmax attention (fallback + test oracle)."""
+def attention_reference(q, k, v, causal=False, scale=None, mask=None):
+    """Plain jnp softmax attention (fallback + test oracle).
+
+    ``mask``: optional bool, broadcastable to (b, h, tq, tk); True = attend."""
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / np.sqrt(d)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     if causal:
         tq, tk = logits.shape[-2], logits.shape[-1]
-        mask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        cmask = jnp.tril(jnp.ones((tq, tk), bool), k=tk - tq)
+        logits = jnp.where(cmask, logits, _NEG_INF)
+    if mask is not None:
         logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
