@@ -1,0 +1,488 @@
+"""Zonos-class TTS: hybrid SSM/attention backbone, 9-codebook AR decode.
+
+Reference behavior (modules/zonos/, SURVEY §2.3):
+  - mamba-ssm hybrid backbone (backbone.py:11-51)
+  - DAC 9-codebook autoregressive decode with a delay pattern
+    (codebook_pattern.py), masked token before each codebook starts
+  - CFG via double batch (model.py:190-278), CUDA-graph decode step
+    (model.py:97-153)
+  - prefix conditioning: espeak phonemes + Fourier/int conditioners
+    (conditioning.py:209-372), speaker embedding net (speaker_cloning.py:423)
+
+TPU redesign:
+  - selective-scan kernel (kernels/ssm.py) for prefill; carried-state
+    ``ssm_step`` inside ONE `lax.scan` for decode — the XLA replacement for
+    the CUDA-graph capture.  The scan body is compiled once; the KV/conv/SSM
+    states are donated through the scan carry.
+  - CFG double-batch rides the same graph (batch 2B), combined on-device.
+  - espeak is a host C library not present here: a rule-based normalizer +
+    char tokenizer stands in (same conditioner interface; swap when espeak
+    is available).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.kernels.ssm import (
+    causal_conv1d,
+    causal_conv1d_step,
+    selective_scan,
+    ssm_step,
+)
+from audiolab_tpu.models.codecs import DACConfig, DACDecoder
+from audiolab_tpu.models.lm import RMSNorm, apply_rope, rope_freqs, LMConfig
+from audiolab_tpu.kernels.attention import attention_reference, flash_attention
+
+
+@dataclass(frozen=True)
+class ZonosConfig:
+    dim: int = 1024
+    n_layers: int = 12
+    attn_every: int = 6        # every k-th block is attention, rest mamba
+    n_heads: int = 16
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    n_codebooks: int = 9
+    codebook_size: int = 1026  # 1024 + EOS + MASKED
+    max_seq_len: int = 3072    # ~35 s at 86 Hz
+    vocab_text: int = 256      # char-level phoneme fallback
+    spk_dim: int = 256
+    cond_dim: int = 64
+
+    @property
+    def d_inner(self) -> int:
+        return self.expand * self.dim
+
+    @property
+    def eos_id(self) -> int:
+        return self.codebook_size - 2
+
+    @property
+    def masked_id(self) -> int:
+        return self.codebook_size - 1
+
+
+# ------------------------------------------------------------------ blocks
+
+class MambaBlock(nn.Module):
+    cfg: ZonosConfig
+
+    def setup(self):
+        c = self.cfg
+        di = c.d_inner
+        self.in_proj = nn.Dense(2 * di, use_bias=False, name="in_proj")
+        self.conv_w = self.param("conv_w", nn.initializers.lecun_normal(),
+                                 (c.d_conv, di))
+        self.conv_b = self.param("conv_b", nn.initializers.zeros, (di,))
+        self.x_proj = nn.Dense(c.d_state * 2 + di // 16, use_bias=False,
+                               name="x_proj")
+        self.dt_proj = nn.Dense(di, name="dt_proj")
+        self.a_log = self.param(
+            "a_log", lambda k, s: jnp.log(jnp.tile(jnp.arange(1, s[1] + 1.0), (s[0], 1))),
+            (di, c.d_state),
+        )
+        self.d_skip = self.param("d_skip", nn.initializers.ones, (di,))
+        self.out_proj = nn.Dense(c.dim, use_bias=False, name="out_proj")
+
+    def _gates(self, xc):
+        c = self.cfg
+        di = c.d_inner
+        proj = self.x_proj(xc)
+        dt_rank = di // 16
+        dt, b, cc = jnp.split(proj, [dt_rank, dt_rank + c.d_state], axis=-1)
+        delta = jax.nn.softplus(self.dt_proj(dt))
+        return delta, b, cc
+
+    def __call__(self, x):
+        """Full-sequence: (b, t, dim) -> (b, t, dim)."""
+        xz = self.in_proj(x)
+        xi, z = jnp.split(xz, 2, axis=-1)
+        xc = nn.silu(causal_conv1d(xi, self.conv_w, self.conv_b))
+        delta, b, cc = self._gates(xc)
+        a = -jnp.exp(self.a_log)
+        y = selective_scan(xc, delta, a, b, cc, self.d_skip)
+        return self.out_proj(y * nn.silu(z))
+
+    def step(self, x_t, state):
+        """Single token: x_t (b, dim), state = (conv_cache, ssm_state)."""
+        conv_cache, h = state
+        xz = self.in_proj(x_t)
+        xi, z = jnp.split(xz, 2, axis=-1)
+        conv_cache, xc = causal_conv1d_step(conv_cache, xi, self.conv_w, self.conv_b)
+        xc = nn.silu(xc)
+        delta, b, cc = self._gates(xc)
+        a = -jnp.exp(self.a_log)
+        h, y = ssm_step(h, xc, delta, a, b, cc, self.d_skip)
+        return self.out_proj(y * nn.silu(z)), (conv_cache, h)
+
+    def init_state(self, batch: int):
+        c = self.cfg
+        return (
+            jnp.zeros((batch, c.d_conv - 1, c.d_inner)),
+            jnp.zeros((batch, c.d_inner, c.d_state)),
+        )
+
+
+class AttnBlock(nn.Module):
+    cfg: ZonosConfig
+
+    def setup(self):
+        c = self.cfg
+        self.wq = nn.Dense(c.dim, use_bias=False, name="wq")
+        self.wk = nn.Dense(c.dim, use_bias=False, name="wk")
+        self.wv = nn.Dense(c.dim, use_bias=False, name="wv")
+        self.wo = nn.Dense(c.dim, use_bias=False, name="wo")
+        self._freqs = rope_freqs(
+            LMConfig(dim=c.dim, n_heads=c.n_heads, rope_theta=10000.0)
+        )
+
+    def _qkv(self, x, pos):
+        c = self.cfg
+        hd = c.dim // c.n_heads
+        b, t, _ = x.shape
+        q = self.wq(x).reshape(b, t, c.n_heads, hd)
+        k = self.wk(x).reshape(b, t, c.n_heads, hd)
+        v = self.wv(x).reshape(b, t, c.n_heads, hd)
+        freqs = jnp.asarray(self._freqs)
+        return apply_rope(q, pos, freqs), apply_rope(k, pos, freqs), v
+
+    def __call__(self, x, pos):
+        q, k, v = self._qkv(x, pos)
+        o = flash_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+            causal=True,
+        )
+        b, t = x.shape[:2]
+        return self.wo(jnp.swapaxes(o, 1, 2).reshape(b, t, -1))
+
+    def step(self, x_t, pos, state):
+        """x_t (b, dim); state = dict(k, v, index) preallocated."""
+        q, k, v = self._qkv(x_t[:, None, :], pos)
+        idx = state["index"]
+        kf = jax.lax.dynamic_update_slice_in_dim(state["k"], k, idx, axis=1)
+        vf = jax.lax.dynamic_update_slice_in_dim(state["v"], v, idx, axis=1)
+        mask = (jnp.arange(kf.shape[1])[None, :] <= idx)[:, None, None, :]
+        o = attention_reference(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(kf, 1, 2), jnp.swapaxes(vf, 1, 2),
+            mask=mask,
+        )
+        b = x_t.shape[0]
+        out = self.wo(jnp.swapaxes(o, 1, 2).reshape(b, 1, -1))[:, 0]
+        return out, dict(k=kf, v=vf, index=idx + 1)
+
+    def init_state(self, batch: int):
+        c = self.cfg
+        hd = c.dim // c.n_heads
+        return dict(
+            k=jnp.zeros((batch, c.max_seq_len, c.n_heads, hd)),
+            v=jnp.zeros((batch, c.max_seq_len, c.n_heads, hd)),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+
+class GatedMLP(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * 4, use_bias=False, name="w1")(x)
+        g = nn.Dense(self.dim * 4, use_bias=False, name="w3")(x)
+        return nn.Dense(self.dim, use_bias=False, name="w2")(nn.silu(h) * g)
+
+
+class ZonosBackbone(nn.Module):
+    """Interleaved mamba/attention trunk (backbone.py hybrid)."""
+
+    cfg: ZonosConfig
+
+    def setup(self):
+        c = self.cfg
+        self.blocks = [
+            AttnBlock(c, name=f"attn_{i}")
+            if (i + 1) % c.attn_every == 0
+            else MambaBlock(c, name=f"mamba_{i}")
+            for i in range(c.n_layers)
+        ]
+        self.norms = [RMSNorm(name=f"norm_{i}") for i in range(c.n_layers)]
+        self.mlps = [GatedMLP(c.dim, name=f"mlp_{i}") for i in range(c.n_layers)]
+        self.mlp_norms = [RMSNorm(name=f"mlp_norm_{i}") for i in range(c.n_layers)]
+        self.final_norm = RMSNorm(name="final_norm")
+
+    def is_attn(self, i: int) -> bool:
+        return (i + 1) % self.cfg.attn_every == 0
+
+    def __call__(self, x, pos):
+        for i, blk in enumerate(self.blocks):
+            h = self.norms[i](x)
+            x = x + (blk(h, pos) if self.is_attn(i) else blk(h))
+            x = x + self.mlps[i](self.mlp_norms[i](x))
+        return self.final_norm(x)
+
+    def prefill_states(self, x, pos):
+        """Full-sequence forward that ALSO returns decode states primed with
+        the prefix (conv tail + ssm state + kv cache)."""
+        states = []
+        b, t, _ = x.shape
+        for i, blk in enumerate(self.blocks):
+            h = self.norms[i](x)
+            if self.is_attn(i):
+                st = blk.init_state(b)
+                # prefill kv by stepping the whole prefix through cache once:
+                # cheaper: recompute k/v full and write into cache
+                q, k, v = blk._qkv(h, pos)
+                st["k"] = jax.lax.dynamic_update_slice_in_dim(st["k"], k, 0, axis=1)
+                st["v"] = jax.lax.dynamic_update_slice_in_dim(st["v"], v, 0, axis=1)
+                st["index"] = jnp.asarray(t, jnp.int32)
+                o = flash_attention(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2), causal=True,
+                )
+                x = x + blk.wo(jnp.swapaxes(o, 1, 2).reshape(b, t, -1))
+                states.append(st)
+            else:
+                # run scan and capture final state: rebuild via step-scan to
+                # keep state exact (full scan doesn't expose h_T)
+                xz = blk.in_proj(h)
+                xi, z = jnp.split(xz, 2, axis=-1)
+                xc = nn.silu(causal_conv1d(xi, blk.conv_w, blk.conv_b))
+                delta, bb, cc = blk._gates(xc)
+                a = -jnp.exp(blk.a_log)
+                da = jnp.exp(delta[..., None] * a[None, None])
+                dbu = (delta * xc)[..., None] * bb[:, :, None, :]
+
+                def combine(p, q2):
+                    a1, s1 = p
+                    a2, s2 = q2
+                    return a1 * a2, s1 * a2 + s2
+
+                _, hs = jax.lax.associative_scan(combine, (da, dbu), axis=1)
+                y = jnp.einsum("btdn,btn->btd", hs, cc) + xc * blk.d_skip
+                x = x + blk.out_proj(y * nn.silu(z))
+                conv_tail = jnp.pad(xi, ((0, 0), (blk.cfg.d_conv - 1, 0), (0, 0)))[
+                    :, -(blk.cfg.d_conv - 1) :, :
+                ]
+                states.append((conv_tail, hs[:, -1]))
+            x = x + self.mlps[i](self.mlp_norms[i](x))
+        return self.final_norm(x), states
+
+    def step(self, x_t, pos, states):
+        new_states = []
+        for i, blk in enumerate(self.blocks):
+            h = self.norms[i](x_t)
+            if self.is_attn(i):
+                o, st = blk.step(h, pos, states[i])
+            else:
+                o, st = blk.step(h, states[i])
+            x_t = x_t + o
+            x_t = x_t + self.mlps[i](self.mlp_norms[i](x_t))
+            new_states.append(st)
+        return self.final_norm(x_t), new_states
+
+
+# ------------------------------------------------------------------ conditioners
+
+class FourierConditioner(nn.Module):
+    """Continuous scalar(s) -> dim via random Fourier features
+    (conditioning.py FourierConditioner)."""
+
+    out_dim: int
+    in_dim: int = 1
+
+    @nn.compact
+    def __call__(self, x):  # (b, in_dim)
+        w = self.param("w", nn.initializers.normal(1.0), (self.in_dim, self.out_dim // 2))
+        proj = 2 * jnp.pi * x @ w
+        feats = jnp.concatenate([jnp.cos(proj), jnp.sin(proj)], axis=-1)
+        return nn.Dense(self.out_dim, name="proj")(feats)[:, None, :]  # (b,1,dim)
+
+
+class SpeakerEncoder(nn.Module):
+    """Mel -> speaker embedding (speaker_cloning.py:423 equivalent — conv
+    stack + attentive stats pooling, reduced)."""
+
+    out_dim: int = 256
+
+    @nn.compact
+    def __call__(self, mel):  # (b, t, n_mels)
+        h = mel
+        for i, ch in enumerate((128, 128, 256)):
+            h = nn.Conv(ch, (5,), strides=(2 if i else 1,), padding="SAME",
+                        name=f"conv_{i}")(h)
+            h = nn.relu(nn.LayerNorm(name=f"ln_{i}")(h))
+        # attentive pooling
+        att = nn.Dense(1, name="att")(h)  # (b, t, 1)
+        w = jax.nn.softmax(att, axis=1)
+        mu = jnp.sum(h * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(h * h * w, axis=1) - mu * mu, 1e-6, None))
+        e = nn.Dense(self.out_dim, name="proj")(jnp.concatenate([mu, sg], axis=-1))
+        return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
+
+
+_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 .,!?'-;:\""
+
+
+def tokenize_text(text: str, max_len: int = 256) -> np.ndarray:
+    """Rule-normalized char tokenizer (espeak phonemizer stand-in; the
+    conditioner interface matches conditioning.py:180-207)."""
+    text = " ".join(text.lower().strip().split())
+    ids = [min(_CHARS.find(ch) + 1 if ch in _CHARS else 0, 255) for ch in text]
+    ids = ids[:max_len]
+    return np.asarray(ids, np.int32)
+
+
+# ------------------------------------------------------------------ model
+
+class ZonosModel(nn.Module):
+    cfg: ZonosConfig = ZonosConfig()
+
+    def setup(self):
+        c = self.cfg
+        self.backbone = ZonosBackbone(c, name="backbone")
+        self.code_embs = nn.Embed(c.n_codebooks * c.codebook_size, c.dim,
+                                  name="code_embs")
+        self.text_emb = nn.Embed(c.vocab_text, c.dim, name="text_emb")
+        self.spk_proj = nn.Dense(c.dim, name="spk_proj")
+        self.emotion_cond = FourierConditioner(c.dim, 8, name="emotion")
+        self.rate_cond = FourierConditioner(c.dim, 1, name="rate")
+        self.pitch_cond = FourierConditioner(c.dim, 1, name="pitch")
+        self.heads = [
+            nn.Dense(c.codebook_size, use_bias=False, name=f"head_{q}")
+            for q in range(c.n_codebooks)
+        ]
+
+    def embed_codes(self, codes):
+        """codes (b, n_q, t) -> summed embeddings (b, t, dim)."""
+        c = self.cfg
+        offs = (jnp.arange(c.n_codebooks) * c.codebook_size)[None, :, None]
+        emb = self.code_embs(codes + offs)  # (b, n_q, t, dim)
+        return emb.sum(axis=1)
+
+    def prefix(self, text_ids, spk_emb, emotion, rate, pitch):
+        """Conditioning prefix (b, t_prefix, dim)."""
+        parts = [
+            self.text_emb(text_ids),
+            self.spk_proj(spk_emb)[:, None, :],
+            self.emotion_cond(emotion),
+            self.rate_cond(rate),
+            self.pitch_cond(pitch),
+        ]
+        return jnp.concatenate(parts, axis=1)
+
+    def logits9(self, h):
+        """(b, dim) -> (b, n_q, codebook_size)."""
+        return jnp.stack([head(h) for head in self.heads], axis=1)
+
+    def prefill(self, text_ids, spk_emb, emotion, rate, pitch, bos_codes):
+        """Run prefix + BOS frame; returns (logits9, states, prefix_len)."""
+        x_prefix = self.prefix(text_ids, spk_emb, emotion, rate, pitch)
+        x_bos = self.embed_codes(bos_codes)  # (b, 1, dim) frame of masked ids
+        x = jnp.concatenate([x_prefix, x_bos], axis=1)
+        pos = jnp.arange(x.shape[1])
+        h, states = self.backbone.prefill_states(x, pos)
+        return self.logits9(h[:, -1]), states, x.shape[1]
+
+    def decode_step(self, codes_t, pos, states):
+        """codes_t (b, n_q) -> (logits9, states)."""
+        x_t = self.embed_codes(codes_t[:, :, None])[:, 0]
+        h, states = self.backbone.step(x_t, pos, states)
+        return self.logits9(h), states
+
+
+# ------------------------------------------------------------------ generation
+
+def delay_pattern(codes: jnp.ndarray, masked_id: int) -> jnp.ndarray:
+    """(b, n_q, t) -> (b, n_q, t + n_q) delayed: codebook q shifted right q
+    steps (codebook_pattern.py apply_delay_pattern)."""
+    b, n_q, t = codes.shape
+    out = jnp.full((b, n_q, t + n_q), masked_id, codes.dtype)
+    for q in range(n_q):
+        out = out.at[:, q, q : q + t].set(codes[:, q])
+    return out
+
+
+def undelay_pattern(delayed: jnp.ndarray, n_q: int) -> jnp.ndarray:
+    """(b, n_q, t + n_q) -> (b, n_q, t)."""
+    t = delayed.shape[2] - n_q
+    return jnp.stack([delayed[:, q, q : q + t] for q in range(n_q)], axis=1)
+
+
+def generate(
+    model: ZonosModel,
+    params,
+    text_ids: jnp.ndarray,       # (b, t_text)
+    spk_emb: jnp.ndarray,        # (b, spk_dim)
+    max_frames: int = 600,
+    emotion: jnp.ndarray | None = None,
+    rate: jnp.ndarray | None = None,
+    pitch: jnp.ndarray | None = None,
+    cfg_scale: float = 2.0,
+    temperature: float = 1.0,
+    top_k: int = 64,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """AR generation with delay pattern + CFG double batch.
+
+    Returns codes (b, n_q, max_frames) (undelayed; EOS-padded)."""
+    c = model.cfg
+    b = text_ids.shape[0]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    emotion = emotion if emotion is not None else jnp.tile(
+        jnp.asarray([[0.3, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]]), (b, 1)
+    )
+    rate = rate if rate is not None else jnp.full((b, 1), 15.0)
+    pitch = pitch if pitch is not None else jnp.full((b, 1), 20.0)
+
+    # CFG: [cond; uncond] double batch — uncond drops text (zeros)
+    text2 = jnp.concatenate([text_ids, jnp.zeros_like(text_ids)], axis=0)
+    spk2 = jnp.concatenate([spk_emb, spk_emb], axis=0)
+    em2 = jnp.concatenate([emotion, emotion], axis=0)
+    ra2 = jnp.concatenate([rate, rate], axis=0)
+    pi2 = jnp.concatenate([pitch, pitch], axis=0)
+    bos = jnp.full((2 * b, c.n_codebooks, 1), c.masked_id, jnp.int32)
+
+    logits, states, plen = model.apply(
+        {"params": params}, text2, spk2, em2, ra2, pi2, bos,
+        method=ZonosModel.prefill,
+    )
+
+    total = max_frames + c.n_codebooks  # delay tail
+
+    def sample9(logits2, key, step):
+        lc, lu = jnp.split(logits2, 2, axis=0)  # (b, n_q, V)
+        lg = lu + cfg_scale * (lc - lu)
+        # codebook q emits MASKED until step >= q (delay pattern)
+        keys = jax.random.split(key, c.n_codebooks)
+        toks = []
+        for q in range(c.n_codebooks):
+            lq = lg[:, q] / jnp.maximum(temperature, 1e-6)
+            kth = jnp.sort(lq, axis=-1)[:, -top_k][:, None]
+            lq = jnp.where(lq < kth, -jnp.inf, lq)
+            tq = jax.random.categorical(keys[q], lq, axis=-1)
+            tq = jnp.where(step >= q, tq, c.masked_id)
+            # after audio ends (step >= max_frames + q) emit EOS
+            tq = jnp.where(step >= max_frames + q, c.eos_id, tq)
+            toks.append(tq)
+        return jnp.stack(toks, axis=1)  # (b, n_q)
+
+    def body(carry, i):
+        logits, states, rng = carry
+        rng, key = jax.random.split(rng)
+        toks = sample9(logits, key, i)  # (b, n_q)
+        toks2 = jnp.concatenate([toks, toks], axis=0)
+        pos = jnp.asarray([0], jnp.int32) + plen + i
+        logits, states = model.apply(
+            {"params": params}, toks2, pos, states, method=ZonosModel.decode_step
+        )
+        return (logits, states, rng), toks
+
+    (_, _, _), frames = jax.lax.scan(body, (logits, states, rng), jnp.arange(total))
+    delayed = jnp.moveaxis(frames, 0, 2)  # (b, n_q, total)
+    return undelay_pattern(delayed, c.n_codebooks)

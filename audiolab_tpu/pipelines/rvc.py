@@ -43,6 +43,8 @@ class RVCPipelineConfig:
     f0_method: str = "rmvpe"  # rmvpe | yin
     f0_min: float = 50.0
     f0_max: float = 1100.0
+    device_batch: int = 8     # chunks per device step: ONE compiled shape,
+                              # bounded HBM (34 unpadded 8 s chunks OOM v5e)
 
 
 class VoiceConverter:
@@ -169,18 +171,33 @@ class VoiceConverter:
 
         rng = jax.random.PRNGKey(seed)
         use_index = self.index_features is not None and index_rate > 0
-        out = self._convert_chunk(
-            self.hubert_params,
-            self.synth_params,
-            chunks,
-            jnp.asarray(f0),
-            jnp.full((plan.count,), sid, jnp.int32),
-            self.index_features,
-            index_rate,
-            protect,
-            rng,
-            use_index=use_index,
-        )  # (count, out_chunk)
+
+        # fixed device batch: pad chunk count to a multiple of device_batch so
+        # every step reuses ONE compiled executable with bounded HBM footprint
+        db = max(1, min(self.cfg.device_batch, plan.count))
+        pad_rows = (-plan.count) % db
+        if pad_rows:
+            chunks = jnp.concatenate([chunks, jnp.zeros((pad_rows,) + chunks.shape[1:], chunks.dtype)])
+            f0 = np.concatenate([f0, np.zeros((pad_rows,) + f0.shape[1:], f0.dtype)])
+        f0j = jnp.asarray(f0)
+        sids = jnp.full((db,), sid, jnp.int32)
+        outs = []
+        for g in range(0, chunks.shape[0], db):
+            outs.append(
+                self._convert_chunk(
+                    self.hubert_params,
+                    self.synth_params,
+                    chunks[g : g + db],
+                    f0j[g : g + db],
+                    sids,
+                    self.index_features,
+                    index_rate,
+                    protect,
+                    rng,
+                    use_index=use_index,
+                )
+            )
+        out = jnp.concatenate(outs, axis=0)[: plan.count]  # (count, out_chunk)
 
         # stitch at the model rate: the chunk grid scales exactly by sr/16000
         # because chunk/hop are 320-aligned and upp*100 == sr

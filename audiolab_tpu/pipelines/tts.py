@@ -1,0 +1,192 @@
+"""TTS pipelines — engine dispatch + Zonos engine.
+
+Reference behavior (layouts/tts.py:570 generate_tts dispatches 4 engines;
+:128-253 Zonos emotion-tag chunk parser; modules/zonos/model.py:190
+generation; SURVEY §2.4):
+  - text is split into sentence chunks; ``[emotion]`` tags set the emotion
+    vector for following chunks; chunks synthesize independently and concat
+    with short silence.
+  - speaker embedding comes from a reference WAV (make_speaker_embedding,
+    model.py:70).
+
+TPU design: chunks are BATCHED into one generate() call (same compiled AR
+graph, CFG double-batch inside) instead of the reference's serial
+per-chunk loop."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.kernels.mel import log_mel, mel_spectrogram
+from audiolab_tpu.kernels.resample import resample_poly_np
+from audiolab_tpu.models.codecs import DACConfig, DACDecoder
+from audiolab_tpu.models.zonos import (
+    SpeakerEncoder,
+    ZonosConfig,
+    ZonosModel,
+    generate,
+    tokenize_text,
+)
+
+EMOTIONS = ("happiness", "sadness", "disgust", "fear", "surprise",
+            "anger", "other", "neutral")
+
+_TAG_RE = re.compile(r"\[(%s)\]" % "|".join(EMOTIONS), re.IGNORECASE)
+_SENT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def parse_emotion_chunks(text: str) -> list[tuple[str, np.ndarray]]:
+    """Split text into (sentence, emotion_vector) chunks.
+
+    ``[emotion]`` tags switch the 8-d emotion vector for subsequent text
+    (layouts/tts.py:128-253 semantics)."""
+    base = np.full(8, 0.05, np.float32)
+    base[-1] = 1.0  # neutral default
+    chunks: list[tuple[str, np.ndarray]] = []
+    cur = base
+    pos = 0
+    for m in _TAG_RE.finditer(text):
+        seg = text[pos : m.start()].strip()
+        if seg:
+            for s in _SENT_RE.split(seg):
+                if s.strip():
+                    chunks.append((s.strip(), cur))
+        vec = np.full(8, 0.05, np.float32)
+        vec[EMOTIONS.index(m.group(1).lower())] = 1.0
+        cur = vec
+        pos = m.end()
+    tail = text[pos:].strip()
+    if tail:
+        for s in _SENT_RE.split(tail):
+            if s.strip():
+                chunks.append((s.strip(), cur))
+    return chunks or [(text.strip() or " ", base)]
+
+
+@dataclass
+class ZonosTTSConfig:
+    sr: int = 44100
+    frame_rate: float = 86.0
+    max_seconds: float = 30.0   # reference 30 s token cap (model.py:194)
+    cfg_scale: float = 2.0
+    top_k: int = 64
+    temperature: float = 1.0
+    silence_ms: float = 120.0
+    text_max_len: int = 256
+
+
+class ZonosTTS:
+    """Holds model/decoder/speaker-encoder params; synthesizes text."""
+
+    def __init__(
+        self,
+        model_cfg: ZonosConfig,
+        params,
+        dac_cfg: DACConfig,
+        dac_params,
+        spk_params=None,
+        cfg: ZonosTTSConfig | None = None,
+    ):
+        self.cfg = cfg or ZonosTTSConfig()
+        self.model = ZonosModel(model_cfg)
+        self.params = params
+        self.dac = DACDecoder(dac_cfg)
+        self.dac_params = dac_params
+        self.spk_enc = SpeakerEncoder(model_cfg.spk_dim)
+        self.spk_params = spk_params
+        self._default_spk = np.zeros((model_cfg.spk_dim,), np.float32)
+
+    def make_speaker_embedding(self, wav: np.ndarray, sr: int) -> np.ndarray:
+        """Reference WAV -> speaker vector (model.py:70 equivalent)."""
+        if self.spk_params is None:
+            return self._default_spk
+        if sr != 16000:
+            wav = resample_poly_np(np.asarray(wav, np.float32), sr, 16000)
+        mel = log_mel(mel_spectrogram(jnp.asarray(wav)[None], sr=16000,
+                                      n_fft=1024, hop=256, n_mels=80))
+        e = self.spk_enc.apply({"params": self.spk_params}, mel)
+        return np.asarray(e[0])
+
+    def synthesize(
+        self,
+        text: str,
+        speaker: np.ndarray | None = None,
+        seed: int = 0,
+        rate: float = 15.0,
+        pitch: float = 20.0,
+    ) -> tuple[np.ndarray, int]:
+        """Text -> (waveform, sr). Chunks are batched into one AR graph."""
+        c = self.cfg
+        chunks = parse_emotion_chunks(text)
+        n = len(chunks)
+        tmax = c.text_max_len
+        text_ids = np.zeros((n, tmax), np.int32)
+        emotions = np.zeros((n, 8), np.float32)
+        for i, (s, em) in enumerate(chunks):
+            ids = tokenize_text(s, tmax)
+            text_ids[i, : len(ids)] = ids
+            emotions[i] = em
+        # frame budget scales with the longest chunk (same static shape for
+        # the whole batch — padded chunks EOS out early)
+        words = max(len(s.split()) for s, _ in chunks)
+        secs = min(c.max_seconds, max(1.5, 0.45 * words + 0.8))
+        frames = int(secs * c.frame_rate)
+
+        spk = speaker if speaker is not None else self._default_spk
+        spk_b = jnp.tile(jnp.asarray(spk)[None], (n, 1))
+        codes = generate(
+            self.model, self.params,
+            jnp.asarray(text_ids), spk_b,
+            max_frames=frames,
+            emotion=jnp.asarray(emotions),
+            rate=jnp.full((n, 1), rate),
+            pitch=jnp.full((n, 1), pitch),
+            cfg_scale=c.cfg_scale, temperature=c.temperature, top_k=c.top_k,
+            rng=jax.random.PRNGKey(seed),
+        )
+        codes = jnp.clip(codes, 0, self.model.cfg.codebook_size - 3)  # drop eos/mask
+        audio = np.asarray(self.dac.apply({"params": self.dac_params}, codes))
+        sil = np.zeros(int(c.silence_ms / 1000.0 * c.sr), np.float32)
+        parts = []
+        for i in range(n):
+            parts.append(audio[i])
+            if i < n - 1:
+                parts.append(sil)
+        return np.concatenate(parts), c.sr
+
+
+    # serve/tts_api backend protocol -------------------------------------
+    voices = ["default"]
+
+    def generate(self, text: str, voice: str = "default", speed: float = 1.0,
+                 **kw) -> tuple[np.ndarray, int]:
+        rate = 15.0 * float(speed)
+        return self.synthesize(text, rate=rate, **kw)
+
+
+def random_zonos(model_cfg: ZonosConfig | None = None, seed: int = 0):
+    """Random-weight ZonosTTS (no pretrained weights are downloadable in
+    this environment; the converter fills real weights when present)."""
+    mc = model_cfg or ZonosConfig(dim=64, n_layers=2, attn_every=2, n_heads=4,
+                                  d_state=4, n_codebooks=9, codebook_size=1026,
+                                  spk_dim=64)
+    model = ZonosModel(mc)
+    k = jax.random.PRNGKey(seed)
+    text = jnp.zeros((1, 4), jnp.int32)
+    spk = jnp.zeros((1, mc.spk_dim))
+    bos = jnp.full((1, mc.n_codebooks, 1), mc.masked_id, jnp.int32)
+    params = model.init(k, text, spk, jnp.zeros((1, 8)), jnp.zeros((1, 1)),
+                        jnp.zeros((1, 1)), bos, method=ZonosModel.prefill)["params"]
+    dac_cfg = DACConfig(dim=64, rates=(8, 8, 4, 2), n_q=mc.n_codebooks,
+                        codebook_size=mc.codebook_size, codebook_dim=8)
+    dac = DACDecoder(dac_cfg)
+    dp = dac.init(jax.random.PRNGKey(seed + 1),
+                  jnp.zeros((1, mc.n_codebooks, 4), jnp.int32))["params"]
+    se = SpeakerEncoder(mc.spk_dim)
+    sp = se.init(jax.random.PRNGKey(seed + 2), jnp.zeros((1, 20, 80)))["params"]
+    return ZonosTTS(mc, params, dac_cfg, dp, sp)

@@ -1,0 +1,119 @@
+"""Zonos model tests: backbone prefill/step state equivalence, delay
+pattern round-trip, end-to-end tiny generation -> DAC decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.models.codecs import DACConfig, DACDecoder
+from audiolab_tpu.models.zonos import (
+    SpeakerEncoder,
+    ZonosConfig,
+    ZonosModel,
+    delay_pattern,
+    generate,
+    tokenize_text,
+    undelay_pattern,
+)
+
+
+def tiny_cfg():
+    return ZonosConfig(
+        dim=32, n_layers=3, attn_every=3, n_heads=4, d_state=4, d_conv=4,
+        expand=2, n_codebooks=3, codebook_size=18, max_seq_len=64,
+        vocab_text=256, spk_dim=8,
+    )
+
+
+def test_delay_pattern_roundtrip():
+    codes = jnp.asarray(np.random.default_rng(0).integers(0, 16, (2, 3, 10)))
+    d = delay_pattern(codes, masked_id=17)
+    assert d.shape == (2, 3, 13)
+    assert int(d[0, 2, 0]) == 17 and int(d[0, 2, 1]) == 17
+    back = undelay_pattern(d, 3)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(codes))
+
+
+def test_prefill_step_consistency():
+    """Stepping tokens after prefill must match a longer full forward."""
+    cfg = tiny_cfg()
+    model = ZonosModel(cfg)
+    b = 1
+    text = jnp.asarray(tokenize_text("hi"))[None]
+    spk = jnp.ones((b, cfg.spk_dim)) * 0.1
+    em = jnp.ones((b, 8)) * 0.1
+    ra = jnp.full((b, 1), 15.0)
+    pi = jnp.full((b, 1), 20.0)
+    bos = jnp.full((b, cfg.n_codebooks, 1), cfg.masked_id, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), text, spk, em, ra, pi, bos,
+                        method=ZonosModel.prefill)["params"]
+
+    logits1, states, plen = model.apply(
+        {"params": params}, text, spk, em, ra, pi, bos, method=ZonosModel.prefill
+    )
+    # step two frames
+    c1 = jnp.asarray([[1, 2, 3]], jnp.int32)
+    logits2, states = model.apply(
+        {"params": params}, c1, jnp.asarray([plen]), states,
+        method=ZonosModel.decode_step,
+    )
+
+    # equivalent full forward: prefix + bos + frame c1, compare final logits
+    def full(codes_list):
+        x_prefix = model.apply(
+            {"params": params}, text, spk, em, ra, pi, method=ZonosModel.prefix
+        )
+        embs = [
+            model.apply({"params": params}, cc, method=ZonosModel.embed_codes)
+            for cc in codes_list
+        ]
+        x = jnp.concatenate([x_prefix] + embs, axis=1)
+        pos = jnp.arange(x.shape[1])
+
+        def fwd(mdl):
+            h = mdl.backbone(x, pos)
+            return mdl.logits9(h[:, -1])
+
+        return nn_apply(fwd, model, params)
+
+    import flax.linen as nn
+
+    def nn_apply(fn, mdl, params):
+        return mdl.apply({"params": params}, method=lambda m: fn(m))
+
+    l_full = full([bos, c1[:, :, None]])
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(l_full), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_generate_and_decode():
+    cfg = tiny_cfg()
+    model = ZonosModel(cfg)
+    text = jnp.asarray(tokenize_text("hello world"))[None]
+    spk = jnp.ones((1, cfg.spk_dim)) * 0.1
+    bos = jnp.full((1, cfg.n_codebooks, 1), cfg.masked_id, jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), text, spk, jnp.ones((1, 8)), jnp.ones((1, 1)),
+        jnp.ones((1, 1)), bos, method=ZonosModel.prefill
+    )["params"]
+    codes = generate(model, params, text, spk, max_frames=6,
+                     rng=jax.random.PRNGKey(1))
+    assert codes.shape == (1, cfg.n_codebooks, 6)
+    assert np.asarray(codes).max() < cfg.codebook_size
+
+    dac = DACDecoder(DACConfig(dim=16, rates=(4, 2), n_q=cfg.n_codebooks,
+                               codebook_size=cfg.codebook_size, codebook_dim=4))
+    clipped = jnp.clip(codes, 0, cfg.codebook_size - 1)
+    dp = dac.init(jax.random.PRNGKey(2), clipped)["params"]
+    audio = dac.apply({"params": dp}, clipped)
+    assert audio.shape == (1, 6 * 8)
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_speaker_encoder_normalized():
+    se = SpeakerEncoder(out_dim=16)
+    mel = jnp.asarray(np.random.default_rng(5).standard_normal((2, 40, 8)), jnp.float32)
+    p = se.init(jax.random.PRNGKey(5), mel)["params"]
+    e = se.apply({"params": p}, mel)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(e), axis=-1), 1.0, rtol=1e-4)
