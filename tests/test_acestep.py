@@ -1,0 +1,80 @@
+"""ACE-Step tests: DCAE round trip, lyric tokenizer, all task modes
+(generate/retake/repaint/extend/edit), APG guidance, LoRA train round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiolab_tpu.models.acestep import apg, lora_apply, lora_init, tokenize_lyrics
+from audiolab_tpu.pipelines.acestep import random_acestep
+from audiolab_tpu.train.acestep_lora import LoRATrainConfig, load_lora, save_lora, train_lora
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = random_acestep()
+    p.pcfg.steps = 2
+    return p
+
+
+def test_tokenize_lyrics_tags():
+    ids = tokenize_lyrics("[verse] la la [chorus] oh")
+    assert ids[0] == 1                      # verse control token
+    assert 2 in ids                         # chorus control token
+    assert ids.max() >= 16                  # shifted bytes present
+
+
+def test_dcae_roundtrip_shapes(pipe):
+    from audiolab_tpu.models.acestep import ACEStepModel
+
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, pipe.cfg.dcae.n_mels)),
+        jnp.float32,
+    )
+    z = pipe.model.apply({"params": pipe.params}, mel,
+                         method=ACEStepModel.encode_mel)
+    assert z.shape == (1, 16 // pipe.cfg.dcae.hop, pipe.cfg.dcae.latent_dim)
+    mel2 = pipe.model.apply({"params": pipe.params}, z,
+                            method=ACEStepModel.decode_latent)
+    assert mel2.shape == mel.shape
+
+
+def test_apg_shapes():
+    x = jnp.ones((1, 8, 4))
+    mom = jnp.zeros_like(x)
+    g, mom2 = apg(x * 2, x, x, scale=5.0, momentum=mom)
+    assert g.shape == x.shape and np.isfinite(np.asarray(g)).all()
+
+
+def test_generate(pipe):
+    y, sr = pipe.generate("synthwave", "[verse] test", duration=1.0, seed=0)
+    assert sr == pipe.cfg.sr and len(y) > 0 and np.isfinite(y).all()
+
+
+def test_retake_repaint_extend(pipe):
+    src = np.random.default_rng(1).standard_normal(pipe.cfg.sr).astype(np.float32) * 0.1
+    y1, _ = pipe.retake(src, "rock", variance=0.5)
+    assert np.isfinite(y1).all()
+    y2, _ = pipe.repaint(src, "rock", start_s=0.2, end_s=0.6)
+    assert np.isfinite(y2).all()
+    y3, _ = pipe.extend(src, "rock", right_s=0.5)
+    assert len(y3) > len(y1) * 0.9  # extended output is longer than source decode
+    y4, _ = pipe.edit(src, "jazz", strength=0.6)
+    assert np.isfinite(y4).all()
+
+
+def test_lora_train_and_roundtrip(pipe, tmp_path):
+    src = np.random.default_rng(2).standard_normal(pipe.cfg.sr).astype(np.float32) * 0.1
+    res = train_lora(
+        pipe, [(src, "lofi", "[verse] hum")],
+        LoRATrainConfig(rank=2, steps=3, seg_latent=4, batch_size=2),
+    )
+    assert np.isfinite(res["loss"])
+    path = str(tmp_path / "adapter.npz")
+    save_lora(path, res["lora"])
+    back = load_lora(path)
+    assert set(back) == set(res["lora"])
+    # merged params differ from base where b != 0 after training
+    merged = lora_apply(pipe.base_params["dit"], back)
+    assert merged is not pipe.base_params["dit"]
