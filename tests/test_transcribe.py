@@ -1,0 +1,93 @@
+"""Transcription tests: mel front-end windows, decode loop, segment
+parsing, speaker assignment, all export formats, engine + endpoint."""
+
+import numpy as np
+import pytest
+
+from audiolab_tpu.models.whisper import WhisperConfig, log_mel_30s
+from audiolab_tpu.pipelines.transcribe import (
+    FORMATTERS,
+    Segment,
+    assign_speakers,
+    interpolate_words,
+    random_transcriber,
+    to_srt,
+    to_vtt,
+    tokens_to_segments,
+)
+
+
+def test_log_mel_windows():
+    cfg = WhisperConfig()
+    x = np.random.default_rng(0).standard_normal(16000 * 35).astype(np.float32)
+    m = log_mel_30s(x, cfg)
+    assert m.shape == (2, 3000, 80)
+    assert np.isfinite(np.asarray(m)).all()
+
+
+def test_tokens_to_segments_and_words():
+    cfg = WhisperConfig(sot=520, eot=519, no_timestamps=530, timestamp_base=531,
+                        vocab_size=600)
+    detok = lambda ids: " ".join(f"w{i}" for i in ids)
+    # <|0.00|> 10 11 <|0.40|> <|0.40|> 12 <|0.60|> EOT
+    toks = np.asarray([531, 10, 11, 551, 551, 12, 561, 519, 519])
+    segs = tokens_to_segments(toks, cfg, detok)
+    assert len(segs) == 2
+    assert segs[0].start == 0.0 and abs(segs[0].end - 0.4) < 1e-6
+    assert segs[0].text == "w10 w11"
+    words = interpolate_words(segs[0])
+    assert len(words) == 2 and words[1]["end"] <= 0.4 + 1e-6
+
+
+def test_assign_speakers():
+    segs = [Segment(0.0, 1.0, "a"), Segment(1.0, 2.0, "b")]
+    assign_speakers(segs, [(0.0, 0.9, "S1"), (0.9, 2.0, "S2")])
+    assert segs[0].speaker == "S1" and segs[1].speaker == "S2"
+
+
+def test_formatters():
+    segs = [Segment(0.0, 1.5, "hello world", speaker="S1"),
+            Segment(61.25, 62.0, "bye")]
+    srt = to_srt(segs)
+    assert "00:00:00,000 --> 00:00:01,500" in srt
+    vtt = to_vtt(segs)
+    assert vtt.startswith("WEBVTT") and "00:01:01.250" in vtt
+    for name, fn in FORMATTERS.items():
+        assert isinstance(fn(segs), str)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return random_transcriber()
+
+
+def test_transcribe_end_to_end(engine):
+    x = np.random.default_rng(1).standard_normal(8000).astype(np.float32) * 0.1
+    out = engine.transcribe(x, 8000, max_tokens=8, response_format="srt",
+                            diarize_turns=[(0.0, 30.0, "SPEAKER_00")])
+    assert "text" in out and "segments" in out
+    assert isinstance(out["text"], str)
+
+
+def test_transcriptions_endpoint(engine):
+    import base64, io, json
+
+    from audiolab_tpu.serve import transcribe_api
+    from audiolab_tpu.serve.http import Router
+    from audiolab_tpu.core.audio_io import write_wav
+    import tempfile, os
+
+    router = Router()
+    transcribe_api.register_backend("whisper", engine)
+    transcribe_api.register(router)
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    write_wav(path, np.zeros(4000, np.float32), 8000)
+    data = base64.b64encode(open(path, "rb").read()).decode()
+    os.unlink(path)
+    code, resp = router.dispatch(
+        "POST", "/api/v1/audio/transcriptions",
+        {"files": [{"filename": "a.wav", "content": data}], "model": "whisper",
+         "settings": {"max_tokens": 4}},
+    )
+    assert code == 200 and "text" in resp["results"][0]
