@@ -1,0 +1,334 @@
+"""Torch→flax weight converters.
+
+The reference distributes pretrained torch checkpoints (RVC .pth voice
+models at modules/rvc/infer/modules/vc/pipeline.py:360-433, fairseq HuBERT
+at vc/utils.py:181-192).  These converters map them ONCE into the flax
+param trees used here; all layouts become time-major NWC and weight-norm
+is folded (models/layers.py note).
+
+Layout rules:
+  torch Conv1d  weight (out, in, k)      -> flax (k, in, out)
+  torch ConvT1d weight (in, out, k)      -> flax (k, in, out)
+  torch Linear  weight (out, in)         -> flax kernel (in, out)
+  torch Embedding / LayerNorm            -> direct (gamma->scale)
+  weight-norm  (weight_g, weight_v)      -> g * v / ||v||  folded
+
+The mapping is a declarative table {flax_path: (kind, torch_key)} — one
+source of truth for conversion AND for fabricating synthetic torch dicts in
+tests (no real checkpoints are downloadable in this environment)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+# kinds: how a flax leaf derives from torch tensors
+#   conv_w      kernel of plain Conv1d        <- key + ".weight"
+#   convwn_w    kernel of weight-normed conv  <- key + ".weight_{g,v}" (or .weight)
+#   convTwn_w   kernel of weight-normed ConvT <- same, transpose differs
+#   dense_w     kernel of Linear              <- key + ".weight"
+#   dense1x1_w  kernel of 1x1 conv as Dense   <- key + ".weight"
+#   bias        bias                          <- key + ".bias"
+#   direct      verbatim                      <- key
+#   gamma/beta  LayerNorm scale/bias          <- key + ".gamma"/".beta"
+#   w/b         generic .weight/.bias verbatim
+
+
+def fold_weight_norm(g: np.ndarray, v: np.ndarray, dim: int = 0) -> np.ndarray:
+    axes = tuple(i for i in range(v.ndim) if i != dim)
+    norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _get_wn(sd: dict, key: str) -> np.ndarray:
+    if key + ".weight" in sd:
+        return np.asarray(sd[key + ".weight"])
+    return fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
+                            np.asarray(sd[key + ".weight_v"]), dim=0)
+
+
+def extract(kind: str, key: str, sd: dict) -> np.ndarray:
+    if kind == "conv_w":
+        return np.transpose(np.asarray(sd[key + ".weight"]), (2, 1, 0))
+    if kind == "convwn_w":
+        return np.transpose(_get_wn(sd, key), (2, 1, 0))
+    if kind == "convTwn_w":
+        return np.transpose(_get_wn(sd, key), (2, 0, 1))
+    if kind == "dense_w":
+        return np.asarray(sd[key + ".weight"]).T
+    if kind == "dense1x1_w":
+        return np.asarray(sd[key + ".weight"])[:, :, 0].T
+    if kind == "bias":
+        return np.asarray(sd[key + ".bias"])
+    if kind == "direct":
+        return np.asarray(sd[key])
+    if kind == "gamma":
+        return np.asarray(sd[key + ".gamma"])
+    if kind == "beta":
+        return np.asarray(sd[key + ".beta"])
+    if kind == "w":
+        return np.asarray(sd[key + ".weight"])
+    if kind == "b":
+        return np.asarray(sd[key + ".bias"])
+    raise ValueError(f"unknown kind {kind}")
+
+
+def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
+    """Inverse of ``extract`` for tests: put torch-layout arrays into sd."""
+    def put(k, arr):
+        sd.setdefault(k, np.asarray(arr, np.float32))
+
+    if kind == "conv_w":
+        put(key + ".weight", rng.standard_normal(
+            (flax_shape[2], flax_shape[1], flax_shape[0])))
+    elif kind == "convwn_w":
+        v = rng.standard_normal((flax_shape[2], flax_shape[1], flax_shape[0]))
+        put(key + ".weight_v", v)
+        put(key + ".weight_g", np.abs(rng.standard_normal((v.shape[0], 1, 1))) + 0.5)
+    elif kind == "convTwn_w":
+        v = rng.standard_normal((flax_shape[1], flax_shape[2], flax_shape[0]))
+        put(key + ".weight_v", v)
+        put(key + ".weight_g", np.abs(rng.standard_normal((v.shape[0], 1, 1))) + 0.5)
+    elif kind == "dense_w":
+        put(key + ".weight", rng.standard_normal((flax_shape[1], flax_shape[0])))
+    elif kind == "dense1x1_w":
+        put(key + ".weight",
+            rng.standard_normal((flax_shape[1], flax_shape[0], 1)))
+    elif kind == "bias":
+        put(key + ".bias", rng.standard_normal(flax_shape))
+    elif kind == "direct":
+        put(key, rng.standard_normal(flax_shape))
+    elif kind == "gamma":
+        put(key + ".gamma", rng.standard_normal(flax_shape))
+    elif kind == "beta":
+        put(key + ".beta", rng.standard_normal(flax_shape))
+    elif kind == "w":
+        put(key + ".weight", rng.standard_normal(flax_shape))
+    elif kind == "b":
+        put(key + ".bias", rng.standard_normal(flax_shape))
+
+
+def tree_paths(template: dict, prefix: str = "") -> dict[str, tuple]:
+    out = {}
+    for k, v in template.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(tree_paths(v, p))
+        else:
+            out[p] = tuple(v.shape)
+    return out
+
+
+def fill_tree(template: dict, mapping: dict[str, tuple[str, str]], sd: dict,
+              strict: bool = True) -> dict:
+    """mapping: {flax_path: (kind, torch_key)}; shape-checked fill."""
+    problems = []
+
+    def walk(node, path):
+        out = {}
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                out[k] = walk(v, p)
+            else:
+                if p not in mapping:
+                    problems.append(f"no mapping for {p}")
+                    out[k] = np.asarray(v)
+                    continue
+                kind, key = mapping[p]
+                try:
+                    arr = extract(kind, key, sd).astype(np.float32)
+                except KeyError as e:
+                    problems.append(f"{p}: missing torch key {e}")
+                    out[k] = np.asarray(v)
+                    continue
+                if arr.shape != v.shape:
+                    problems.append(f"{p}: shape {arr.shape} != {v.shape}")
+                out[k] = arr
+        return out
+
+    filled = walk(template, "")
+    if problems and strict:
+        raise ValueError("conversion failed:\n  " + "\n  ".join(problems[:25]))
+    return filled
+
+
+def synth_state_dict(template: dict, mapping: dict[str, tuple[str, str]],
+                     seed: int = 0) -> dict:
+    """Fabricate a torch-layout state dict covering the whole mapping."""
+    rng = np.random.default_rng(seed)
+    sd: dict = {}
+    shapes = tree_paths(template)
+    for path, (kind, key) in mapping.items():
+        if path in shapes:
+            fabricate(kind, key, shapes[path], sd, rng)
+    return sd
+
+
+# ------------------------------------------------------------------ RVC
+
+def rvc_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax path -> (kind, torch key) for RVC SynthesizerTrn
+    (reference names: infer_pack/models.py)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def dense1x1(path, key):
+        m[f"{path}/kernel"] = ("dense1x1_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("gamma", key)
+        m[f"{path}/bias"] = ("beta", key)
+
+    dense("enc_p/emb_phone", "enc_p.emb_phone")
+    m["enc_p/emb_pitch/embedding"] = ("w", "enc_p.emb_pitch")
+    conv("enc_p/proj/Conv_0", "enc_p.proj")
+    enc = template["enc_p"]["encoder"]
+    for i in range(sum(1 for k in enc if k.startswith("attn_"))):
+        b = "enc_p.encoder"
+        for w in ("conv_q", "conv_k", "conv_v", "conv_o"):
+            dense1x1(f"enc_p/encoder/attn_{i}/{w}", f"{b}.attn_layers.{i}.{w}")
+        m[f"enc_p/encoder/attn_{i}/emb_rel_k"] = ("direct",
+                                                  f"{b}.attn_layers.{i}.emb_rel_k")
+        m[f"enc_p/encoder/attn_{i}/emb_rel_v"] = ("direct",
+                                                  f"{b}.attn_layers.{i}.emb_rel_v")
+        norm(f"enc_p/encoder/norm1_{i}", f"{b}.norm_layers_1.{i}")
+        norm(f"enc_p/encoder/norm2_{i}", f"{b}.norm_layers_2.{i}")
+        conv(f"enc_p/encoder/ffn_{i}/conv_1/Conv_0", f"{b}.ffn_layers.{i}.conv_1")
+        conv(f"enc_p/encoder/ffn_{i}/conv_2/Conv_0", f"{b}.ffn_layers.{i}.conv_2")
+
+    for fi in range(sum(1 for k in template["flow"] if k.startswith("flow_"))):
+        t = 2 * fi  # odd torch indices are parameter-free Flips
+        conv(f"flow/flow_{fi}/pre/Conv_0", f"flow.flows.{t}.pre")
+        conv(f"flow/flow_{fi}/post/Conv_0", f"flow.flows.{t}.post")
+        enc_f = template["flow"][f"flow_{fi}"]["enc"]
+        for j in range(sum(1 for k in enc_f if k.startswith("in_layer_"))):
+            wn(f"flow/flow_{fi}/enc/in_layer_{j}/Conv_0",
+               f"flow.flows.{t}.enc.in_layers.{j}")
+            wn(f"flow/flow_{fi}/enc/res_skip_{j}/Conv_0",
+               f"flow.flows.{t}.enc.res_skip_layers.{j}")
+        if "cond_layer" in enc_f:
+            wn(f"flow/flow_{fi}/enc/cond_layer/Conv_0",
+               f"flow.flows.{t}.enc.cond_layer")
+
+    if "enc_q" in template:
+        conv("enc_q/pre/Conv_0", "enc_q.pre")
+        conv("enc_q/proj/Conv_0", "enc_q.proj")
+        enc_q = template["enc_q"]["enc"]
+        for j in range(sum(1 for k in enc_q if k.startswith("in_layer_"))):
+            wn(f"enc_q/enc/in_layer_{j}/Conv_0", f"enc_q.enc.in_layers.{j}")
+            wn(f"enc_q/enc/res_skip_{j}/Conv_0", f"enc_q.enc.res_skip_layers.{j}")
+        if "cond_layer" in enc_q:
+            wn("enc_q/enc/cond_layer/Conv_0", "enc_q.enc.cond_layer")
+
+    conv("dec/conv_pre/Conv_0", "dec.conv_pre")
+    conv("dec/cond/Conv_0", "dec.cond")
+    m["dec/conv_post/Conv_0/kernel"] = ("convwn_w", "dec.conv_post")
+    dense("dec/source_linear", "dec.m_source.l_linear")
+    dec_t = template["dec"]
+    n_kernels = 3
+    for key in dec_t:
+        if key.startswith("up_"):
+            i = int(key.split("_")[1])
+            m[f"dec/{key}/ConvTranspose_0/kernel"] = ("convTwn_w", f"dec.ups.{i}")
+            m[f"dec/{key}/ConvTranspose_0/bias"] = ("bias", f"dec.ups.{i}")
+        elif key.startswith("noise_conv_"):
+            i = int(key.split("_")[2])
+            conv(f"dec/{key}", f"dec.noise_convs.{i}")
+        elif key.startswith("resblock_"):
+            _, i, j = key.split("_")
+            flat = int(i) * n_kernels + int(j)
+            for cj in range(3):
+                for ours, theirs in (("conv1", "convs1"), ("conv2", "convs2")):
+                    wn(f"dec/{key}/{ours}_{cj}/Conv_0",
+                       f"dec.resblocks.{flat}.{theirs}.{cj}")
+    m["emb_g/embedding"] = ("w", "emb_g")
+    return m
+
+
+def convert_rvc(state_dict: dict, template: dict, strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, rvc_mapping(template), sd, strict)
+
+
+def load_rvc_checkpoint(path: str):
+    """Load a reference .pth (torch CPU; cpt = {"weight","config","sr",
+    "f0","version"} per process_ckpt.py) -> (flax params, SynthesizerConfig)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.rvc.synthesizer import SynthesizerTrn, config_for
+
+    cpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: v.float().numpy() for k, v in cpt["weight"].items()}
+    sr_tag = str(cpt.get("sr", "48k"))
+    sr = {"32k": 32000, "40k": 40000, "48k": 48000}.get(sr_tag, 48000)
+    cfg = config_for(sr, cpt.get("version", "v2"))
+    model = SynthesizerTrn(cfg)
+    t = 16
+    template = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, t, cfg.feat_channels)), jnp.full((1,), t, jnp.int32),
+        jnp.ones((1, t), jnp.int32), jnp.full((1, t), 200.0),
+        jnp.zeros((1,), jnp.int32), None, method=SynthesizerTrn.infer,
+    )["params"]
+    return convert_rvc(sd, template), cfg
+
+
+# ------------------------------------------------------------------ HuBERT
+
+def hubert_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """fairseq HubertModel names -> our flax tree (models/hubert.py)."""
+    m: dict[str, tuple[str, str]] = {}
+    hub = template["hubert"]
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    n_convs = sum(1 for k in hub["feature_extractor"] if k.startswith("conv_"))
+    for i in range(n_convs):
+        m[f"hubert/feature_extractor/conv_{i}/kernel"] = (
+            "conv_w", f"feature_extractor.conv_layers.{i}.0")
+    norm("hubert/feature_extractor/gn_0", "feature_extractor.conv_layers.0.2")
+    dense("hubert/post_extract_proj", "post_extract_proj")
+    norm("hubert/ln_post_extract", "layer_norm")
+    norm("hubert/ln_pre", "encoder.layer_norm")
+    m["hubert/pos_conv/kernel"] = ("convwn_w", "encoder.pos_conv.0")
+    m["hubert/pos_conv/bias"] = ("bias", "encoder.pos_conv.0")
+
+    i = 0
+    while f"layer_{i}" in hub:
+        b = f"encoder.layers.{i}"
+        for w in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            dense(f"hubert/layer_{i}/attn/{w}", f"{b}.self_attn.{w}")
+        dense(f"hubert/layer_{i}/fc1", f"{b}.fc1")
+        dense(f"hubert/layer_{i}/fc2", f"{b}.fc2")
+        norm(f"hubert/layer_{i}/ln1", f"{b}.self_attn_layer_norm")
+        norm(f"hubert/layer_{i}/ln2", f"{b}.final_layer_norm")
+        i += 1
+    if "final_proj" in hub:
+        dense("hubert/final_proj", "final_proj")
+    return m
+
+
+def convert_hubert(state_dict: dict, template: dict, strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, hubert_mapping(template), sd, strict)
