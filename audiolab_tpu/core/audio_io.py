@@ -65,11 +65,23 @@ def _read_chunks(data: bytes):
 
 
 def read_wav(path: str | os.PathLike) -> AudioData:
-    """Decode a RIFF/WAVE file (PCM 16/24/32, float 32/64, extensible)."""
+    """Decode a RIFF/WAVE file (PCM 16/24/32, float 32/64, extensible).
+
+    Uses the native audiohost decoder when built (audiolab_tpu/native);
+    falls back to the pure-numpy path."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
+
+    try:
+        from audiolab_tpu import native
+
+        decoded = native.wav_decode(data)
+        if decoded is not None:
+            return AudioData(decoded[0], decoded[1])
+    except Exception:
+        pass
 
     fmt = None
     pcm = None
