@@ -128,6 +128,35 @@ def create_app(output_root: str = "outputs/process") -> Router:
 
     transcribe_api.register(router)
 
+    # wavetransfer project training/inference
+    from audiolab_tpu.serve import wavetransfer_api
+
+    wavetransfer_api.set_project_root(
+        os.path.join(os.path.dirname(output_root), "wavetransfer"))
+    wavetransfer_api.register(router)
+
+    # clone voices/methods (wrappers/clone.py:615,637)
+    from audiolab_tpu.serve import clone_api
+
+    clone_api.register(router)
+
+    @router.post("/api/v1/process/load_project", "Re-enumerate an existing project")
+    def load_project(_params, body):
+        """Reference: layouts/process.py:502-530 project reload."""
+        from audiolab_tpu.core.project import ProjectFiles
+
+        name = body.get("project")
+        if not name:
+            raise ValueError("missing 'project'")
+        path = os.path.join(output_root, os.path.basename(name))
+        if not os.path.isdir(path):
+            raise FileNotFoundError(name)
+        files = []
+        for root, _dirs, fnames in os.walk(path):
+            for fn in sorted(fnames):
+                files.append(os.path.relpath(os.path.join(root, fn), path))
+        return {"project": name, "files": files}
+
     @router.get("/openapi.json", "OpenAPI document")
     def openapi(_params, _body):
         return router.openapi()

@@ -22,17 +22,20 @@ def _generate(name: str, body: dict) -> dict:
     prompt = body.get("prompt") or body.get("tags") or ""
     samples, sr = _BACKENDS[name].generate(prompt, **body.get("settings", {}))
     from audiolab_tpu.core.audio_io import write_wav
+    from audiolab_tpu.serve.files import register_file
     import os, tempfile
 
-    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
-        path = tmp.name
-    try:
-        write_wav(path, samples, sr)
-        with open(path, "rb") as f:
-            data = f.read()
-    finally:
-        os.unlink(path)
-    return {"audio": base64.b64encode(data).decode(), "format": "wav", "sample_rate": sr}
+    out_dir = os.path.join(tempfile.gettempdir(), "audiolab_generated")
+    os.makedirs(out_dir, exist_ok=True)
+    import uuid
+
+    path = os.path.join(out_dir, f"{name}_{uuid.uuid4().hex[:8]}.wav")
+    write_wav(path, samples, sr)
+    with open(path, "rb") as f:
+        data = f.read()
+    fid = register_file(path)
+    return {"audio": base64.b64encode(data).decode(), "format": "wav",
+            "sample_rate": sr, "file_id": fid}
 
 
 def register(router) -> None:
@@ -59,3 +62,42 @@ def register(router) -> None:
     @router.get("/api/v1/audio/formats", "List output formats")
     def formats(_params, _body):
         return {"formats": ["wav", "mp3", "flac"]}
+
+    @router.post("/api/v1/audio/continue", "Extend an existing clip (stable-audio)")
+    def continue_audio(_params, body):
+        import base64 as b64
+        import tempfile, os
+
+        be = _BACKENDS.get("stable_audio")
+        if be is None or not hasattr(be, "continue_audio"):
+            raise NotImplementedError("stable_audio backend not loaded")
+        files = body.get("files", [])
+        if not files:
+            raise ValueError("no input clip")
+        from audiolab_tpu.core.audio_io import read_audio, write_wav
+        from audiolab_tpu.serve.files import register_file
+
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, "in.wav")
+            with open(p, "wb") as fh:
+                fh.write(b64.b64decode(files[0]["content"]))
+            a = read_audio(p).to_mono()
+            import numpy as np
+
+            y, sr = be.continue_audio(np.asarray(a.samples[0]),
+                                      body.get("prompt", ""),
+                                      **body.get("settings", {}))
+            out = os.path.join(tempfile.gettempdir(), "audiolab_generated",
+                               "continue.wav")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            write_wav(out, y, sr)
+        return {"audio": b64.b64encode(open(out, "rb").read()).decode(),
+                "format": "wav", "sample_rate": sr,
+                "file_id": register_file(out)}
+
+    @router.get("/api/v1/yue/stream/{file_id}", "Download a generated file")
+    @router.get("/api/v1/audio/download/{file_id}", "Download a generated file")
+    def stream(params, _body):
+        from audiolab_tpu.serve.files import file_response
+
+        return file_response(params["file_id"])

@@ -91,6 +91,70 @@ def register(router, output_root: str) -> None:
         )
         return {"job_id": job_id}
 
-    @router.post("/api/v1/rvc/build_index", "Build a retrieval index from features")
+    @router.post("/api/v1/rvc/build_index", "Build a retrieval index from an exp dir")
     def build_index(_params, body):
-        raise NotImplementedError("index build runs as part of /api/v1/rvc/train")
+        from audiolab_tpu.train.trainer import build_index as _build
+
+        exp = body.get("exp_dir") or os.path.join(
+            os.path.dirname(output_root), "exp", body.get("name", "voice"))
+        return {"index": _build(exp)}
+
+    @router.post("/api/v1/rvc/upload", "Upload a trained voice model (.npz)")
+    def upload(_params, body):
+        os.makedirs(models_dir, exist_ok=True)
+        saved = []
+        for f in body.get("files", []):
+            name = os.path.basename(f.get("filename", "model.npz"))
+            p = os.path.join(models_dir, name)
+            with open(p, "wb") as fh:
+                fh.write(base64.b64decode(f["content"]))
+            saved.append(name)
+        if not saved:
+            raise ValueError("no files")
+        return {"saved": saved}
+
+    @router.get("/api/v1/rvc/download/{name}", "Download a trained voice model")
+    def download(params, _body):
+        p = os.path.join(models_dir, os.path.basename(params["name"]))
+        if not os.path.exists(p):
+            raise FileNotFoundError(params["name"])
+        with open(p, "rb") as fh:
+            return {"filename": params["name"],
+                    "content": base64.b64encode(fh.read()).decode()}
+
+    @router.post("/api/v1/rvc/analyze", "Pitch-range analysis of uploaded audio")
+    def analyze(_params, body):
+        """Reference: layouts/rvc_train.py:233 pitch-range analysis — median
+        f0 + range so the UI can suggest a transpose."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from audiolab_tpu.core.audio_io import read_audio
+        from audiolab_tpu.dsp.f0 import f0_autocorr
+        from audiolab_tpu.kernels.resample import resample_poly_np
+
+        files = body.get("files", [])
+        if not files:
+            raise ValueError("no files")
+        stats = []
+        with tempfile.TemporaryDirectory() as tmp:
+            for f in files:
+                p = os.path.join(tmp, os.path.basename(f.get("filename", "a.wav")))
+                with open(p, "wb") as fh:
+                    fh.write(base64.b64decode(f["content"]))
+                a = read_audio(p).to_mono()
+                x = np.asarray(a.samples[0], np.float32)
+                if a.sample_rate != 16000:
+                    x = resample_poly_np(x, a.sample_rate, 16000)
+                f0, voiced = f0_autocorr(jnp.asarray(x), sr=16000, hop=160)
+                f0 = np.asarray(f0)
+                f0 = f0[np.asarray(voiced) > 0] if np.asarray(voiced).any() else f0
+                f0 = f0[f0 > 0]
+                if len(f0):
+                    stats.append(
+                        {"file": f.get("filename"),
+                         "median_hz": float(np.median(f0)),
+                         "min_hz": float(np.percentile(f0, 5)),
+                         "max_hz": float(np.percentile(f0, 95))})
+        return {"analysis": stats}

@@ -52,6 +52,17 @@ def register(router) -> None:
             write_wav(path, samples, sr)
             with open(path, "rb") as f:
                 data = f.read()
-        finally:
+            from audiolab_tpu.serve.files import register_file
+
+            fid = register_file(path)
+        except Exception:
             os.unlink(path)
-        return {"audio": base64.b64encode(data).decode(), "format": "wav", "sample_rate": sr}
+            raise
+        return {"audio": base64.b64encode(data).decode(), "format": "wav",
+                "sample_rate": sr, "file_id": fid}
+
+    @router.get("/api/v1/audio/speech/download/{file_id}", "Download generated speech")
+    def download(params, _body):
+        from audiolab_tpu.serve.files import file_response
+
+        return file_response(params["file_id"])

@@ -1,0 +1,74 @@
+"""Tests for the extended REST surface: wavetransfer, clone, downloads,
+rvc analyze/upload, load_project."""
+
+import base64
+import os
+
+import numpy as np
+import pytest
+
+from audiolab_tpu.core.audio_io import write_wav
+from audiolab_tpu.serve.api import create_app
+
+
+@pytest.fixture(scope="module")
+def router(tmp_path_factory):
+    root = tmp_path_factory.mktemp("out")
+    return create_app(str(root / "process"))
+
+
+def _wav_b64(tmp_path, name="a.wav", seconds=0.5, sr=16000):
+    p = str(tmp_path / name)
+    t = np.arange(int(seconds * sr)) / sr
+    write_wav(p, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), sr)
+    return {"filename": name, "content": base64.b64encode(open(p, "rb").read()).decode()}
+
+
+def test_wavetransfer_listing(router):
+    code, resp = router.dispatch("GET", "/api/v1/wavetransfer/projects", {})
+    assert code == 200 and "projects" in resp
+    code, resp = router.dispatch("GET", "/api/v1/wavetransfer/schedule", {})
+    assert code == 200 and "fast6" in resp["schedules"]
+
+
+def test_clone_endpoints(router):
+    code, resp = router.dispatch("GET", "/api/v1/clone/methods", {})
+    assert code == 200 and "openvoice" in resp["methods"]
+    code, resp = router.dispatch("GET", "/api/v1/clone/voices", {})
+    assert code == 200 and resp["voices"] == []
+
+
+def test_rvc_analyze(router, tmp_path):
+    body = {"files": [_wav_b64(tmp_path)]}
+    code, resp = router.dispatch("POST", "/api/v1/rvc/analyze", body)
+    assert code == 200
+    assert resp["analysis"] and 150 < resp["analysis"][0]["median_hz"] < 300
+
+
+def test_rvc_upload_download(router):
+    content = base64.b64encode(b"fake npz").decode()
+    code, resp = router.dispatch(
+        "POST", "/api/v1/rvc/upload",
+        {"files": [{"filename": "v.npz", "content": content}]})
+    assert code == 200 and resp["saved"] == ["v.npz"]
+    code, resp = router.dispatch("GET", "/api/v1/rvc/download/v.npz", {})
+    assert code == 200 and resp["content"] == content
+    code, resp = router.dispatch("GET", "/api/v1/rvc/models", {})
+    assert "v.npz" in resp["models"]
+
+
+def test_load_project_missing(router):
+    code, resp = router.dispatch("POST", "/api/v1/process/load_project",
+                                 {"project": "nope"})
+    assert code >= 400
+
+
+def test_file_registry_roundtrip(tmp_path):
+    from audiolab_tpu.serve.files import file_response, register_file
+
+    p = str(tmp_path / "x.bin")
+    open(p, "wb").write(b"hello")
+    fid = register_file(p)
+    resp = file_response(fid)
+    assert base64.b64decode(resp["content"]) == b"hello"
+    assert resp["size"] == 5
