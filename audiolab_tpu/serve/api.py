@@ -161,4 +161,13 @@ def create_app(output_root: str = "outputs/process") -> Router:
     def openapi(_params, _body):
         return router.openapi()
 
+    @router.get("/", "Web UI")
+    def index(_params, _body):
+        from audiolab_tpu.serve.http import RawResponse
+
+        ui = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "ui", "index.html")
+        with open(ui, "rb") as f:
+            return RawResponse(f.read(), "text/html; charset=utf-8")
+
     return router

@@ -17,6 +17,14 @@ from typing import Any, Callable
 Handler = Callable[[dict, dict], Any]  # (path_params, body) -> response
 
 
+class RawResponse:
+    """Non-JSON response (HTML/JS/binary) from a route handler."""
+
+    def __init__(self, body: bytes | str, content_type: str = "text/html"):
+        self.body = body.encode() if isinstance(body, str) else body
+        self.content_type = content_type
+
+
 class Route:
     def __init__(self, method: str, pattern: str, fn: Handler, description: str = ""):
         self.method = method
@@ -89,9 +97,12 @@ def make_handler(router: Router):
         protocol_version = "HTTP/1.1"
 
         def _respond(self, code: int, payload: Any) -> None:
-            data = json.dumps(payload).encode()
+            if isinstance(payload, RawResponse):
+                data, ctype = payload.body, payload.content_type
+            else:
+                data, ctype = json.dumps(payload).encode(), "application/json"
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.send_header("Access-Control-Allow-Origin", "*")
             self.end_headers()
