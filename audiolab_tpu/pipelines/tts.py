@@ -169,6 +169,51 @@ class ZonosTTS:
         return self.synthesize(text, rate=rate, **kw)
 
 
+class DiaTTSEngine:
+    """Dia model behind the TTS backend protocol (the reference's 4th
+    engine, layouts/tts.py:399).  Dialogue text with [S1]/[S2] tags."""
+
+    voices = ["default"]
+
+    def __init__(self, model, params, dac, dac_params, sr: int = 44100,
+                 frames_per_word: int = 12):
+        self.model = model
+        self.params = params
+        self.dac = dac
+        self.dac_params = dac_params
+        self.sr = sr
+        self.frames_per_word = frames_per_word
+
+    def generate(self, text: str, voice: str = "default", speed: float = 1.0,
+                 seed: int = 0, **_):
+        import jax as _jax
+
+        from audiolab_tpu.models import dia as D
+
+        ids = jnp.asarray(D.tokenize_dialogue(text))[None]
+        frames = max(8, int(len(text.split()) * self.frames_per_word / speed))
+        codes = D.generate(self.model, self.params, ids, max_frames=frames,
+                           rng=_jax.random.PRNGKey(seed))
+        codes = jnp.clip(codes, 0, self.model.cfg.codebook_size - 4)
+        audio = np.asarray(self.dac.apply({"params": self.dac_params}, codes))
+        return audio[0], self.sr
+
+
+def register_default_backends(tts_api, zonos=None, dia=None) -> None:
+    """Engine table mirroring layouts/tts.py:570 generate_tts dispatch.
+
+    The reference's four engines map as: zonos -> ZonosTTS; dia -> Dia;
+    coqui (XTTS voice clone+TTS) -> the Zonos engine with a reference-audio
+    speaker embedding (same capability, one stack); chatterbox -> dia
+    alias until a dedicated model lands."""
+    if zonos is not None:
+        tts_api.register_backend("zonos", zonos)
+        tts_api.register_backend("coqui", zonos)
+    if dia is not None:
+        tts_api.register_backend("dia", dia)
+        tts_api.register_backend("chatterbox", dia)
+
+
 def random_zonos(model_cfg: ZonosConfig | None = None, seed: int = 0):
     """Random-weight ZonosTTS (no pretrained weights are downloadable in
     this environment; the converter fills real weights when present)."""

@@ -73,6 +73,32 @@ def export_generator(path: str, g_params, cfg: SynthesizerConfig) -> str:
     return path
 
 
+def extract_small_model(ckpt_dir: str, out_path: str, cfg: SynthesizerConfig):
+    """Deployable export from a full training checkpoint
+    (process_ckpt.py:70 extract_small_model equivalent)."""
+    mgr = checkpoint_manager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint in {ckpt_dir}")
+    state = mgr.restore(step)
+    g_params = state["g_params"] if isinstance(state, dict) else state.g_params
+    return export_generator(out_path, g_params, cfg)
+
+
+def merge_models(path_a: str, path_b: str, out_path: str,
+                 alpha: float = 0.5) -> str:
+    """Weighted merge of two exported generators with matching configs
+    (process_ckpt.py:212 ckpt merge): w = alpha*a + (1-alpha)*b."""
+    pa, cfg_a = load_generator(path_a)
+    pb, cfg_b = load_generator(path_b)
+    if cfg_a != cfg_b:
+        raise ValueError("cannot merge: configs differ")
+    merged = jax.tree_util.tree_map(
+        lambda a, b: alpha * a + (1.0 - alpha) * b, pa, pb
+    )
+    return export_generator(out_path, merged, cfg_a)
+
+
 def load_generator(path: str) -> tuple[dict, SynthesizerConfig]:
     data = np.load(path, allow_pickle=False)
     raw = json.loads(str(data["__config__"]))
