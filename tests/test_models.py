@@ -238,3 +238,27 @@ def test_norms_match_reference(rng):
     r = rms_norm(x, w)
     ref_r = x / np.sqrt(np.asarray((x * x).mean(-1, keepdims=True)) + 1e-5) * w
     np.testing.assert_allclose(np.asarray(r), np.asarray(ref_r), atol=1e-4)
+
+
+def test_bigvgan_shapes():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+
+    cfg = BigVGANConfig(n_mels=16, upsample_rates=(4, 2),
+                        upsample_kernel_sizes=(8, 4),
+                        upsample_initial_channel=16)
+    model = BigVGAN(cfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 6, 16)),
+                      jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), mel)["params"]
+    y = model.apply({"params": params}, mel)
+    assert y.shape == (2, 6 * cfg.hop)
+    assert np.isfinite(np.asarray(y)).all()
+    # speaker-conditioned variant
+    g = jnp.ones((2, 8))
+    params2 = model.init(jax.random.PRNGKey(1), mel, g)["params"]
+    y2 = model.apply({"params": params2}, mel, g)
+    assert y2.shape == y.shape
