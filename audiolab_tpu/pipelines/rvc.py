@@ -45,6 +45,9 @@ class RVCPipelineConfig:
     f0_max: float = 1100.0
     device_batch: int = 8     # chunks per device step: ONE compiled shape,
                               # bounded HBM (34 unpadded 8 s chunks OOM v5e)
+    matmul_precision: str = "bfloat16"  # model matmuls on the MXU (~1.5x);
+                              # the STFT/mel kernels pin HIGHEST regardless,
+                              # so the spectral front-end stays full-precision
 
 
 class VoiceConverter:
@@ -182,21 +185,22 @@ class VoiceConverter:
         f0j = jnp.asarray(f0)
         sids = jnp.full((db,), sid, jnp.int32)
         outs = []
-        for g in range(0, chunks.shape[0], db):
-            outs.append(
-                self._convert_chunk(
-                    self.hubert_params,
-                    self.synth_params,
-                    chunks[g : g + db],
-                    f0j[g : g + db],
-                    sids,
-                    self.index_features,
-                    index_rate,
-                    protect,
-                    rng,
-                    use_index=use_index,
+        with jax.default_matmul_precision(self.cfg.matmul_precision):
+            for g in range(0, chunks.shape[0], db):
+                outs.append(
+                    self._convert_chunk(
+                        self.hubert_params,
+                        self.synth_params,
+                        chunks[g : g + db],
+                        f0j[g : g + db],
+                        sids,
+                        self.index_features,
+                        index_rate,
+                        protect,
+                        rng,
+                        use_index=use_index,
+                    )
                 )
-            )
         out = jnp.concatenate(outs, axis=0)[: plan.count]  # (count, out_chunk)
 
         # stitch at the model rate: the chunk grid scales exactly by sr/16000

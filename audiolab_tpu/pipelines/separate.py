@@ -122,6 +122,34 @@ class StemSeparator:
         inst = debleed(inst, vocals)
         return {"vocals": vocals.astype(np.float32), "instrumental": inst.astype(np.float32)}
 
+    def separate_multistem(self, audio: np.ndarray, member: EnsembleMember,
+                           callback=None) -> dict[str, np.ndarray]:
+        """Full multistem split (vocals/drums/bass/guitar/piano/other) with
+        one N-stem model — the reference's htdemucs 6-stem path
+        (_multistem_separation_all, stem_separator.py:459).  The residual
+        (input − Σstems) is folded into 'other' so the stems sum to the
+        input exactly (the reference's reconstruction guarantee)."""
+        if audio.ndim == 1:
+            audio = audio[None]
+        if callback:
+            callback(0, f"Multistem with {member.name}", 1)
+        stems = self._run_member(member, audio)
+        total = np.zeros_like(audio)
+        for v in stems.values():
+            total = total + v[:, : audio.shape[1]]
+        residual = audio - total[:, : audio.shape[1]]
+        other = stems.get("other", np.zeros_like(audio))
+        stems["other"] = (other[:, : audio.shape[1]] + residual).astype(np.float32)
+        return {k: np.asarray(v, np.float32) for k, v in stems.items()}
+
+
+# preset stem layouts (stem_separator.py: htdemucs 6-stem :459, alt bass
+# :505, drum-sep MDX23C :534, woodwinds UVR :589, karaoke BG split :737)
+MULTISTEM_6 = ("vocals", "drums", "bass", "guitar", "piano", "other")
+DRUM_KIT = ("kick", "snare", "toms", "hh", "cymbals", "other")
+KARAOKE = ("lead_vocals", "back_vocals")
+WOODWINDS = ("woodwinds", "other")
+
 
 # ---------------------------------------------------------------- transforms
 

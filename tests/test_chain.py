@@ -175,3 +175,36 @@ def test_chain_failure_partial(tmp_path, song):
         ["Separate", "Clone", "Merge"], [song], output_root=str(tmp_path / "out")
     )
     assert len(projects[0].last_outputs) == 2  # stems from Separate survived
+
+
+def test_multistem_separation():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.separation.roformer import BSRoformer, RoformerConfig
+    from audiolab_tpu.pipelines.separate import (
+        MULTISTEM_6,
+        EnsembleMember,
+        StemSeparator,
+    )
+
+    cfg = RoformerConfig(stems=MULTISTEM_6, dim=16, depth=1, heads=2)
+    model = BSRoformer(cfg)
+    sr = 44100
+    chunk = sr  # 1 s chunks for the test
+    audio = (np.random.default_rng(0).standard_normal((2, int(2.5 * sr))) * 0.1
+             ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, chunk)))["params"]
+
+    member = EnsembleMember(
+        name="ms", apply_fn=lambda x: model.apply({"params": params}, x),
+        weight_vocals=1.0, weight_inst=1.0)
+    sep = StemSeparator([member], sr=sr, chunk_seconds=1.0,
+                        overlap_seconds=0.25)
+    stems = sep.separate_multistem(audio, member)
+    assert set(stems) == set(MULTISTEM_6)
+    # reconstruction guarantee: stems sum to input
+    total = sum(stems.values())
+    np.testing.assert_allclose(total[:, : audio.shape[1]], audio, atol=2e-4)
