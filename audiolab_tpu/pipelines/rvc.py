@@ -135,16 +135,15 @@ class VoiceConverter:
         if self.cfg.f0_method == "rmvpe" and self.rmvpe is not None:
             f0 = np.asarray(self.rmvpe.infer(jnp.asarray(wav16)))
         else:
-            f0 = np.stack(
-                [
-                    np.asarray(
-                        f0_autocorr(
-                            jnp.asarray(w), sr=16000, hop=160,
-                            fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
-                        )[0]
-                    )
-                    for w in wav16
-                ]
+            # ONE vmapped device call over all chunks (a per-chunk host loop
+            # serialises ~30 dispatches on a 4-min track and dominates RTF)
+            f0 = np.asarray(
+                jax.vmap(
+                    lambda w: f0_autocorr(
+                        w, sr=16000, hop=160,
+                        fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
+                    )[0]
+                )(jnp.asarray(wav16))
             )
         return f0 * (2.0 ** (transpose / 12.0))
 

@@ -52,7 +52,10 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "convwn_w":
         return np.transpose(_get_wn(sd, key), (2, 1, 0))
     if kind == "convTwn_w":
-        return np.transpose(_get_wn(sd, key), (2, 0, 1))
+        # torch ConvT weight (in, out, k) -> flax default ConvTranspose
+        # kernel (k, in, out) WITH a spatial flip (validated against real
+        # torch in tests/test_torch_parity.py)
+        return np.transpose(_get_wn(sd, key), (2, 0, 1))[::-1].copy()
     if kind == "dense_w":
         return np.asarray(sd[key + ".weight"]).T
     if kind == "dense1x1_w":
@@ -85,6 +88,7 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         put(key + ".weight_v", v)
         put(key + ".weight_g", np.abs(rng.standard_normal((v.shape[0], 1, 1))) + 0.5)
     elif kind == "convTwn_w":
+        # inverse of extract: torch layout (in, out, k)
         v = rng.standard_normal((flax_shape[1], flax_shape[2], flax_shape[0]))
         put(key + ".weight_v", v)
         put(key + ".weight_g", np.abs(rng.standard_normal((v.shape[0], 1, 1))) + 0.5)
