@@ -88,6 +88,34 @@ _LANG_TAG = re.compile(r"\[(verse|chorus|bridge|intro|outro|inst|en|zh|ja|ko)\]"
                        re.IGNORECASE)
 
 
+def segment_languages(text: str) -> list[tuple[str, str]]:
+    """Unicode-script language segmentation (the reference vendors a
+    language_segmentation package for the lyric tokenizer;
+    acestep/models/lyrics_utils/).  Returns [(lang, run)] with lang in
+    en/zh/ja/ko, split at script boundaries."""
+
+    def script_of(ch: str) -> str:
+        o = ord(ch)
+        if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+            return "zh"
+        if 0x3040 <= o <= 0x30FF:
+            return "ja"
+        if 0xAC00 <= o <= 0xD7AF or 0x1100 <= o <= 0x11FF:
+            return "ko"
+        return "en"
+
+    runs: list[tuple[str, list[str]]] = []
+    for ch in text:
+        lang = script_of(ch)
+        if ch.isspace() and runs:
+            runs[-1][1].append(ch)
+        elif runs and runs[-1][0] == lang:
+            runs[-1][1].append(ch)
+        else:
+            runs.append((lang, [ch]))
+    return [(lang, "".join(chars)) for lang, chars in runs if "".join(chars).strip()]
+
+
 def tokenize_lyrics(text: str, max_len: int = 1024) -> np.ndarray:
     """Structure-tag-aware byte tokenizer (lyrics_utils semantics: [verse]
     etc. become single control tokens 1-16; bytes shifted +16)."""

@@ -55,6 +55,32 @@ def crossover_splice(
     return (lows + highs).astype(np.float32)
 
 
+def make_wavegrad_enhancer(model, params, wt_cfg, schedule=None, seed: int = 0):
+    """Learned diffusion enhancer (the reference's AudioSR slot,
+    wrappers/super_res.py:42): conditions a trained WaveGrad on the chunk's
+    own mel and re-synthesizes — the crossover splice in super_resolve then
+    keeps only the generated highband."""
+    import jax
+
+    from audiolab_tpu.models.wavegrad import FAST_6, sample
+    from audiolab_tpu.train.wavetransfer import _mel_of
+
+    sched = schedule or FAST_6
+
+    def enhance(chunks: jnp.ndarray) -> jnp.ndarray:
+        # chunks (count, ch, n) -> flatten channels into the batch
+        count, ch, n = chunks.shape
+        flat = chunks.reshape(count * ch, n)
+        mel = _mel_of(flat, wt_cfg)
+        out = sample(model, params, mel, sched, jax.random.PRNGKey(seed))
+        pad = n - out.shape[-1]
+        if pad > 0:
+            out = jnp.pad(out, ((0, 0), (0, pad)))
+        return out[:, :n].reshape(count, ch, n)
+
+    return enhance
+
+
 def super_resolve(
     audio: np.ndarray,
     sr: int,

@@ -78,3 +78,11 @@ def test_lora_train_and_roundtrip(pipe, tmp_path):
     # merged params differ from base where b != 0 after training
     merged = lora_apply(pipe.base_params["dit"], back)
     assert merged is not pipe.base_params["dit"]
+
+
+def test_language_segmentation():
+    from audiolab_tpu.models.acestep import segment_languages
+
+    runs = segment_languages("hello 世界 こんにちは 안녕")
+    langs = [l for l, _ in runs]
+    assert langs == ["en", "zh", "ja", "ko"]

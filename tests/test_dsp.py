@@ -178,3 +178,27 @@ def test_normalize_loudness():
     x = tone(997.0, sr, 2.0, amp=0.1)
     y = normalize_loudness(x, sr, -14.0)
     assert abs(integrated_loudness(y, sr) - (-14.0)) < 0.3
+
+
+def test_wavegrad_enhancer_slot():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.wavegrad import FAST_6, WaveGrad, WaveGradConfig
+    from audiolab_tpu.pipelines.super_res import make_wavegrad_enhancer, super_resolve
+    from audiolab_tpu.train.wavetransfer import WTConfig
+
+    mc = WaveGradConfig(n_mels=16, hop=12, factors=(3, 2, 2),
+                        ublock_ch=(16, 16, 8), dblock_ch=(8, 16), base_ch=4)
+    model = WaveGrad(mc)
+    cfg = WTConfig(sr=48000, n_mels=16, model=mc)
+    audio = jnp.zeros((1, 8 * mc.hop))
+    mel = jnp.zeros((1, 8, mc.n_mels))
+    params = model.init(jax.random.PRNGKey(0), audio, mel, jnp.ones((1,)))["params"]
+
+    enh = make_wavegrad_enhancer(model, params, cfg, FAST_6)
+    x = (np.random.default_rng(0).standard_normal(24000) * 0.1).astype(np.float32)
+    y, sr = super_resolve(x, 24000, enhancer_fn=enh, chunk_seconds=0.25,
+                          overlap_seconds=0.05)
+    assert sr == 48000 and np.isfinite(y).all()
