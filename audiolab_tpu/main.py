@@ -34,6 +34,16 @@ def main(argv: list[str] | None = None) -> int:
     setup_logging()
     log = logging.getLogger("audiolab_tpu")
 
+    # persistent XLA compilation cache: first-compile through the TPU tunnel
+    # is minutes-slow; restarts reuse executables
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("AUDIOLAB_JAX_CACHE", "/tmp/audiolab_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from audiolab_tpu.serve.api import create_app
     from audiolab_tpu.serve.http import make_handler
 
