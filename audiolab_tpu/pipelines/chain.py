@@ -35,7 +35,28 @@ def run_chain(
     equivalent (process.py:314).
     """
     settings = settings or {}
-    projects = [ProjectFiles(f, output_root=output_root) for f in input_files]
+
+    # video inputs: extract the audio track first; remember the source video
+    # so Merge/Convert outputs can be re-muxed (process.py:132-236)
+    from audiolab_tpu.core.video import extract_audio, is_video
+
+    video_sources: dict[str, str] = {}
+    resolved = []
+    for f in input_files:
+        if is_video(f):
+            wav = extract_audio(f)
+            video_sources[wav] = f
+            resolved.append(wav)
+        else:
+            resolved.append(f)
+    input_files = resolved
+
+    projects = []
+    for f in input_files:
+        proj = ProjectFiles(f, output_root=output_root)
+        if f in video_sources:
+            proj.video_source = video_sources[f]
+        projects.append(proj)
 
     procs = sorted(
         (get_processor(t) for t in processor_titles), key=lambda p: p.priority
