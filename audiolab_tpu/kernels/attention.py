@@ -24,7 +24,13 @@ _NEG_INF = -1e30
 
 
 def _on_tpu() -> bool:
+    """True only when the computation will actually run on a TPU: honors
+    ``jax.default_device(cpu)`` contexts (used for cheap param inits on a
+    TPU-attached host — Pallas can't lower on the CPU backend)."""
     try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return dd.platform == "tpu"
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False

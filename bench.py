@@ -38,21 +38,28 @@ def main() -> None:
     hub_cfg = HubertConfig()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 
-    hub = HubertFeatureExtractor(version="v2", cfg=hub_cfg)
-    hubert_params = hub.init(k1, jnp.zeros((1, 16000), jnp.float32))["params"]
+    # init on the CPU backend: init graphs compile in ms there vs minutes
+    # through the TPU tunnel; params transfer to the TPU on first use
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        hub = HubertFeatureExtractor(version="v2", cfg=hub_cfg)
+        hubert_params = hub.init(k1, jnp.zeros((1, 16000), jnp.float32))["params"]
 
-    synth = SynthesizerTrn(synth_cfg)
-    t = 100
-    synth_params = synth.init(
-        {"params": k2},
-        jnp.zeros((1, t, synth_cfg.feat_channels), jnp.float32),
-        jnp.full((1,), t, jnp.int32),
-        jnp.ones((1, t), jnp.int32),
-        jnp.full((1, t), 220.0, jnp.float32),
-        jnp.zeros((1,), jnp.int32),
-        None,
-        method=SynthesizerTrn.infer,
-    )["params"]
+        synth = SynthesizerTrn(synth_cfg)
+        t = 100
+        synth_params = synth.init(
+            {"params": k2},
+            jnp.zeros((1, t, synth_cfg.feat_channels), jnp.float32),
+            jnp.full((1,), t, jnp.int32),
+            jnp.ones((1, t), jnp.int32),
+            jnp.full((1, t), 220.0, jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            None,
+            method=SynthesizerTrn.infer,
+        )["params"]
+    dev = jax.devices()[0]
+    hubert_params = jax.device_put(hubert_params, dev)
+    synth_params = jax.device_put(synth_params, dev)
 
     # small retrieval index so the knn path is exercised too
     index = np.random.default_rng(0).standard_normal((4096, 768)).astype(np.float32)
@@ -69,13 +76,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal(int(dur_s * sr_in)) * 0.1).astype(np.float32)
 
-    # warmup pass compiles the fixed device-batch graph; the timed pass
-    # reuses the executable (compiles are minutes-slow via the TPU tunnel)
+    # warmup pass compiles the fixed device-batch graph; timed passes reuse
+    # the executable (compiles are minutes-slow via the TPU tunnel); best of
+    # 3 filters tunnel RPC jitter
     _ = vc.convert(audio, sid=0)
 
-    t0 = time.perf_counter()
-    out = vc.convert(audio, sid=0)
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        out = vc.convert(audio, sid=0)
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     rtf = dur_s / elapsed
     print(
