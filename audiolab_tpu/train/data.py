@@ -136,10 +136,21 @@ def preprocess_dataset(
         for si, seg in enumerate(
             slice_silence(x, cfg.sr, threshold_db=cfg.threshold_db)
         ):
-            for wi, start in enumerate(range(0, max(1, len(seg) - win + 1), hop)):
+            windows = []
+            for start in range(0, max(1, len(seg) - win + 1), hop):
                 chunk = seg[start : start + win]
-                if len(chunk) < win:
-                    break
+                if len(chunk) == win:
+                    windows.append(chunk)
+            # tail (or short segment): reflect-pad to the window length so
+            # short clips still contribute (the reference pads at train
+            # time; we pad here to keep static shapes)
+            covered = (len(windows) - 1) * hop + win if windows else 0
+            tail = seg[covered:]
+            if len(tail) >= int(0.3 * win):
+                pad = win - len(tail)
+                windows.append(np.pad(tail, (0, pad), mode="reflect"
+                                      if pad < len(tail) else "wrap"))
+            for wi, chunk in enumerate(windows):
                 y = _norm_write(chunk, cfg)
                 if y is None:
                     continue
@@ -148,9 +159,6 @@ def preprocess_dataset(
                 y16 = resample_poly_np(y, cfg.sr, 16000)
                 write_wav(str(wav16_dir / f"{name}.wav"), y16, 16000)
                 n_out += 1
-            # tail slice shorter than win: reference keeps it (preprocess
-            # pipeline pads at train time); we keep only full windows for
-            # static shapes — the 0.3 s overlap recovers most content.
     return n_out
 
 

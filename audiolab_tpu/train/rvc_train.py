@@ -50,7 +50,6 @@ def train_from_request(files: list[str], name: str, models_dir: str,
     from audiolab_tpu.train.trainer import (
         TrainRVCConfig,
         build_index,
-        prepare_dataset,
         train_rvc,
     )
 
@@ -65,8 +64,16 @@ def train_from_request(files: list[str], name: str, models_dir: str,
 
     progress(1, "extracting features", 10)
     hubert_apply = _hubert_apply_for(settings)
-    prepare_dataset(dataset_dir, exp_dir, hubert_apply, sr=sr,
-                    spk_id=int(settings.get("spk_id", 0)))
+    from audiolab_tpu.train.data import PreprocessConfig, preprocess_dataset, extract_features, write_filelist
+
+    pre = PreprocessConfig(sr=sr,
+                           slice_seconds=float(settings.get("slice_seconds", 3.7)))
+    n = preprocess_dataset(dataset_dir, exp_dir, pre)
+    if n == 0:
+        raise ValueError("dataset produced no training slices (clips too "
+                         "short or silent)")
+    extract_features(exp_dir, hubert_apply)
+    write_filelist(exp_dir, sid=int(settings.get("spk_id", 0)))
     progress(3, "building retrieval index", 10)
     index_path = build_index(exp_dir)
 

@@ -140,7 +140,9 @@ def train_rvc(
         synth_cfg, jax.random.PRNGKey(0), batch_size=cfg.batch_size,
         spec_frames=64, lr=cfg.lr, steps_per_epoch=steps_per_epoch,
     )
-    mesh = get_mesh() if cfg.use_mesh and len(jax.devices()) > 1 else None
+    n_dev = len(jax.devices())
+    mesh = (get_mesh() if cfg.use_mesh and n_dev > 1
+            and cfg.batch_size % n_dev == 0 else None)
     step_fn = make_train_step(
         synth_cfg, gen, disc, lr=cfg.lr, steps_per_epoch=steps_per_epoch, mesh=mesh
     )
