@@ -29,6 +29,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--api-only", action="store_true", help="REST only (default: also UI when available)")
     parser.add_argument("--output-root", default="outputs/process")
+    parser.add_argument(
+        "--demo-backends", action="store_true",
+        help="register random-weight generation backends (tts/music/"
+             "transcribe) so every endpoint is live without checkpoints")
     args = parser.parse_args(argv)
 
     setup_logging()
@@ -48,6 +52,22 @@ def main(argv: list[str] | None = None) -> int:
     from audiolab_tpu.serve.http import make_handler
 
     router = create_app(output_root=args.output_root)
+
+    if args.demo_backends:
+        log.info("loading demo (random-weight) backends")
+        from audiolab_tpu.pipelines.acestep import random_acestep
+        from audiolab_tpu.pipelines.music import random_stable_audio
+        from audiolab_tpu.pipelines.transcribe import random_transcriber
+        from audiolab_tpu.pipelines.tts import random_zonos
+        from audiolab_tpu.models.yue import random_yue
+        from audiolab_tpu.serve import music_api, transcribe_api, tts_api
+
+        tts_api.register_backend("zonos", random_zonos())
+        music_api.register_backend("stable_audio", random_stable_audio())
+        music_api.register_backend("acestep", random_acestep())
+        music_api.register_backend("yue", random_yue())
+        transcribe_api.register_backend("whisper", random_transcriber())
+
     host = "0.0.0.0" if args.listen else "127.0.0.1"
 
     from http.server import ThreadingHTTPServer
