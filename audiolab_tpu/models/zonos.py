@@ -178,12 +178,13 @@ class AttnBlock(nn.Module):
         out = self.wo(jnp.swapaxes(o, 1, 2).reshape(b, 1, -1))[:, 0]
         return out, dict(k=kf, v=vf, index=idx + 1)
 
-    def init_state(self, batch: int):
+    def init_state(self, batch: int, max_len: int | None = None):
         c = self.cfg
         hd = c.dim // c.n_heads
+        n = max_len or c.max_seq_len
         return dict(
-            k=jnp.zeros((batch, c.max_seq_len, c.n_heads, hd)),
-            v=jnp.zeros((batch, c.max_seq_len, c.n_heads, hd)),
+            k=jnp.zeros((batch, n, c.n_heads, hd)),
+            v=jnp.zeros((batch, n, c.n_heads, hd)),
             index=jnp.zeros((), jnp.int32),
         )
 
@@ -226,15 +227,17 @@ class ZonosBackbone(nn.Module):
             x = x + self.mlps[i](self.mlp_norms[i](x))
         return self.final_norm(x)
 
-    def prefill_states(self, x, pos):
+    def prefill_states(self, x, pos, cache_len: int | None = None):
         """Full-sequence forward that ALSO returns decode states primed with
-        the prefix (conv tail + ssm state + kv cache)."""
+        the prefix (conv tail + ssm state + kv cache).  ``cache_len`` sizes
+        the KV caches to the actual generation length — decode attention
+        cost scales with it, so don't default to max_seq_len."""
         states = []
         b, t, _ = x.shape
         for i, blk in enumerate(self.blocks):
             h = self.norms[i](x)
             if self.is_attn(i):
-                st = blk.init_state(b)
+                st = blk.init_state(b, cache_len)
                 # prefill kv by stepping the whole prefix through cache once:
                 # cheaper: recompute k/v full and write into cache
                 q, k, v = blk._qkv(h, pos)
@@ -380,13 +383,14 @@ class ZonosModel(nn.Module):
         """(b, dim) -> (b, n_q, codebook_size)."""
         return jnp.stack([head(h) for head in self.heads], axis=1)
 
-    def prefill(self, text_ids, spk_emb, emotion, rate, pitch, bos_codes):
+    def prefill(self, text_ids, spk_emb, emotion, rate, pitch, bos_codes,
+                cache_len: int | None = None):
         """Run prefix + BOS frame; returns (logits9, states, prefix_len)."""
         x_prefix = self.prefix(text_ids, spk_emb, emotion, rate, pitch)
         x_bos = self.embed_codes(bos_codes)  # (b, 1, dim) frame of masked ids
         x = jnp.concatenate([x_prefix, x_bos], axis=1)
         pos = jnp.arange(x.shape[1])
-        h, states = self.backbone.prefill_states(x, pos)
+        h, states = self.backbone.prefill_states(x, pos, cache_len)
         return self.logits9(h[:, -1]), states, x.shape[1]
 
     def decode_step(self, codes_t, pos, states):
@@ -448,12 +452,12 @@ def generate(
     pi2 = jnp.concatenate([pitch, pitch], axis=0)
     bos = jnp.full((2 * b, c.n_codebooks, 1), c.masked_id, jnp.int32)
 
+    total = max_frames + c.n_codebooks  # delay tail
+    cache_len = text_ids.shape[1] + 12 + 1 + total + 2  # prefix+bos+steps
     logits, states, plen = model.apply(
-        {"params": params}, text2, spk2, em2, ra2, pi2, bos,
+        {"params": params}, text2, spk2, em2, ra2, pi2, bos, cache_len,
         method=ZonosModel.prefill,
     )
-
-    total = max_frames + c.n_codebooks  # delay tail
 
     def sample9(logits2, key, step):
         lc, lu = jnp.split(logits2, 2, axis=0)  # (b, n_q, V)
