@@ -454,39 +454,63 @@ def generate(
 
     total = max_frames + c.n_codebooks  # delay tail
     cache_len = text_ids.shape[1] + 12 + 1 + total + 2  # prefix+bos+steps
-    logits, states, plen = model.apply(
-        {"params": params}, text2, spk2, em2, ra2, pi2, bos, cache_len,
-        method=ZonosModel.prefill,
-    )
+    core = _generate_core(model, max_frames, cache_len, cfg_scale,
+                          temperature, top_k)
+    delayed = core(params, text2, spk2, em2, ra2, pi2, bos, rng)
+    return undelay_pattern(delayed, c.n_codebooks)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
+                   cfg_scale: float, temperature: float, top_k: int):
+    """ONE jitted graph for prefill + the whole decode scan, cached per
+    (model, shape) — the un-jitted prefill otherwise runs op-by-op with a
+    network round trip per op on tunneled TPUs."""
+    c = model.cfg
+    total = max_frames + c.n_codebooks
 
     def sample9(logits2, key, step):
         lc, lu = jnp.split(logits2, 2, axis=0)  # (b, n_q, V)
         lg = lu + cfg_scale * (lc - lu)
-        # codebook q emits MASKED until step >= q (delay pattern)
-        keys = jax.random.split(key, c.n_codebooks)
-        toks = []
-        for q in range(c.n_codebooks):
-            lq = lg[:, q] / jnp.maximum(temperature, 1e-6)
-            kth = jnp.sort(lq, axis=-1)[:, -top_k][:, None]
-            lq = jnp.where(lq < kth, -jnp.inf, lq)
-            tq = jax.random.categorical(keys[q], lq, axis=-1)
-            tq = jnp.where(step >= q, tq, c.masked_id)
-            # after audio ends (step >= max_frames + q) emit EOS
-            tq = jnp.where(step >= max_frames + q, c.eos_id, tq)
-            toks.append(tq)
-        return jnp.stack(toks, axis=1)  # (b, n_q)
+        bq = lg.shape[0] * c.n_codebooks
+        flat = lg.reshape(bq, -1) / jnp.maximum(temperature, 1e-6)
+        # ONE top-k over all codebooks (9 per-codebook sorts per step kill
+        # decode throughput on TPU)
+        k_eff = min(top_k, flat.shape[-1])
+        kth = jax.lax.top_k(flat, k_eff)[0][:, -1:]
+        flat = jnp.where(flat < kth, -jnp.inf, flat)
+        toks = jax.random.categorical(key, flat, axis=-1).reshape(
+            lg.shape[0], c.n_codebooks)
+        q_idx = jnp.arange(c.n_codebooks)[None, :]
+        # delay pattern: codebook q emits MASKED until step >= q; EOS after
+        toks = jnp.where(step >= q_idx, toks, c.masked_id)
+        toks = jnp.where(step >= max_frames + q_idx, c.eos_id, toks)
+        return toks  # (b, n_q)
 
-    def body(carry, i):
-        logits, states, rng = carry
-        rng, key = jax.random.split(rng)
-        toks = sample9(logits, key, i)  # (b, n_q)
-        toks2 = jnp.concatenate([toks, toks], axis=0)
-        pos = jnp.asarray([0], jnp.int32) + plen + i
-        logits, states = model.apply(
-            {"params": params}, toks2, pos, states, method=ZonosModel.decode_step
+    @jax.jit
+    def core(params, text2, spk2, em2, ra2, pi2, bos, rng):
+        logits, states, plen = model.apply(
+            {"params": params}, text2, spk2, em2, ra2, pi2, bos, cache_len,
+            method=ZonosModel.prefill,
         )
-        return (logits, states, rng), toks
 
-    (_, _, _), frames = jax.lax.scan(body, (logits, states, rng), jnp.arange(total))
-    delayed = jnp.moveaxis(frames, 0, 2)  # (b, n_q, total)
-    return undelay_pattern(delayed, c.n_codebooks)
+        def body(carry, i):
+            logits, states, rng = carry
+            rng, key = jax.random.split(rng)
+            toks = sample9(logits, key, i)  # (b, n_q)
+            toks2 = jnp.concatenate([toks, toks], axis=0)
+            pos = jnp.asarray([0], jnp.int32) + plen + i
+            logits, states = model.apply(
+                {"params": params}, toks2, pos, states,
+                method=ZonosModel.decode_step,
+            )
+            return (logits, states, rng), toks
+
+        (_, _, _), frames = jax.lax.scan(body, (logits, states, rng),
+                                         jnp.arange(total))
+        return jnp.moveaxis(frames, 0, 2)  # (b, n_q, total)
+
+    return core
