@@ -284,18 +284,25 @@ def generate(
     mask2 = jnp.concatenate(
         [text_ids != 0, jnp.ones_like(text_ids, bool)], axis=0
     )
-    enc = model.apply({"params": params}, text2, mask2,
-                      method=DiaModel.encode_text)
-
     bos = jnp.full((b, c.n_codebooks, 1), c.bos_id, jnp.int32)
     prompt = bos if audio_prompt is None else jnp.concatenate(
         [bos, delay_pattern(audio_prompt, c.masked_id)], axis=2
     )
     prompt2 = jnp.concatenate([prompt, prompt], axis=0)
-    logits, caches, cross = model.apply(
-        {"params": params}, prompt2, enc, mask2, method=DiaModel.prefill
-    )
-    plen = prompt.shape[2]
+    core = _generate_core(model, max_frames, cfg_scale, temperature, top_k)
+    delayed = core(params, text2, mask2, prompt2, rng)
+    return undelay_pattern(delayed, c.n_codebooks)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _generate_core(model: DiaModel, max_frames: int, cfg_scale: float,
+                   temperature: float, top_k: int):
+    """Prefill + decode scan as ONE cached jitted graph (un-jitted prefill
+    dispatches op-by-op over the TPU tunnel)."""
+    c = model.cfg
     total = max_frames + c.n_codebooks
 
     def sample9(logits2, key, step):
@@ -313,18 +320,29 @@ def generate(
             toks.append(tq)
         return jnp.stack(toks, axis=1)
 
-    def body(carry, i):
-        logits, caches, rng = carry
-        rng, key = jax.random.split(rng)
-        toks = sample9(logits, key, i)
-        toks2 = jnp.concatenate([toks, toks], axis=0)
-        pos = jnp.asarray([0], jnp.int32) + plen + i
-        logits, caches = model.apply(
-            {"params": params}, toks2, pos, caches, cross, mask2,
-            method=DiaModel.step,
+    @jax.jit
+    def core(params, text2, mask2, prompt2, rng):
+        enc = model.apply({"params": params}, text2, mask2,
+                          method=DiaModel.encode_text)
+        logits, caches, cross = model.apply(
+            {"params": params}, prompt2, enc, mask2, method=DiaModel.prefill
         )
-        return (logits, caches, rng), toks
+        plen = prompt2.shape[2]
 
-    _, frames = jax.lax.scan(body, (logits, caches, rng), jnp.arange(total))
-    delayed = jnp.moveaxis(frames, 0, 2)
-    return undelay_pattern(delayed, c.n_codebooks)
+        def body(carry, i):
+            logits, caches, rng = carry
+            rng, key = jax.random.split(rng)
+            toks = sample9(logits, key, i)
+            toks2 = jnp.concatenate([toks, toks], axis=0)
+            pos = jnp.asarray([0], jnp.int32) + plen + i
+            logits, caches = model.apply(
+                {"params": params}, toks2, pos, caches, cross, mask2,
+                method=DiaModel.step,
+            )
+            return (logits, caches, rng), toks
+
+        _, frames = jax.lax.scan(body, (logits, caches, rng),
+                                 jnp.arange(total))
+        return jnp.moveaxis(frames, 0, 2)
+
+    return core

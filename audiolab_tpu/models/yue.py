@@ -109,45 +109,70 @@ def stage1_generate(
     CFG double batch: row 0 = full prompt, row 1 = prompt with lyrics
     stripped (caller builds both, padded to equal length)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    c = lm.cfg
     b2, t_prompt = prompt_tokens.shape
     assert b2 == 2, "pass [cond; uncond] rows"
+    # pad the prompt to a bucket so the jitted graph is reused across
+    # lyric-segment lengths (left-pad with PAD, consistent with _prompt)
+    bucket = -(-t_prompt // 128) * 128
+    if bucket != t_prompt:
+        pad = jnp.full((2, bucket - t_prompt), vocab.special("pad"), jnp.int32)
+        prompt_tokens = jnp.concatenate([pad, prompt_tokens], axis=1)
+    core = _stage1_core(lm, frames, bucket, vocab, cfg_scale, temperature,
+                        top_k)
+    return core(params, prompt_tokens, rng)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _stage1_core(lm: TransformerLM, frames: int, t_prompt: int,
+                 vocab: YuEVocab, cfg_scale: float, temperature: float,
+                 top_k: int):
+    """Prefill + decode scan as ONE cached jitted graph."""
+    c = lm.cfg
     total = 2 * frames
-
-    caches = init_cache(c, 2, t_prompt + total + 1)
-    mask = (jnp.arange(t_prompt + total + 1)[None, :] < t_prompt)[:, None, None, :]
-    logits, caches = lm.apply(
-        {"params": params}, prompt_tokens, jnp.arange(t_prompt), caches, mask
-    )
-    last = logits[:, -1]
-
     vb, ib = vocab.vocal_base, vocab.inst_base
 
-    def body(carry, i):
-        last, caches, rng = carry
-        rng, key = jax.random.split(rng)
-        lc, lu = last[0], last[1]
-        lg = lu + cfg_scale * (lc - lu)
-        # alternate legal ranges: even step -> vocal tokens, odd -> inst
-        is_vocal = (i % 2) == 0
-        lo = jnp.where(is_vocal, vb, ib)
-        hi = lo + vocab.codebook_size
-        ar = jnp.arange(lg.shape[-1])
-        lg = jnp.where((ar >= lo) & (ar < hi), lg, -jnp.inf)
-        lg = lg / jnp.maximum(temperature, 1e-6)
-        kth = jnp.sort(lg)[-top_k]
-        lg = jnp.where(lg < kth, -jnp.inf, lg)
-        tok = jax.random.categorical(key, lg)
-        tok2 = jnp.stack([tok, tok])[:, None]
-        pos = jnp.asarray([t_prompt], jnp.int32) + i
-        logits, caches = lm.apply({"params": params}, tok2, pos, caches)
-        return (logits[:, -1], caches, rng), tok
+    @jax.jit
+    def core(params, prompt_tokens, rng):
+        caches = init_cache(c, 2, t_prompt + total + 1)
+        mask = (jnp.arange(t_prompt + total + 1)[None, :] < t_prompt)[
+            :, None, None, :]
+        logits, caches = lm.apply(
+            {"params": params}, prompt_tokens, jnp.arange(t_prompt), caches,
+            mask)
+        last = logits[:, -1]
 
-    (_, _, _), toks = jax.lax.scan(body, (last, caches, rng), jnp.arange(total))
-    pairs = toks.reshape(frames, 2)
-    vocal = pairs[:, 0] - vb
-    inst = pairs[:, 1] - ib
-    return jnp.stack([vocal, inst], axis=0)  # (2, frames)
+        def body(carry, i):
+            last, caches, rng = carry
+            rng, key = jax.random.split(rng)
+            lc, lu = last[0], last[1]
+            lg = lu + cfg_scale * (lc - lu)
+            # alternate legal ranges: even step -> vocal, odd -> inst
+            is_vocal = (i % 2) == 0
+            lo = jnp.where(is_vocal, vb, ib)
+            hi = lo + vocab.codebook_size
+            ar = jnp.arange(lg.shape[-1])
+            lg = jnp.where((ar >= lo) & (ar < hi), lg, -jnp.inf)
+            lg = lg / jnp.maximum(temperature, 1e-6)
+            k_eff = min(top_k, lg.shape[-1])
+            kth = jax.lax.top_k(lg[None], k_eff)[0][0, -1]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+            tok = jax.random.categorical(key, lg)
+            tok2 = jnp.stack([tok, tok])[:, None]
+            pos = jnp.asarray([t_prompt], jnp.int32) + i
+            logits, caches = lm.apply({"params": params}, tok2, pos, caches)
+            return (logits[:, -1], caches, rng), tok
+
+        (_, _, _), toks = jax.lax.scan(body, (last, caches, rng),
+                                       jnp.arange(total))
+        pairs = toks.reshape(frames, 2)
+        vocal = pairs[:, 0] - vb
+        inst = pairs[:, 1] - ib
+        return jnp.stack([vocal, inst], axis=0)  # (2, frames)
+
+    return core
 
 
 def stage2_generate(
