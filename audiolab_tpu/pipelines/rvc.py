@@ -79,20 +79,32 @@ class VoiceConverter:
 
     # ---------------- single-chunk jitted core ----------------
 
-    @partial(jax.jit, static_argnums=(0,), static_argnames=("use_index",))
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("use_index", "f0_in_graph"))
     def _convert_chunk(
         self,
         hubert_params,
         synth_params,
         wav16: jnp.ndarray,     # (b, n) 16 kHz chunk
-        f0: jnp.ndarray,        # (b, t100) Hz, already transposed
+        f0: jnp.ndarray,        # (b, t100) Hz — or transpose scalar when
+                                # f0_in_graph (f0 computed inside the graph)
         sid: jnp.ndarray,       # (b,)
         index_data: jnp.ndarray | None,
         index_rate: float,
         protect: float,
         rng: jax.Array,
         use_index: bool = False,
+        f0_in_graph: bool = False,
     ) -> jnp.ndarray:
+        if f0_in_graph:
+            # fuse f0 extraction into the conversion graph: ONE dispatch per
+            # group (a separate f0 call costs a tunnel round trip each)
+            f0 = jax.vmap(
+                lambda w: f0_autocorr(
+                    w, sr=16000, hop=160,
+                    fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
+                )[0]
+            )(wav16) * f0  # f0 argument carries the transpose factor
         feats = self.hubert.apply({"params": hubert_params}, wav16)  # (b,t50,d)
         feats0 = feats
         if use_index and index_data is not None:
@@ -130,21 +142,20 @@ class VoiceConverter:
 
     # ---------------- host orchestration ----------------
 
-    def _extract_f0(self, wav16: np.ndarray, transpose: int) -> np.ndarray:
+    def _extract_f0(self, wav16, transpose: int) -> jnp.ndarray:
         """(b, n) -> (b, t100) f0 Hz at 100 Hz frame rate."""
         if self.cfg.f0_method == "rmvpe" and self.rmvpe is not None:
-            f0 = np.asarray(self.rmvpe.infer(jnp.asarray(wav16)))
+            f0 = self.rmvpe.infer(jnp.asarray(wav16))
         else:
             # ONE vmapped device call over all chunks (a per-chunk host loop
-            # serialises ~30 dispatches on a 4-min track and dominates RTF)
-            f0 = np.asarray(
-                jax.vmap(
-                    lambda w: f0_autocorr(
-                        w, sr=16000, hop=160,
-                        fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
-                    )[0]
-                )(jnp.asarray(wav16))
-            )
+            # serialises ~30 dispatches on a 4-min track); the result stays
+            # on device — no host round trip before _convert_chunk
+            f0 = jax.vmap(
+                lambda w: f0_autocorr(
+                    w, sr=16000, hop=160,
+                    fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
+                )[0]
+            )(jnp.asarray(wav16))
         return f0 * (2.0 ** (transpose / 12.0))
 
     def convert(
@@ -169,35 +180,38 @@ class VoiceConverter:
         plan = plan_chunks(len(x), chunk, overlap)
         chunks = extract_chunks(jnp.asarray(x), plan)  # (count, chunk)
 
-        f0 = self._extract_f0(np.asarray(chunks), transpose)  # (count, t100)
-
         rng = jax.random.PRNGKey(seed)
         use_index = self.index_features is not None and index_rate > 0
 
         # fixed device batch: pad chunk count to a multiple of device_batch so
-        # every step reuses ONE compiled executable with bounded HBM footprint
+        # every step (f0 + conversion) reuses ONE compiled executable per
+        # shape, independent of track length, with bounded HBM footprint
         db = max(1, min(self.cfg.device_batch, plan.count))
         pad_rows = (-plan.count) % db
         if pad_rows:
             chunks = jnp.concatenate([chunks, jnp.zeros((pad_rows,) + chunks.shape[1:], chunks.dtype)])
-            f0 = np.concatenate([f0, np.zeros((pad_rows,) + f0.shape[1:], f0.dtype)])
-        f0j = jnp.asarray(f0)
         sids = jnp.full((db,), sid, jnp.int32)
+        fuse_f0 = not (self.cfg.f0_method == "rmvpe" and self.rmvpe is not None)
+        transpose_factor = jnp.full((1, 1), 2.0 ** (transpose / 12.0))
         outs = []
         with jax.default_matmul_precision(self.cfg.matmul_precision):
             for g in range(0, chunks.shape[0], db):
+                group = chunks[g : g + db]
+                f0_g = (transpose_factor if fuse_f0
+                        else self._extract_f0(group, transpose))
                 outs.append(
                     self._convert_chunk(
                         self.hubert_params,
                         self.synth_params,
-                        chunks[g : g + db],
-                        f0j[g : g + db],
+                        group,
+                        f0_g,
                         sids,
                         self.index_features,
                         index_rate,
                         protect,
                         rng,
                         use_index=use_index,
+                        f0_in_graph=fuse_f0,
                     )
                 )
         out = jnp.concatenate(outs, axis=0)[: plan.count]  # (count, out_chunk)
