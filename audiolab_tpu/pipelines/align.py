@@ -13,7 +13,6 @@ time-stretch joins without a phase vocoder dependency."""
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass, field
 
 import numpy as np

@@ -13,7 +13,6 @@ helpers live in core.audio_io.
 
 from __future__ import annotations
 
-import inspect
 import logging
 import typing
 from dataclasses import dataclass, field

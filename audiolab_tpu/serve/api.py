@@ -143,8 +143,6 @@ def create_app(output_root: str = "outputs/process") -> Router:
     @router.post("/api/v1/process/load_project", "Re-enumerate an existing project")
     def load_project(_params, body):
         """Reference: layouts/process.py:502-530 project reload."""
-        from audiolab_tpu.core.project import ProjectFiles
-
         name = body.get("project")
         if not name:
             raise ValueError("missing 'project'")

@@ -11,14 +11,11 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from pathlib import Path
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from audiolab_tpu.kernels.mel import log_mel, mel_spectrogram
 from audiolab_tpu.models.acestep import (
     ACEStepConfig,
     ACEStepModel,

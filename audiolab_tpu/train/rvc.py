@@ -14,7 +14,6 @@ G), matching the reference's ordering at train.py:588-617.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import flax.struct
