@@ -316,19 +316,26 @@ class YuEPipeline:
                                rng=jax.random.PRNGKey(seed + 99))
         full = jnp.clip(full, 0, self.cfg.vocab.codebook_size - 1)
 
-        audio = self.codec.apply({"params": self.codec_params}, full,
-                                 method=SoundStreamCodec.decode)  # (2, n)
         if self.vocos is not None:
-            # Vocos upsample head refines/upsamples codec output features;
-            # here it post-filters the codec audio mel (vocoder.py role)
-            pass
+            # Vocos vocoder path (infer.py:617 xcodec decode -> Vocos
+            # upsample): the RVQ latents drive the ConvNeXt→iSTFT head
+            # directly — higher-rate audio without the SEANet decoder
+            z = self.codec.apply({"params": self.codec_params}, full,
+                                 method=lambda m, c: m.rvq.decode(c))
+            audio = self.vocos.apply({"params": self.vocos_params}, z)
+        else:
+            audio = self.codec.apply({"params": self.codec_params}, full,
+                                     method=SoundStreamCodec.decode)  # (2, n)
         vocal = np.asarray(audio[0])
         inst = np.asarray(audio[1])
         mix = vocal + inst
         peak = np.abs(mix).max() + 1e-9
         if peak > 0.99:
             mix = mix * (0.99 / peak)
-        sr = self.codec.cfg.sr
+        if self.vocos is not None:
+            sr = int(round(self.codec.cfg.frame_rate * self.vocos.cfg.hop))
+        else:
+            sr = self.codec.cfg.sr
         return {"mix": mix, "vocal": vocal, "inst": inst, "sr": sr}
 
     # serve backend protocol (music_api): returns (samples, sr)
@@ -339,7 +346,7 @@ class YuEPipeline:
         return out["mix"], out["sr"]
 
 
-def random_yue(seed: int = 0) -> YuEPipeline:
+def random_yue(seed: int = 0, with_vocos: bool = False) -> YuEPipeline:
     """Tiny random-weight pipeline (converter loads real weights)."""
     from audiolab_tpu.models.codecs import SEANetConfig
 
@@ -366,5 +373,11 @@ def random_yue(seed: int = 0) -> YuEPipeline:
     codec = SoundStreamCodec(ccfg)
     cp = codec.init(jax.random.PRNGKey(seed + 2),
                     jnp.zeros((1, ccfg.seanet.hop * 8)))["params"]
-    return YuEPipeline(cfg, s1p, s2p, codec, cp,
+    vocos = vp = None
+    if with_vocos:
+        vcfg = VocosConfig(dim=32, n_layers=1, n_fft=64, hop=16)
+        vocos = Vocos(vcfg)
+        vp = vocos.init(jax.random.PRNGKey(seed + 3),
+                        jnp.zeros((1, 8, ccfg.seanet.dim)))["params"]
+    return YuEPipeline(cfg, s1p, s2p, codec, cp, vocos=vocos, vocos_params=vp,
                        pcfg=YuEPipelineConfig(segment_frames=16))

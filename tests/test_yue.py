@@ -48,3 +48,13 @@ def test_generate_music_end_to_end(pipe):
 def test_serve_protocol(pipe):
     y, sr = pipe.generate("rock", lyrics="test", n_segments=1)
     assert sr == 16000 and np.isfinite(y).all()
+
+
+def test_generate_with_vocos_head():
+    from audiolab_tpu.models.yue import random_yue
+
+    pipe = random_yue(with_vocos=True)
+    out = pipe.generate_music("jazz", "doo wop", n_segments=1, seed=1)
+    # vocos output rate = codec frame_rate * vocos hop
+    assert out["sr"] == int(round(pipe.codec.cfg.frame_rate * pipe.vocos.cfg.hop))
+    assert np.isfinite(out["mix"]).all() and len(out["mix"]) > 0
