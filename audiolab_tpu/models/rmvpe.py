@@ -182,6 +182,8 @@ class RMVPE:
         """(n,) or (b, n) 16 kHz audio -> f0 (b, t) at 100 Hz frame rate."""
         if audio16k.ndim == 1:
             audio16k = audio16k[None]
+        if self.variables is None:  # lazy random init (converter fills real)
+            self.init(jax.random.PRNGKey(0))
         mel = self.mel(audio16k)
         hidden = self._run(self.variables, mel)
         return decode_f0(hidden, threshold)

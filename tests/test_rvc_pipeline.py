@@ -90,3 +90,21 @@ def test_convert_transpose_changes_output(converter):
     y0 = converter.convert(x, transpose=0)
     y12 = converter.convert(x, transpose=12)
     assert not np.allclose(y0, y12)
+
+
+def test_convert_with_rmvpe_f0(converter):
+    """RMVPE f0 path through the pipeline (pipeline.py rmvpe default)."""
+    from audiolab_tpu.models.rmvpe import RMVPE
+
+    rm = RMVPE()  # random init on first use
+    conv = VoiceConverter(
+        TINY_SYNTH, converter.synth_params, converter.hubert_params,
+        rmvpe=rm, index_features=None,
+        cfg=RVCPipelineConfig(version="v2", sr=16000, chunk_seconds=1.0,
+                              overlap_seconds=0.1, f0_method="rmvpe"),
+        hubert_cfg=TINY_HUBERT,
+    )
+    sr = 16000
+    x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    y = conv.convert(x, sid=0, transpose=2, index_rate=0.0)
+    assert np.isfinite(y).all() and len(y) > 0
