@@ -62,6 +62,21 @@ def run_chain(
         (get_processor(t) for t in processor_titles), key=lambda p: p.priority
     )
 
+    # input heuristics (process.py:355-401): generated/pre-separated inputs
+    # skip Separate — TTS/StableAudio outputs and *(Vocals)/(Instrumental)*
+    # stems have nothing to separate
+    def _skip_separate(files: list[str]) -> bool:
+        markers = ("(Vocals)", "(Instrumental)", "(BG_Vocals)", "_tts", "TTS_",
+                   "zonos_", "stable_audio_", "acestep_", "yue_")
+        import os as _os
+
+        return all(any(m in _os.path.basename(f) for m in markers)
+                   for f in files)
+
+    if input_files and _skip_separate(input_files):
+        procs = [p for p in procs if p.title != "Separate"]
+        logger.info("skipping Separate: inputs are generated/pre-separated")
+
     # cross-processor setting propagation (process.py:403-432): pitch shift
     # chosen on Clone flows into Merge/Export so stems stay in tune
     clone_cfg = settings.get("Clone", {})

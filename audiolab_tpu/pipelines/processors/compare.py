@@ -62,8 +62,15 @@ def compare_tracks(a: np.ndarray, b: np.ndarray, sr: int, out_png: str) -> dict:
         fig.savefig(out_png, dpi=100)
         plt.close(fig)
         metrics["image"] = out_png
-    except Exception:  # matplotlib optional
-        pass
+    except Exception:
+        # matplotlib absent: render with the stdlib PNG encoder instead
+        from audiolab_tpu.utils.viz import spectrogram_png, waveform_diff_png
+
+        waveform_diff_png(out_png, a[:n], b[:n])
+        spec_path = out_png.replace(".png", "_spec.png")
+        spectrogram_png(spec_path, spec_diff)
+        metrics["image"] = out_png
+        metrics["spec_image"] = spec_path
     return metrics
 
 

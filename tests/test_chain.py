@@ -208,3 +208,26 @@ def test_multistem_separation():
     # reconstruction guarantee: stems sum to input
     total = sum(stems.values())
     np.testing.assert_allclose(total[:, : audio.shape[1]], audio, atol=2e-4)
+
+
+def test_skip_separate_heuristic(tmp_path):
+    import numpy as np
+
+    from audiolab_tpu.core.audio_io import write_wav
+    from audiolab_tpu.pipelines.chain import run_chain
+
+    p = str(tmp_path / "song_tts_(Vocals).wav")
+    write_wav(p, np.zeros(8000, np.float32), 16000)
+    # chain with only Convert: Separate would be skipped anyway, but verify
+    # run_chain drops Separate for pre-separated inputs without error
+    projs = run_chain(["Separate", "Convert"], [p], {},
+                      output_root=str(tmp_path / "out"))
+    assert projs and projs[0].all_outputs() is not None
+
+
+def test_distributed_single_host():
+    from audiolab_tpu.core.distributed import init_distributed
+
+    info = init_distributed()
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 1
