@@ -78,6 +78,8 @@ class ZonosTTSConfig:
     temperature: float = 1.0
     silence_ms: float = 120.0
     text_max_len: int = 256
+    use_phonemes: bool = True   # rule-based G2P front-end (espeak stand-in,
+                                # models/phonemize.py); False = raw chars
 
 
 class ZonosTTS:
@@ -128,7 +130,12 @@ class ZonosTTS:
         text_ids = np.zeros((n, tmax), np.int32)
         emotions = np.zeros((n, 8), np.float32)
         for i, (s, em) in enumerate(chunks):
-            ids = tokenize_text(s, tmax)
+            if c.use_phonemes:
+                from audiolab_tpu.models.phonemize import phonemize_ids
+
+                ids = phonemize_ids(s, tmax)
+            else:
+                ids = tokenize_text(s, tmax)
             text_ids[i, : len(ids)] = ids
             emotions[i] = em
         # frame budget scales with the longest chunk (same static shape for
