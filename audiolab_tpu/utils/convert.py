@@ -336,3 +336,71 @@ def hubert_mapping(template: dict) -> dict[str, tuple[str, str]]:
 def convert_hubert(state_dict: dict, template: dict, strict: bool = True) -> dict:
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     return fill_tree(template, hubert_mapping(template), sd, strict)
+
+
+# ------------------------------------------------------------------ Whisper
+
+def whisper_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """OpenAI whisper state-dict names -> our flax tree (models/whisper.py).
+
+    torch names: encoder.conv1/conv2, encoder.blocks.N.attn.{query,key,
+    value,out}, attn_ln, mlp.0/mlp.2, mlp_ln, encoder.ln_post,
+    decoder.token_embedding, decoder.positional_embedding,
+    decoder.blocks.N.{attn,cross_attn}.*, decoder.ln."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    enc = template["encoder"]
+    conv("encoder/conv1", "encoder.conv1")
+    conv("encoder/conv2", "encoder.conv2")
+    norm("encoder/ln_post", "encoder.ln_post")
+    for i in range(sum(1 for k in enc if k.startswith("block_"))):
+        b = f"encoder.blocks.{i}"
+        p = f"encoder/block_{i}"
+        dense(f"{p}/wq", f"{b}.attn.query")
+        dense(f"{p}/wk", f"{b}.attn.key", bias=False)
+        dense(f"{p}/wv", f"{b}.attn.value")
+        dense(f"{p}/wo", f"{b}.attn.out")
+        norm(f"{p}/attn_ln", f"{b}.attn_ln")
+        dense(f"{p}/fc1", f"{b}.mlp.0")
+        dense(f"{p}/fc2", f"{b}.mlp.2")
+        norm(f"{p}/mlp_ln", f"{b}.mlp_ln")
+
+    dec = template["decoder"]
+    m["decoder/emb/embedding"] = ("direct", "decoder.token_embedding.weight")
+    m["decoder/pos"] = ("direct", "decoder.positional_embedding")
+    norm("decoder/ln", "decoder.ln")
+    for i in range(sum(1 for k in dec if k.startswith("block_"))):
+        b = f"decoder.blocks.{i}"
+        p = f"decoder/block_{i}"
+        dense(f"{p}/wq", f"{b}.attn.query")
+        dense(f"{p}/wk", f"{b}.attn.key", bias=False)
+        dense(f"{p}/wv", f"{b}.attn.value")
+        dense(f"{p}/wo", f"{b}.attn.out")
+        norm(f"{p}/attn_ln", f"{b}.attn_ln")
+        dense(f"{p}/cq", f"{b}.cross_attn.query")
+        dense(f"{p}/ck", f"{b}.cross_attn.key", bias=False)
+        dense(f"{p}/cv", f"{b}.cross_attn.value")
+        dense(f"{p}/co", f"{b}.cross_attn.out")
+        norm(f"{p}/cross_ln", f"{b}.cross_attn_ln")
+        dense(f"{p}/fc1", f"{b}.mlp.0")
+        dense(f"{p}/fc2", f"{b}.mlp.2")
+        norm(f"{p}/mlp_ln", f"{b}.mlp_ln")
+    return m
+
+
+def convert_whisper(state_dict: dict, template: dict, strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, whisper_mapping(template), sd, strict)

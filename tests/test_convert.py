@@ -84,3 +84,22 @@ def test_hubert_mapping_coverage_and_roundtrip():
     params = C.convert_hubert(sd, template)
     feats = model.apply({"params": params}, jnp.zeros((1, 3200)))
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_whisper_mapping_coverage_and_roundtrip():
+    from audiolab_tpu.models.whisper import WhisperConfig, WhisperModel
+
+    cfg = WhisperConfig(n_mels=80, dim=64, n_heads=4, n_audio_layers=1,
+                        n_text_layers=1, vocab_size=600, n_text_ctx=128,
+                        sot=520, eot=519, no_timestamps=530, timestamp_base=531)
+    model = WhisperModel(cfg)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3000, 80)),
+                          jnp.zeros((1, 4), jnp.int32))["params"]
+    mapping = C.whisper_mapping(template)
+    missing = [p for p in C.tree_paths(template) if p not in mapping]
+    assert not missing, missing
+    sd = C.synth_state_dict(template, mapping, seed=3)
+    params = C.convert_whisper(sd, template)
+    logits = model.apply({"params": params}, jnp.zeros((1, 3000, 80)),
+                         jnp.zeros((1, 4), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
