@@ -95,7 +95,21 @@ class Merge(BaseProcessor):
             base = os.path.splitext(os.path.basename(proj.src_file))[0]
             out = os.path.join(stage, f"{base}_merged.wav")
             write_audio(out, mixed, sr)
-            proj.add_output("merged", [out])
+            outputs = [out]
+            # video input: mux the merged audio back onto the source video
+            # (merge.py:165-180 rebuild)
+            video_src = getattr(proj, "video_source", None)
+            if video_src and os.path.exists(video_src):
+                try:
+                    from audiolab_tpu.core.video import recombine
+
+                    vout = os.path.join(
+                        stage, base + "_merged" + os.path.splitext(video_src)[1])
+                    recombine(video_src, out, vout)
+                    outputs.append(vout)
+                except Exception:  # ffmpeg absent/failed: audio-only output
+                    pass
+            proj.add_output("merged", outputs)
         return inputs
 
 
