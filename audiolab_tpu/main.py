@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
         from audiolab_tpu.models.yue import random_yue
         from audiolab_tpu.serve import music_api, transcribe_api, tts_api
 
+        # tiny demo models pin the WHOLE process to the CPU backend:
+        # instant startup + instant requests (TPU tunnel compiles are
+        # minutes-slow and pointless at this scale); real deployments load
+        # converted weights and leave the default device alone
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
         tts_api.register_backend("zonos", random_zonos())
         music_api.register_backend("stable_audio", random_stable_audio())
         music_api.register_backend("acestep", random_acestep())
