@@ -148,8 +148,7 @@ def train_model(
     opt = tx.init(params)
     ema = jax.tree_util.tree_map(jnp.copy, params)
 
-    @jax.jit
-    def step(params, opt, ema, audio, mel, rng):
+    def _step(params, opt, ema, audio, mel, rng):
         loss, grads = jax.value_and_grad(
             lambda p: diffusion_loss(model, p, audio, mel, rng)
         )(params)
@@ -159,6 +158,23 @@ def train_model(
             lambda e, p: cfg.ema * e + (1.0 - cfg.ema) * p, ema, params
         )
         return params, opt, ema, loss
+
+    # dp-sharded when the batch divides the device count (SURVEY §2.6:
+    # replaces the reference's DDP spawn, learner.py:508-522)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from audiolab_tpu.core.mesh import get_mesh
+
+        mesh = get_mesh()
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("dp"))
+        step = jax.jit(_step,
+                       in_shardings=(repl, repl, repl, data, data, repl),
+                       out_shardings=(repl, repl, repl, repl))
+    else:
+        step = jax.jit(_step)
 
     mgr = checkpoint_manager(str(Path(project_dir) / "ckpt"))
     state = {"params": params, "opt": opt, "ema": ema, "step": 0}

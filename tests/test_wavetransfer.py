@@ -92,3 +92,14 @@ def test_cancellation(project):
     token.cancel()
     res = WT.train_model(project, cfg, token=token)
     assert res["steps"] == cfg.steps  # returns without crashing
+
+
+def test_train_dp_sharded(project):
+    """batch divisible by device count -> dp-sharded step engages."""
+    cfg = tiny_cfg()
+    cfg.batch_size = 8
+    cfg.steps = 2
+    cfg.ckpt_every = 2
+    WT.preprocess_project(project, cfg)
+    res = WT.train_model(project, cfg)
+    assert np.isfinite(res["loss"])
