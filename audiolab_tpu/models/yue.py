@@ -197,40 +197,61 @@ def stage2_generate(
     n_blocks = (t + pad) // block
     blocks = codes_p.reshape(b * n_blocks, block)
 
-    c = lm.cfg
-    base1 = vocab.size  # stage-2 extra ranges start here
+    # bucket the block count to a power of two so the jitted graph is
+    # reused across track lengths (stage-2 dominates compile otherwise)
+    nb = blocks.shape[0]
+    nb_bucket = 1
+    while nb_bucket < nb:
+        nb_bucket *= 2
+    if nb_bucket != nb:
+        blocks = jnp.pad(blocks, ((0, nb_bucket - nb), (0, 0)))
 
-    prompt = blocks + vocab.vocal_base  # embed cb0 in stage-1 vocal range
-    nb = prompt.shape[0]
-    caches = init_cache(c, nb, block * n_q + 1)
-    mask = (jnp.arange(block * n_q + 1)[None, :] < block)[:, None, None, :]
-    logits, caches = lm.apply(
-        {"params": params}, prompt, jnp.arange(block), caches, mask
-    )
-    last = logits[:, -1]
-
-    total = block * (n_q - 1)
-
-    def body(carry, i):
-        last, caches = carry
-        q = i // block + 1            # codebook index 1..n_q-1
-        lo = base1 + (q - 1) * vocab.codebook_size
-        ar = jnp.arange(last.shape[-1])
-        lg = jnp.where((ar >= lo) & (ar < lo + vocab.codebook_size), last, -jnp.inf)
-        tok = jnp.argmax(lg, axis=-1)
-        pos = jnp.asarray([block], jnp.int32) + i
-        logits, caches = lm.apply({"params": params}, tok[:, None], pos, caches)
-        return (logits[:, -1], caches), tok
-
-    (_, _), toks = jax.lax.scan(body, (last, caches), jnp.arange(total))
-    # toks (total, nb) codebook-major: [cb1 x block, cb2 x block, ...]
-    toks = jnp.swapaxes(toks, 0, 1).reshape(nb, n_q - 1, block)
-    offs = base1 + (jnp.arange(n_q - 1) * vocab.codebook_size)[None, :, None]
-    rest = toks - offs
-    full = jnp.concatenate([blocks[:, None, :], rest], axis=1)  # (nb, n_q, block)
+    core = _stage2_core(lm, vocab, n_q, block, nb_bucket)
+    full = core(params, blocks)[:nb]
     full = full.reshape(b, n_blocks, n_q, block)
     full = jnp.moveaxis(full, 2, 1).reshape(b, n_q, n_blocks * block)
     return full[:, :, :t]
+
+
+@lru_cache(maxsize=32)
+def _stage2_core(lm: TransformerLM, vocab: YuEVocab, n_q: int, block: int,
+                 nb: int):
+    """Stage-2 prefill + greedy scan as ONE cached jitted graph."""
+    c = lm.cfg
+    base1 = vocab.size  # stage-2 extra ranges start here
+    total = block * (n_q - 1)
+
+    @jax.jit
+    def core(params, blocks):
+        prompt = blocks + vocab.vocal_base  # cb0 in stage-1 vocal range
+        caches = init_cache(c, nb, block * n_q + 1)
+        mask = (jnp.arange(block * n_q + 1)[None, :] < block)[:, None, None, :]
+        logits, caches = lm.apply(
+            {"params": params}, prompt, jnp.arange(block), caches, mask
+        )
+        last = logits[:, -1]
+
+        def body(carry, i):
+            last, caches = carry
+            q = i // block + 1            # codebook index 1..n_q-1
+            lo = base1 + (q - 1) * vocab.codebook_size
+            ar = jnp.arange(last.shape[-1])
+            lg = jnp.where((ar >= lo) & (ar < lo + vocab.codebook_size),
+                           last, -jnp.inf)
+            tok = jnp.argmax(lg, axis=-1)
+            pos = jnp.asarray([block], jnp.int32) + i
+            logits, caches = lm.apply({"params": params}, tok[:, None], pos,
+                                      caches)
+            return (logits[:, -1], caches), tok
+
+        (_, _), toks = jax.lax.scan(body, (last, caches), jnp.arange(total))
+        # toks (total, nb) codebook-major: [cb1 x block, cb2 x block, ...]
+        toks = jnp.swapaxes(toks, 0, 1).reshape(nb, n_q - 1, block)
+        offs = base1 + (jnp.arange(n_q - 1) * vocab.codebook_size)[None, :, None]
+        rest = toks - offs
+        return jnp.concatenate([blocks[:, None, :], rest], axis=1)
+
+    return core
 
 
 @dataclass

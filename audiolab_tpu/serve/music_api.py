@@ -20,7 +20,10 @@ def _generate(name: str, body: dict) -> dict:
             f"generation backend {name!r} not loaded; available: {sorted(_BACKENDS)}"
         )
     prompt = body.get("prompt") or body.get("tags") or ""
-    samples, sr = _BACKENDS[name].generate(prompt, **body.get("settings", {}))
+    from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
+
+    with INFERENCE_LOCK:
+        samples, sr = _BACKENDS[name].generate(prompt, **body.get("settings", {}))
     from audiolab_tpu.core.audio_io import write_wav
     from audiolab_tpu.serve.files import register_file
     import os, tempfile

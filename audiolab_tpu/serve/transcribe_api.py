@@ -32,7 +32,11 @@ def register(router) -> None:
                 p = os.path.join(tmp, os.path.basename(f.get("filename", "in.wav")))
                 with open(p, "wb") as fh:
                     fh.write(base64.b64decode(f["content"]))
-                results.append(_BACKENDS[name].transcribe(p, **body.get("settings", {})))
+                from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
+
+                with INFERENCE_LOCK:
+                    results.append(
+                        _BACKENDS[name].transcribe(p, **body.get("settings", {})))
         return {"results": results}
 
     @router.post("/api/v1/audio/translations", "Transcribe+translate to English")

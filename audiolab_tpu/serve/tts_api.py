@@ -40,9 +40,12 @@ def register(router) -> None:
         text = body.get("input") or body.get("text")
         if not text:
             raise ValueError("missing 'input' text")
-        samples, sr = _BACKENDS[model].generate(
-            text, voice=body.get("voice", "default"), speed=body.get("speed", 1.0)
-        )
+        from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
+
+        with INFERENCE_LOCK:
+            samples, sr = _BACKENDS[model].generate(
+                text, voice=body.get("voice", "default"), speed=body.get("speed", 1.0)
+            )
         from audiolab_tpu.core.audio_io import write_wav
         import tempfile, os
 
