@@ -50,6 +50,21 @@ class RVCPipelineConfig:
                               # so the spectral front-end stays full-precision
 
 
+_HP_TAPS = None
+
+
+def _highpass_device(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-phase 48 Hz FIR high-pass on device (linear-phase equivalent of
+    the reference's butter+filtfilt at pipeline.py:252)."""
+    global _HP_TAPS
+    if _HP_TAPS is None:
+        taps = sps.firwin(257, 48, fs=16000, pass_zero=False)
+        _HP_TAPS = jnp.asarray(taps, jnp.float32)
+    pad = (len(_HP_TAPS) - 1) // 2
+    xp = jnp.pad(x, (pad, pad), mode="reflect")
+    return jnp.convolve(xp, _HP_TAPS, mode="valid") if x.ndim == 1 else x
+
+
 class VoiceConverter:
     """Holds the three parameter trees (hubert, synthesizer, optional rmvpe)
     and exposes ``convert`` — the VC.vc_single equivalent."""
@@ -167,11 +182,18 @@ class VoiceConverter:
         protect: float = 0.33,
         seed: int = 0,
     ) -> np.ndarray:
-        """Full conversion of a mono 16 kHz track -> waveform at model sr."""
-        x = np.asarray(audio16k, dtype=np.float32)
-        # high-pass 48 Hz (pipeline.py:252)
-        b, a = sps.butter(5, 48, btype="high", fs=16000)
-        x = sps.filtfilt(b, a, x).astype(np.float32)
+        """Full conversion of a mono 16 kHz track -> waveform at model sr.
+
+        Accepts numpy OR a device array; device inputs stay on device (the
+        48 Hz high-pass becomes a zero-phase FIR conv there — device->host
+        readback over tunneled TPUs is orders slower than the filter)."""
+        if isinstance(audio16k, jnp.ndarray):
+            x = _highpass_device(audio16k)
+        else:
+            x = np.asarray(audio16k, dtype=np.float32)
+            # high-pass 48 Hz (pipeline.py:252)
+            b, a = sps.butter(5, 48, btype="high", fs=16000)
+            x = sps.filtfilt(b, a, x).astype(np.float32)
 
         chunk = int(self.cfg.chunk_seconds * 16000)
         chunk -= chunk % 320  # align to hubert hop so frames tile exactly

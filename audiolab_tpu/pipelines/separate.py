@@ -39,29 +39,28 @@ class EnsembleMember:
     weight_inst: float = 1.0
 
 
-def blend_tracks(tracks: list[np.ndarray], weights: list[float]) -> np.ndarray:
-    """Avg/median hybrid blend (stem_separator.py:241 _blend_tracks)."""
-    stack = np.stack(tracks)  # (m, ch, n)
-    w = np.asarray(weights, dtype=np.float32)[:, None, None]
+def blend_tracks(tracks: list, weights: list[float]):
+    """Avg/median hybrid blend (stem_separator.py:241 _blend_tracks).
+    Works on device (jnp) — no host round trip inside the ensemble."""
+    stack = jnp.stack([jnp.asarray(t) for t in tracks])  # (m, ch, n)
+    w = jnp.asarray(weights, dtype=jnp.float32)[:, None, None]
     avg = (stack * w).sum(axis=0) / w.sum()
-    med = np.median(stack, axis=0)
+    med = jnp.median(stack, axis=0)
     return 0.5 * (avg + med)
 
 
-def debleed(
-    target: np.ndarray, other: np.ndarray, alpha: float = 0.2, cos_guard: float = 0.5
-) -> np.ndarray:
+def debleed(target, other, alpha: float = 0.2, cos_guard: float = 0.5):
     """Residual subtraction with cosine guard (stem_separator.py:415-443):
     only subtract the leaked component when the stems are sufficiently
-    decorrelated, so we don't carve out shared content."""
-    t = target.reshape(-1)
-    o = other.reshape(-1)
-    denom = np.linalg.norm(t) * np.linalg.norm(o) + 1e-9
-    cos = float(np.dot(t, o) / denom)
-    if abs(cos) > cos_guard:
-        return target
-    proj = np.dot(t, o) / (np.dot(o, o) + 1e-9)
-    return target - alpha * proj * other
+    decorrelated, so we don't carve out shared content.  Branchless device
+    form: the guard becomes a multiplicative mask."""
+    t = jnp.asarray(target).reshape(-1)
+    o = jnp.asarray(other).reshape(-1)
+    denom = jnp.linalg.norm(t) * jnp.linalg.norm(o) + 1e-9
+    cos = jnp.dot(t, o) / denom
+    proj = jnp.dot(t, o) / (jnp.dot(o, o) + 1e-9)
+    apply = (jnp.abs(cos) <= cos_guard).astype(jnp.float32)
+    return jnp.asarray(target) - apply * alpha * proj * jnp.asarray(other)
 
 
 class StemSeparator:
@@ -73,32 +72,52 @@ class StemSeparator:
         sr: int = 44100,
         chunk_seconds: float = 8.0,
         overlap_seconds: float = 1.0,
+        device_batch: int = 8,
     ):
         self.members = members
         self.sr = sr
         self.chunk_seconds = chunk_seconds
         self.overlap_seconds = overlap_seconds
+        self.device_batch = device_batch
 
     def _run_member(self, member: EnsembleMember, audio: np.ndarray) -> dict:
-        """Chunk -> batched model call -> crossfade stitch, per stem."""
+        """Chunk -> fixed-size batched model calls -> crossfade stitch.
+
+        Chunk count is padded to device_batch multiples so long tracks
+        reuse ONE compiled shape with bounded HBM (same policy as the RVC
+        pipeline)."""
         ch, n = audio.shape
         chunk = int(self.chunk_seconds * self.sr)
         overlap = int(self.overlap_seconds * self.sr)
         plan = plan_chunks(n, chunk, overlap)
         chunks = extract_chunks(jnp.asarray(audio), plan)  # (count, ch, chunk)
-        out = member.apply_fn(chunks)  # {stem: (count, ch, chunk)}
-        return {
-            stem: np.asarray(stitch_chunks(v, plan)) for stem, v in out.items()
-        }
+        db = max(1, min(self.device_batch, plan.count))
+        pad = (-plan.count) % db
+        if pad:
+            chunks = jnp.concatenate(
+                [chunks, jnp.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
+        groups: list[dict] = []
+        for g in range(0, chunks.shape[0], db):
+            groups.append(member.apply_fn(chunks[g : g + db]))
+        out = {stem: jnp.concatenate([gr[stem] for gr in groups])[: plan.count]
+               for stem in groups[0]}
+        # stays ON DEVICE: stitched stems feed the blend/de-bleed and the
+        # downstream pipeline without a tunnel round trip
+        return {stem: stitch_chunks(v, plan) for stem, v in out.items()}
 
     def separate(
         self,
         audio: np.ndarray,
         callback=None,
+        as_numpy: bool = True,
     ) -> dict[str, np.ndarray]:
-        """(ch, n) -> {"vocals": (ch, n), "instrumental": (ch, n)}."""
+        """(ch, n) -> {"vocals": (ch, n), "instrumental": (ch, n)}.
+
+        ``as_numpy=False`` keeps the stems on device (feed them straight
+        into the next pipeline stage without a host transfer)."""
         if audio.ndim == 1:
             audio = audio[None]
+        audio = jnp.asarray(audio)
         vocals_tracks, inst_tracks = [], []
         wv, wi = [], []
         for i, m in enumerate(self.members):
@@ -120,7 +139,10 @@ class StemSeparator:
         inst = blend_tracks(inst_tracks, wi)
         vocals = debleed(vocals, inst)
         inst = debleed(inst, vocals)
-        return {"vocals": vocals.astype(np.float32), "instrumental": inst.astype(np.float32)}
+        if as_numpy:
+            return {"vocals": np.asarray(vocals, np.float32),
+                    "instrumental": np.asarray(inst, np.float32)}
+        return {"vocals": vocals, "instrumental": inst}
 
     def separate_multistem(self, audio: np.ndarray, member: EnsembleMember,
                            callback=None) -> dict[str, np.ndarray]:
@@ -133,7 +155,8 @@ class StemSeparator:
             audio = audio[None]
         if callback:
             callback(0, f"Multistem with {member.name}", 1)
-        stems = self._run_member(member, audio)
+        stems = {k: np.asarray(v) for k, v in
+                 self._run_member(member, jnp.asarray(audio)).items()}
         total = np.zeros_like(audio)
         for v in stems.values():
             total = total + v[:, : audio.shape[1]]
