@@ -98,15 +98,7 @@ def create_app(output_root: str = "outputs/process") -> Router:
             f"Run the {proc.title} processor",
         )
 
-    # ---------------- module endpoints (backends wired as they land) ------
-
-    def _not_configured(component: str):
-        def handler(_params, _body):
-            raise NotImplementedError(
-                f"{component} backend not configured on this server"
-            )
-
-        return handler
+    # ---------------- module endpoints ------------------------------------
 
     # RVC training + models (layouts/rvc_train.py REST surface)
     from audiolab_tpu.serve import rvc_api
