@@ -20,6 +20,7 @@ import logging
 from dataclasses import dataclass, field
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,11 +74,22 @@ class StemSeparator:
         chunk_seconds: float = 8.0,
         overlap_seconds: float = 1.0,
         device_batch: int = 8,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a leading ``dp``
+        axis.  Chunk batches are sharded over it, fanning ensemble inference
+        out across chips (chunks are embarrassingly parallel; XLA inserts
+        zero collectives).  ``device_batch`` is rounded up to a multiple of
+        the dp size so every shard gets equal work."""
         self.members = members
         self.sr = sr
         self.chunk_seconds = chunk_seconds
         self.overlap_seconds = overlap_seconds
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            device_batch = max(device_batch, dp)
+            device_batch += (-device_batch) % dp
         self.device_batch = device_batch
 
     def _run_member(self, member: EnsembleMember, audio: np.ndarray) -> dict:
@@ -92,13 +104,21 @@ class StemSeparator:
         plan = plan_chunks(n, chunk, overlap)
         chunks = extract_chunks(jnp.asarray(audio), plan)  # (count, ch, chunk)
         db = max(1, min(self.device_batch, plan.count))
+        if self.mesh is not None:  # keep shards equal across the dp axis
+            dp = self.mesh.shape["dp"]
+            db += (-db) % dp
         pad = (-plan.count) % db
         if pad:
             chunks = jnp.concatenate(
                 [chunks, jnp.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
         groups: list[dict] = []
         for g in range(0, chunks.shape[0], db):
-            groups.append(member.apply_fn(chunks[g : g + db]))
+            batch = chunks[g : g + db]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.device_put(batch, NamedSharding(self.mesh, P("dp")))
+            groups.append(member.apply_fn(batch))
         out = {stem: jnp.concatenate([gr[stem] for gr in groups])[: plan.count]
                for stem in groups[0]}
         # stays ON DEVICE: stitched stems feed the blend/de-bleed and the

@@ -231,3 +231,38 @@ def test_distributed_single_host():
     info = init_distributed()
     assert info["process_count"] == 1
     assert info["global_devices"] >= 1
+
+
+def test_mesh_sharded_separation():
+    """Inference fan-out: chunk batches sharded over an 8-device dp mesh
+    produce the same stems as the unsharded path (ensemble members are
+    embarrassingly parallel — VERDICT r1 item 10)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from audiolab_tpu.models.separation.roformer import BSRoformer, RoformerConfig
+    from audiolab_tpu.pipelines.separate import EnsembleMember, StemSeparator
+
+    cfg = RoformerConfig(dim=16, depth=1, heads=2, n_fft=64, hop=32,
+                         freqs_per_bands=(16, 17), channels=2)
+    model = BSRoformer(cfg)
+    sr = 1000
+    audio = (np.random.default_rng(1).standard_normal((2, int(5.5 * sr))) * 0.1
+             ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, sr)))["params"]
+    apply_fn = jax.jit(lambda x: model.apply({"params": params}, x))
+
+    member = EnsembleMember(name="m", apply_fn=apply_fn)
+    plain = StemSeparator([member], sr=sr, chunk_seconds=1.0,
+                          overlap_seconds=0.25)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+    sharded = StemSeparator([member], sr=sr, chunk_seconds=1.0,
+                            overlap_seconds=0.25, device_batch=8, mesh=mesh)
+    assert sharded.device_batch % 8 == 0
+
+    a = plain.separate(audio)
+    b = sharded.separate(audio)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-5)
