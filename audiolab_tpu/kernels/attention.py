@@ -56,6 +56,7 @@ def attention_reference(q, k, v, causal=False, scale=None, mask=None):
 def _flash_kernel(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     *, scale: float, causal: bool, bq: int, bk: int, kv_len: int,
+    causal_offset: int,
 ):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -77,7 +78,10 @@ def _flash_kernel(
         key_ids = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         valid = key_ids < kv_len
         if causal:
-            qry_ids = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            # diagonal offset kv_len - q_len matches tril(k=tk-tq) in
+            # attention_reference, so tq != tk (KV-cache decode) agrees
+            qry_ids = (iq * bq + causal_offset
+                       + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0))
             valid = valid & (key_ids <= qry_ids)
         s = jnp.where(valid, s, _NEG_INF)
 
@@ -94,8 +98,8 @@ def _flash_kernel(
         m_scr[:] = m_new
 
     if causal:
-        # skip kv blocks entirely above the diagonal
-        pl.when(ik * bk <= (iq + 1) * bq - 1)(compute)
+        # skip kv blocks entirely above the (offset) diagonal
+        pl.when(ik * bk <= (iq + 1) * bq - 1 + causal_offset)(compute)
     else:
         compute()
 
@@ -136,7 +140,8 @@ def flash_attention(
     grid = (b * h, tq_p // bq, tk_p // bk)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk, kv_len=tk
+            _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk, kv_len=tk,
+            causal_offset=tk - tq,
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
         grid=grid,

@@ -61,8 +61,18 @@ def _highpass_device(x: jnp.ndarray) -> jnp.ndarray:
         taps = sps.firwin(257, 48, fs=16000, pass_zero=False)
         _HP_TAPS = jnp.asarray(taps, jnp.float32)
     pad = (len(_HP_TAPS) - 1) // 2
-    xp = jnp.pad(x, (pad, pad), mode="reflect")
-    return jnp.convolve(xp, _HP_TAPS, mode="valid") if x.ndim == 1 else x
+
+    def one(ch: jnp.ndarray) -> jnp.ndarray:
+        xp = jnp.pad(ch, (pad, pad), mode="reflect")
+        return jnp.convolve(xp, _HP_TAPS, mode="valid")
+
+    if x.ndim == 1:
+        return one(x)
+    # apply per-channel over any leading axes (the reference filters
+    # unconditionally, pipeline.py:252 — never pass audio through unfiltered)
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, x.shape[-1])
+    return jax.vmap(one)(flat).reshape(*lead, -1)
 
 
 class VoiceConverter:

@@ -9,6 +9,7 @@ route registry doubles as the OpenAPI document source.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -104,7 +105,12 @@ def make_handler(router: Router):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
-            self.send_header("Access-Control-Allow-Origin", "*")
+            # "*" mirrors the reference's CORS policy (api.py:98-104); an
+            # operator can pin it (e.g. to the UI origin) via env.
+            self.send_header(
+                "Access-Control-Allow-Origin",
+                os.environ.get("AUDIOLAB_CORS_ORIGIN", "*"),
+            )
             self.end_headers()
             self.wfile.write(data)
 

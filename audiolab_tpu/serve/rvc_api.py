@@ -82,12 +82,17 @@ def register(router, output_root: str) -> None:
                 shutil.copy2(p, dst)
                 persisted.append(dst)
 
+        # SECURITY: request settings must never control filesystem paths
+        # (a client-supplied path reaching torch.load is code execution —
+        # ADVICE r1).  Weights resolve server-side via AUDIOLAB_WEIGHTS_DIR.
+        settings = {k: v for k, v in dict(body.get("settings", {})).items()
+                    if not k.endswith(("_path", "_dir"))}
         job_id = submit_job(
             train_from_request,
             persisted,
             body.get("name", "voice"),
             models_dir,
-            dict(body.get("settings", {})),
+            settings,
         )
         return {"job_id": job_id}
 

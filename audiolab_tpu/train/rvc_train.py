@@ -14,12 +14,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def hubert_weights_path() -> str | None:
+    """Server-side HuBERT checkpoint location.  SECURITY: never taken from
+    request bodies — a client-controlled path fed to ``torch.load`` is an
+    arbitrary-code-execution primitive (pickle), and /api/v1/rvc/upload lets
+    clients write bytes into a predictable models dir.  Weights are resolved
+    only from the ``AUDIOLAB_WEIGHTS_DIR`` env var (set by the operator)."""
+    wdir = os.environ.get("AUDIOLAB_WEIGHTS_DIR")
+    if not wdir:
+        return None
+    for name in ("hubert_base.pt", "hubert_base.npz", "contentvec.pt"):
+        p = os.path.join(wdir, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def _hubert_apply_for(settings: dict):
     """Feature extractor for preprocessing.  Uses converted HuBERT weights
-    when ``settings['hubert_path']`` points at a fairseq checkpoint;
-    otherwise a deterministic random-init HuBERT (features are still a
-    stable embedding — fine for pipeline wiring, not for production voice
-    quality until weights are converted)."""
+    when the server's weights dir (``AUDIOLAB_WEIGHTS_DIR``) has a fairseq
+    checkpoint; otherwise a deterministic random-init HuBERT (features are
+    still a stable embedding — fine for pipeline wiring, not for production
+    voice quality until weights are converted)."""
     from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
 
     dim = int(settings.get("feat_channels", 768))
@@ -30,16 +46,14 @@ def _hubert_apply_for(settings: dict):
     model = HubertFeatureExtractor(version=settings.get("version", "v2"), cfg=cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 16000), jnp.float32))["params"]
-    path = settings.get("hubert_path")
-    if path and os.path.exists(path):
-        import torch
+    path = hubert_weights_path()
+    if path:
+        from audiolab_tpu.utils.convert import convert_hubert, torch_load_weights
 
-        from audiolab_tpu.utils.convert import convert_hubert
-
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = torch_load_weights(path)
         sd = sd.get("model", sd)
-        sd = {k: v.float().numpy() for k, v in sd.items()
-              if hasattr(v, "numpy")}
+        sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
+              if hasattr(v, "shape")}
         params = convert_hubert(sd, params, strict=False)
     return lambda wav: model.apply({"params": params}, wav)
 

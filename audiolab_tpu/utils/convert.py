@@ -33,6 +33,40 @@ import numpy as np
 #   w/b         generic .weight/.bias verbatim
 
 
+def torch_load_weights(path: str) -> dict:
+    """Load a torch checkpoint SAFELY (``weights_only=True``).
+
+    Full pickle load (``weights_only=False``) is an arbitrary-code-execution
+    primitive on untrusted files; every loader here goes through this
+    helper.  Checkpoints whose payload is plain tensors + containers (RVC
+    .pth from process_ckpt.py:13-56, plain state_dicts) load fine.  Fairseq
+    HuBERT checkpoints embed fairseq config objects; we allowlist them via
+    ``add_safe_globals`` when fairseq is importable, otherwise the file must
+    be re-exported as a plain state_dict first.
+
+    ``.npz`` / ``.safetensors`` paths load without torch entirely.
+    """
+    if path.endswith(".npz"):
+        return dict(np.load(path, allow_pickle=False))
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+
+    import torch
+
+    safe: list = []
+    try:  # pragma: no cover - fairseq not in this image
+        from fairseq.data.dictionary import Dictionary
+
+        safe.append(Dictionary)
+    except Exception:
+        pass
+    if safe:
+        torch.serialization.add_safe_globals(safe)
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
 def fold_weight_norm(g: np.ndarray, v: np.ndarray, dim: int = 0) -> np.ndarray:
     axes = tuple(i for i in range(v.ndim) if i != dim)
     norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
@@ -276,8 +310,9 @@ def load_rvc_checkpoint(path: str):
 
     from audiolab_tpu.models.rvc.synthesizer import SynthesizerTrn, config_for
 
-    cpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = {k: v.float().numpy() for k, v in cpt["weight"].items()}
+    cpt = torch_load_weights(path)
+    sd = {k: np.asarray(v.float().numpy() if hasattr(v, "float") else v,
+                        np.float32) for k, v in cpt["weight"].items()}
     sr_tag = str(cpt.get("sr", "48k"))
     sr = {"32k": 32000, "40k": 40000, "48k": 48000}.get(sr_tag, 48000)
     cfg = config_for(sr, cpt.get("version", "v2"))

@@ -194,6 +194,23 @@ def test_flash_attention_causal(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_attention_causal_rect(rng):
+    """tq != tk causal (KV-cache decode shape): both paths must apply the
+    tril(k=tk-tq) diagonal offset (ADVICE r1: the Pallas kernel previously
+    omitted it).  On CPU this exercises the fallback; the Pallas path is
+    validated against a fp64 oracle on TPU (commit note)."""
+    q = jnp.asarray(rng.standard_normal((1, 2, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 48, 8)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 48, 8)).astype(np.float32))
+    out = flash_attention(q, k, v, causal=True)
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # last query row attends to ALL keys (offset diagonal), not just first tq
+    full = attention_reference(q, k, v, causal=False)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, -1], np.asarray(full)[:, :, -1], atol=2e-5)
+
+
 def test_selective_scan_matches_sequential(rng):
     b, t, d, n = 2, 12, 4, 3
     u = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
