@@ -51,7 +51,7 @@ class ConvFeatureExtractor(nn.Module):
             x = nn.Conv(ch, (k,), strides=(s,), padding="VALID", use_bias=False,
                         name=f"conv_{i}")(x)
             if i == 0:
-                x = nn.GroupNorm(num_groups=ch, name="gn_0")(x)
+                x = nn.GroupNorm(num_groups=ch, epsilon=1e-5, name="gn_0")(x)  # torch eps
             x = nn.gelu(x, approximate=False)
         return x  # (b, t, 512)
 
@@ -83,11 +83,11 @@ class TransformerLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         y = SelfAttention(self.cfg.dim, self.cfg.heads, name="attn")(x)
-        x = nn.LayerNorm(name="ln1")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln1")(x + y)
         y = nn.Dense(self.cfg.ffn_dim, name="fc1")(x)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.cfg.dim, name="fc2")(y)
-        x = nn.LayerNorm(name="ln2")(x + y)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln2")(x + y)
         return x
 
 
@@ -99,7 +99,7 @@ class Hubert(nn.Module):
         """wav (b, n) 16 kHz in [-1,1] -> features (b, t, 768) from the given
         1-indexed layer; layer 9 + final_proj path via ``extract_v1``."""
         feats = ConvFeatureExtractor(name="feature_extractor")(wav)
-        x = nn.LayerNorm(name="ln_post_extract")(feats)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post_extract")(feats)
         x = nn.Dense(self.cfg.dim, name="post_extract_proj")(x)
 
         # conv positional embedding (k=128, g=16), residual
@@ -108,7 +108,7 @@ class Hubert(nn.Module):
         pos = nn.gelu(pos[:, : x.shape[1], :], approximate=False)
         # torch SamePad removes one trailing element for even kernels
         x = x + pos
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
 
         hidden = x
         out = None
@@ -129,10 +129,16 @@ class HubertFeatureExtractor(nn.Module):
 
     version: str = "v2"
     cfg: HubertConfig = HubertConfig()
+    output_layer: int | None = None  # None -> 12 (v2) / 9 (v1), scaled
 
     @nn.compact
     def __call__(self, wav):
-        layer = 12 if self.version == "v2" else 9
+        if self.output_layer is not None:
+            layer = self.output_layer
+        elif self.version == "v2":
+            layer = self.cfg.layers
+        else:  # v1 taps layer 9 of 12 (pipeline.py:186-191); scale for small cfgs
+            layer = max(1, self.cfg.layers * 9 // 12)
         x = Hubert(self.cfg, name="hubert")(wav, output_layer=layer)
         if self.version == "v1":
             x = nn.Dense(self.cfg.final_dim, name="final_proj")(x)

@@ -184,12 +184,12 @@ class TransformerEncoder(nn.Module):
                 self.hidden_channels, self.n_heads, self.window_size,
                 name=f"attn_{i}",
             )(x * x_mask, attn_mask)
-            x = nn.LayerNorm(name=f"norm1_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm1_{i}")(x + y)  # torch LN eps (modules.py:18)
             y = FFN(
                 self.hidden_channels, self.filter_channels, self.kernel_size,
                 name=f"ffn_{i}",
             )(x, x_mask)
-            x = nn.LayerNorm(name=f"norm2_{i}")(x + y)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm2_{i}")(x + y)
         return x * x_mask
 
 

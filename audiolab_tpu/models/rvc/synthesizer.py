@@ -243,7 +243,9 @@ class GeneratorNSF(nn.Module):
             ):
                 xs = xs + ResBlock1(ch, rk, tuple(rd), name=f"resblock_{i}_{j}")(x)
             x = xs / len(c.resblock_kernel_sizes)
-        x = lrelu(x)
+        # final activation uses torch's DEFAULT leaky slope 0.01, not 0.1
+        # (models.py:562 `F.leaky_relu(x)` — parity-verified vs torch)
+        x = lrelu(x, 0.01)
         x = Conv1d(1, 7, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)  # (b, t*upp, 1)
 

@@ -80,11 +80,21 @@ def _get_wn(sd: dict, key: str) -> np.ndarray:
                             np.asarray(sd[key + ".weight_v"]), dim=0)
 
 
+def _get_wn2(sd: dict, key: str) -> np.ndarray:
+    """Weight-norm fold over dim=2 (fairseq pos_conv: weight_g is (1,1,k))."""
+    if key + ".weight" in sd:
+        return np.asarray(sd[key + ".weight"])
+    return fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
+                            np.asarray(sd[key + ".weight_v"]), dim=2)
+
+
 def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "conv_w":
         return np.transpose(np.asarray(sd[key + ".weight"]), (2, 1, 0))
     if kind == "convwn_w":
         return np.transpose(_get_wn(sd, key), (2, 1, 0))
+    if kind == "convwn2_w":
+        return np.transpose(_get_wn2(sd, key), (2, 1, 0))
     if kind == "convTwn_w":
         # torch ConvT weight (in, out, k) -> flax default ConvTranspose
         # kernel (k, in, out) WITH a spatial flip (validated against real
@@ -121,6 +131,10 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         v = rng.standard_normal((flax_shape[2], flax_shape[1], flax_shape[0]))
         put(key + ".weight_v", v)
         put(key + ".weight_g", np.abs(rng.standard_normal((v.shape[0], 1, 1))) + 0.5)
+    elif kind == "convwn2_w":
+        v = rng.standard_normal((flax_shape[2], flax_shape[1], flax_shape[0]))
+        put(key + ".weight_v", v)
+        put(key + ".weight_g", np.abs(rng.standard_normal((1, 1, v.shape[2]))) + 0.5)
     elif kind == "convTwn_w":
         # inverse of extract: torch layout (in, out, k)
         v = rng.standard_normal((flax_shape[1], flax_shape[2], flax_shape[0]))
@@ -350,7 +364,8 @@ def hubert_mapping(template: dict) -> dict[str, tuple[str, str]]:
     dense("hubert/post_extract_proj", "post_extract_proj")
     norm("hubert/ln_post_extract", "layer_norm")
     norm("hubert/ln_pre", "encoder.layer_norm")
-    m["hubert/pos_conv/kernel"] = ("convwn_w", "encoder.pos_conv.0")
+    # fairseq weight-norms pos_conv over dim=2 (weight_g shape (1,1,k))
+    m["hubert/pos_conv/kernel"] = ("convwn2_w", "encoder.pos_conv.0")
     m["hubert/pos_conv/bias"] = ("bias", "encoder.pos_conv.0")
 
     i = 0
@@ -368,9 +383,19 @@ def hubert_mapping(template: dict) -> dict[str, tuple[str, str]]:
     return m
 
 
+def hubert_wrapper_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """Mapping for the HubertFeatureExtractor wrapper tree, whose v1 path
+    adds a top-level final_proj Dense next to the inner ``hubert`` tree."""
+    m = hubert_mapping(template)
+    if "final_proj" in template:
+        m["final_proj/kernel"] = ("dense_w", "final_proj")
+        m["final_proj/bias"] = ("bias", "final_proj")
+    return m
+
+
 def convert_hubert(state_dict: dict, template: dict, strict: bool = True) -> dict:
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
-    return fill_tree(template, hubert_mapping(template), sd, strict)
+    return fill_tree(template, hubert_wrapper_mapping(template), sd, strict)
 
 
 # ------------------------------------------------------------------ Whisper

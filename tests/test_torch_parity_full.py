@@ -1,0 +1,221 @@
+"""FULL-MODULE torch parity (VERDICT r1 item 3): seeded torch replicas of
+the reference architectures (tests/torch_ref_models.py) -> state_dict ->
+utils/convert.py -> flax, asserting waveform + activation parity and the
+BASELINE mel-L1 < 1e-2 gate on the end-to-end RVC synthesizer.
+
+This is the real checkpoint path: the torch state_dict key names match the
+published checkpoints, so any layout/arch divergence the converter would
+hit on a downloaded .pth shows up here.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from audiolab_tpu.utils.convert import convert_hubert, convert_rvc  # noqa: E402
+
+from tests.torch_ref_models import (  # noqa: E402
+    HubertTorch,
+    SynthesizerTrnMs768NSFsid,
+)
+
+# small-but-structurally-complete config (all the v2-48k structure, fewer
+# channels so CPU runtime stays in seconds)
+CFG = dict(
+    spec_channels=129,
+    segment_size=5760,
+    inter_channels=32,
+    hidden_channels=32,
+    filter_channels=64,
+    n_heads=2,
+    n_layers=2,
+    kernel_size=3,
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+    upsample_rates=(12, 10, 2, 2),
+    upsample_initial_channel=64,
+    spk_embed_dim=4,
+    gin_channels=16,
+    sr=48000,
+    feat_channels=48,
+)
+UPSAMPLE_KERNELS = (24, 20, 4, 4)
+
+
+def _flax_cfg():
+    from audiolab_tpu.models.rvc.synthesizer import SynthesizerConfig
+
+    return SynthesizerConfig(upsample_kernel_sizes=UPSAMPLE_KERNELS, **CFG)
+
+
+def _build_pair(seed=0):
+    torch.manual_seed(seed)
+    t_model = SynthesizerTrnMs768NSFsid(
+        upsample_kernel_sizes=UPSAMPLE_KERNELS, **CFG).eval()
+
+    from audiolab_tpu.models.rvc.synthesizer import SynthesizerTrn
+
+    cfg = _flax_cfg()
+    f_model = SynthesizerTrn(cfg)
+    t = 24
+    template = f_model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, t, cfg.feat_channels)), jnp.full((1,), t, jnp.int32),
+        jnp.ones((1, t), jnp.int32), jnp.full((1, t), 200.0),
+        jnp.zeros((1,), jnp.int32), None,
+        method=SynthesizerTrn.infer,
+    )["params"]
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    params = convert_rvc(sd, template, strict=False)
+    return t_model, f_model, params, cfg
+
+
+@pytest.fixture(scope="module")
+def pair():
+    return _build_pair()
+
+
+def _mel_l1(a: np.ndarray, b: np.ndarray, sr: int) -> float:
+    """BASELINE gate metric: L1 between log-mel spectrograms."""
+    from audiolab_tpu.kernels.mel import log_mel, mel_spectrogram
+
+    n = min(len(a), len(b))
+    ma = log_mel(mel_spectrogram(jnp.asarray(a[:n])[None], sr=sr, n_fft=1024,
+                                 hop=256, n_mels=80))
+    mb = log_mel(mel_spectrogram(jnp.asarray(b[:n])[None], sr=sr, n_fft=1024,
+                                 hop=256, n_mels=80))
+    return float(jnp.mean(jnp.abs(ma - mb)))
+
+
+def test_rvc_full_infer_parity(pair):
+    """torch SynthesizerTrn.infer vs converted flax: waveform + mel gate."""
+    t_model, f_model, params, cfg = pair
+    rng = np.random.default_rng(1)
+    b, t = 1, 40
+    phone = rng.standard_normal((b, t, cfg.feat_channels)).astype(np.float32)
+    lengths = np.full((b,), t, np.int64)
+    pitch = rng.integers(1, 255, (b, t))
+    # fully-voiced f0 so SineGen's additive noise (std 0.003) stays tiny
+    pitchf = rng.uniform(120, 300, (b, t)).astype(np.float32)
+    sid = np.zeros((b,), np.int64)
+
+    with torch.no_grad():
+        ref = t_model.infer(
+            torch.from_numpy(phone), torch.from_numpy(lengths),
+            torch.from_numpy(pitch), torch.from_numpy(pitchf),
+            torch.from_numpy(sid), deterministic=True,
+        ).numpy()[:, 0]
+
+    from audiolab_tpu.models.rvc.synthesizer import SynthesizerTrn
+
+    out = f_model.apply(
+        {"params": params}, jnp.asarray(phone),
+        jnp.asarray(lengths, jnp.int32), jnp.asarray(pitch, jnp.int32),
+        jnp.asarray(pitchf), jnp.asarray(sid, jnp.int32), None,
+        method=SynthesizerTrn.infer,
+    )
+    out = np.asarray(out)
+
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    # raw waveform agreement (both deterministic; SineGen noise is the only
+    # stochastic residue and is ~0.003 * tanh-net gain)
+    assert np.abs(out - ref).max() < 5e-2, np.abs(out - ref).max()
+    mel = _mel_l1(out[0], ref[0], cfg.sr)
+    assert mel < 1e-2, f"mel-L1 {mel} >= 1e-2 (BASELINE gate)"
+
+
+def test_rvc_stage_activations(pair):
+    """Per-stage parity: enc_p stats and reverse flow output."""
+    t_model, f_model, params, cfg = pair
+    rng = np.random.default_rng(2)
+    b, t = 2, 17
+    phone = rng.standard_normal((b, t, cfg.feat_channels)).astype(np.float32)
+    lengths = np.array([t, t - 5], np.int64)
+    pitch = rng.integers(1, 255, (b, t))
+
+    with torch.no_grad():
+        m_t, logs_t, mask_t = t_model.enc_p(
+            torch.from_numpy(phone), torch.from_numpy(pitch),
+            torch.from_numpy(lengths))
+        g_t = t_model.emb_g(torch.zeros(b, dtype=torch.long)).unsqueeze(-1)
+        z_t = t_model.flow(m_t, mask_t, g=g_t, reverse=True)
+
+    enc_p_vars = {"params": params["enc_p"]}
+    from audiolab_tpu.models.rvc.synthesizer import (
+        ResidualCouplingBlock,
+        TextEncoder,
+    )
+
+    m_f, logs_f, mask_f = TextEncoder(cfg).apply(
+        enc_p_vars, jnp.asarray(phone), jnp.asarray(pitch, jnp.int32),
+        jnp.asarray(lengths, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(m_f).transpose(0, 2, 1), m_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(logs_f).transpose(0, 2, 1), logs_t.numpy(), atol=2e-4)
+
+    g_f = np.asarray(params["emb_g"]["embedding"])[0][None, None, :]
+    z_f = ResidualCouplingBlock(cfg).apply(
+        {"params": params["flow"]}, np.asarray(m_f),
+        np.asarray(mask_f), g=jnp.asarray(g_f), reverse=True)
+    np.testing.assert_allclose(
+        np.asarray(z_f).transpose(0, 2, 1), z_t.numpy(), atol=5e-4)
+
+
+def test_hubert_full_parity():
+    """fairseq-named torch HuBERT -> converter -> flax: layer-12 features.
+
+    Layer-9/12 feature parity is the linchpin of RVC voice quality
+    (SURVEY hard-parts list)."""
+    torch.manual_seed(3)
+    dim, layers = 64, 3
+    t_model = HubertTorch(dim=dim, ffn_dim=dim * 4, heads=4, layers=layers,
+                          final_dim=32).eval()
+
+    from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
+
+    cfg = HubertConfig(dim=dim, ffn_dim=dim * 4, heads=4, layers=layers,
+                       final_dim=32)
+    f_model = HubertFeatureExtractor(version="v2", cfg=cfg)
+    wav = (np.random.default_rng(4).standard_normal(8000) * 0.1
+           ).astype(np.float32)[None]
+    template = f_model.init(jax.random.PRNGKey(0), jnp.asarray(wav))["params"]
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    params = convert_hubert(sd, template, strict=False)
+
+    with torch.no_grad():
+        ref = t_model.extract_features(torch.from_numpy(wav),
+                                       output_layer=layers).numpy()
+    out = np.asarray(f_model.apply({"params": params}, jnp.asarray(wav)))
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_hubert_v1_final_proj_parity():
+    """v1 path: layer-9 features + final_proj to 256-d (pipeline.py:186-191)."""
+    torch.manual_seed(5)
+    dim, layers = 64, 3
+    t_model = HubertTorch(dim=dim, ffn_dim=dim * 4, heads=4, layers=layers,
+                          final_dim=32).eval()
+
+    from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
+
+    cfg = HubertConfig(dim=dim, ffn_dim=dim * 4, heads=4, layers=layers,
+                       final_dim=32)
+    f_model = HubertFeatureExtractor(version="v1", cfg=cfg, output_layer=2)
+    wav = (np.random.default_rng(6).standard_normal(6400) * 0.1
+           ).astype(np.float32)[None]
+    template = f_model.init(jax.random.PRNGKey(0), jnp.asarray(wav))["params"]
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    params = convert_hubert(sd, template, strict=False)
+
+    with torch.no_grad():
+        feats = t_model.extract_features(torch.from_numpy(wav), output_layer=2)
+        ref = t_model.final_proj(feats).numpy()
+    out = np.asarray(f_model.apply({"params": params}, jnp.asarray(wav)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4)
