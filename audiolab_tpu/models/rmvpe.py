@@ -68,10 +68,12 @@ class ResDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        # ConvTranspose2d k3 s2 p1 outpad1 == exact 2x upsample
+        # torch ConvTranspose2d k3 s2 p1 outpad1 (exact 2x upsample) maps to
+        # flax padding ((1,2),(1,2)) with a spatially-flipped kernel — the
+        # correspondence is validated to 1e-14 in tests/test_torch_parity_full
         x = nn.ConvTranspose(
-            self.out_channels, (3, 3), strides=(2, 2), padding="SAME",
-            use_bias=False, name="convt",
+            self.out_channels, (3, 3), strides=(2, 2),
+            padding=((1, 2), (1, 2)), use_bias=False, name="convt",
         )(x)
         x = nn.BatchNorm(use_running_average=True, name="bn")(x)
         x = nn.relu(x)
@@ -111,25 +113,39 @@ class BiGRU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x (b, t, f)
-        fwd = nn.RNN(nn.GRUCell(self.hidden), name="fwd")(x)
-        bwd = nn.RNN(nn.GRUCell(self.hidden), reverse=True, keep_order=True, name="bwd")(x)
+        # x (b, t, f); carry dtype follows the input so the fp64 parity
+        # path works (GRUCell's initialize_carry uses param_dtype)
+        cell = lambda: nn.GRUCell(self.hidden, param_dtype=x.dtype)
+        fwd = nn.RNN(cell(), name="fwd")(x)
+        bwd = nn.RNN(cell(), reverse=True, keep_order=True, name="bwd")(x)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 class E2E(nn.Module):
-    """rmvpe.py:430-473 with n_blocks=4, n_gru=1, kernel (2,2)."""
+    """rmvpe.py:430-473 with n_blocks=4, n_gru=1, kernel (2,2).
+
+    Sizes are configurable so parity tests can run a structurally identical
+    small variant; the defaults match the published rmvpe.pt checkpoint."""
+
+    en_de_layers: int = 5
+    inter_layers: int = 4
+    n_blocks: int = 4
+    en_out_channels: int = 16
+    gru_hidden: int = 256
 
     @nn.compact
     def __call__(self, mel):
         # mel (b, T, 128) — note reference feeds (b, 1, T, 128) NCHW
         t = mel.shape[1]
-        pad = (-t) % 32  # U-net needs T divisible by 2^5
+        pad = (-t) % (1 << self.en_de_layers)
         x = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))[..., None]  # (b,T,128,1)
-        x = DeepUnet(name="unet")(x)
+        x = DeepUnet(self.en_de_layers, self.inter_layers, self.n_blocks,
+                     self.en_out_channels, name="unet")(x)
         x = nn.Conv(3, (3, 3), padding="SAME", name="cnn")(x)  # (b,T,128,3)
-        x = x.reshape(x.shape[0], x.shape[1], -1)  # (b,T,384)
-        x = BiGRU(name="gru")(x)
+        # reference flattens channel-major: (b,3,T,128)->(b,T,3*128), so the
+        # GRU input index is c*128+m — transpose before reshape to match
+        x = jnp.transpose(x, (0, 1, 3, 2)).reshape(x.shape[0], x.shape[1], -1)
+        x = BiGRU(self.gru_hidden, name="gru")(x)
         x = nn.Dense(N_CLASS, name="fc")(x)
         return jax.nn.sigmoid(x)[:, :t]
 
@@ -162,6 +178,14 @@ class RMVPE:
         if params is not None:
             self.variables = {"params": params, "batch_stats": batch_stats or {}}
 
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "RMVPE":
+        """Load the published rmvpe.pt (torch state_dict, rmvpe.py:687)."""
+        from audiolab_tpu.utils.convert import load_rmvpe_checkpoint
+
+        variables = load_rmvpe_checkpoint(path)
+        return cls(variables["params"], variables["batch_stats"])
+
     def init(self, rng, t_frames: int = 320):
         mel = jnp.zeros((1, t_frames, N_MELS))
         self.variables = self.model.init(rng, mel)
@@ -172,9 +196,11 @@ class RMVPE:
         return self.model.apply(variables, mel)
 
     def mel(self, audio16k: jnp.ndarray) -> jnp.ndarray:
+        # reference MelSpectrogram(128, 16000, 1024, 160, fmin 30, fmax 8000)
+        # builds its filterbank with librosa htk=True (rmvpe.py:490-498)
         m = mel_spectrogram(
             audio16k, sr=16000, n_fft=1024, hop=160, n_mels=N_MELS,
-            fmin=30.0, fmax=8000.0, htk=False, norm="slaney", power=1.0,
+            fmin=30.0, fmax=8000.0, htk=True, norm="slaney", power=1.0,
         )
         return jnp.log(jnp.clip(m, 1e-5, None))
 
@@ -185,5 +211,12 @@ class RMVPE:
         if self.variables is None:  # lazy random init (converter fills real)
             self.init(jax.random.PRNGKey(0))
         mel = self.mel(audio16k)
-        hidden = self._run(self.variables, mel)
+        # reference reflect-pads mel frames to a multiple of 32 before the
+        # U-net and slices back (rmvpe.py mel2hidden); E2E's internal zero
+        # pad is then a no-op
+        t = mel.shape[1]
+        pad = min((-t) % 32, t - 1)
+        if pad:
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
+        hidden = self._run(self.variables, mel)[:, :t]
         return decode_f0(hidden, threshold)

@@ -116,6 +116,42 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
         return np.asarray(sd[key + ".weight"])
     if kind == "b":
         return np.asarray(sd[key + ".bias"])
+    if kind == "conv2_w":
+        # torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)
+        return np.transpose(np.asarray(sd[key + ".weight"]), (2, 3, 1, 0))
+    if kind == "convT2_w":
+        # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
+        # with a spatial flip (validated to 1e-14 vs torch k3/s2/p1/outpad1
+        # with flax padding ((1,2),(1,2)) in tests/test_torch_parity_full)
+        w = np.transpose(np.asarray(sd[key + ".weight"]), (2, 3, 0, 1))
+        return w[::-1, ::-1].copy()
+    if kind.startswith("gru_"):
+        # key format "{torch_gru_prefix}.{l0|l0_reverse}|{r|z|n}"
+        base_sfx, gate = key.split("|")
+        base, sfx = base_sfx.rsplit(".", 1)
+        g = {"r": 0, "z": 1, "n": 2}[gate]
+        if kind == "gru_iw":
+            w = np.asarray(sd[f"{base}.weight_ih_{sfx}"])
+            h = w.shape[0] // 3
+            return w[g * h:(g + 1) * h].T
+        if kind == "gru_hw":
+            w = np.asarray(sd[f"{base}.weight_hh_{sfx}"])
+            h = w.shape[0] // 3
+            return w[g * h:(g + 1) * h].T
+        if kind == "gru_ib":
+            bi = np.asarray(sd[f"{base}.bias_ih_{sfx}"])
+            h = bi.shape[0] // 3
+            if gate == "n":
+                # torch: n = tanh(W_in x + b_in + r*(W_hn h + b_hn)); flax
+                # keeps b_in on the input dense and b_hn on hn
+                return bi[2 * h:3 * h]
+            # r/z gates: flax has no hidden-side bias, so fold b_hh in
+            bh = np.asarray(sd[f"{base}.bias_hh_{sfx}"])
+            return bi[g * h:(g + 1) * h] + bh[g * h:(g + 1) * h]
+        if kind == "gru_hb":
+            bh = np.asarray(sd[f"{base}.bias_hh_{sfx}"])
+            h = bh.shape[0] // 3
+            return bh[2 * h:3 * h]
     raise ValueError(f"unknown kind {kind}")
 
 
@@ -157,6 +193,27 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         put(key + ".weight", rng.standard_normal(flax_shape))
     elif kind == "b":
         put(key + ".bias", rng.standard_normal(flax_shape))
+    elif kind == "conv2_w":
+        put(key + ".weight", rng.standard_normal(
+            (flax_shape[3], flax_shape[2], flax_shape[0], flax_shape[1])))
+    elif kind == "convT2_w":
+        put(key + ".weight", rng.standard_normal(
+            (flax_shape[2], flax_shape[3], flax_shape[0], flax_shape[1])))
+    elif kind.startswith("gru_"):
+        base_sfx, _gate = key.split("|")
+        base, sfx = base_sfx.rsplit(".", 1)
+        if kind in ("gru_iw", "gru_ib"):
+            n_in, h = (flax_shape if kind == "gru_iw"
+                       else (None, flax_shape[0]))
+            if kind == "gru_iw":
+                put(f"{base}.weight_ih_{sfx}", rng.standard_normal((3 * h, n_in)))
+            put(f"{base}.bias_ih_{sfx}", rng.standard_normal((3 * h,)))
+            put(f"{base}.bias_hh_{sfx}", rng.standard_normal((3 * h,)))
+        else:  # gru_hw / gru_hb
+            h = flax_shape[0] if kind == "gru_hb" else flax_shape[1]
+            put(f"{base}.weight_hh_{sfx}", rng.standard_normal((3 * h, h)))
+            put(f"{base}.bias_hh_{sfx}", rng.standard_normal((3 * h,)))
+            put(f"{base}.bias_ih_{sfx}", rng.standard_normal((3 * h,)))
 
 
 def tree_paths(template: dict, prefix: str = "") -> dict[str, tuple]:
@@ -464,3 +521,121 @@ def whisper_mapping(template: dict) -> dict[str, tuple[str, str]]:
 def convert_whisper(state_dict: dict, template: dict, strict: bool = True) -> dict:
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     return fill_tree(template, whisper_mapping(template), sd, strict)
+
+
+# ------------------------------------------------------------------ RMVPE
+
+def _rmvpe_block(m: dict, path: str, key: str, tpl: dict) -> None:
+    """One ConvBlockRes: flax {conv1,bn1,conv2,bn2[,shortcut]} <-
+    torch Sequential indices .conv.{0,1,3,4} (+ .shortcut)."""
+    m[f"{path}/conv1/kernel"] = ("conv2_w", f"{key}.conv.0")
+    m[f"{path}/bn1/scale"] = ("w", f"{key}.conv.1")
+    m[f"{path}/bn1/bias"] = ("b", f"{key}.conv.1")
+    m[f"{path}/conv2/kernel"] = ("conv2_w", f"{key}.conv.3")
+    m[f"{path}/bn2/scale"] = ("w", f"{key}.conv.4")
+    m[f"{path}/bn2/bias"] = ("b", f"{key}.conv.4")
+    if "shortcut" in tpl:
+        m[f"{path}/shortcut/kernel"] = ("conv2_w", f"{key}.shortcut")
+        m[f"{path}/shortcut/bias"] = ("bias", f"{key}.shortcut")
+
+
+def _rmvpe_gru(m: dict, path: str, base: str, sfx: str) -> None:
+    for gate in "rzn":
+        m[f"{path}/i{gate}/kernel"] = ("gru_iw", f"{base}.{sfx}|{gate}")
+        m[f"{path}/i{gate}/bias"] = ("gru_ib", f"{base}.{sfx}|{gate}")
+        m[f"{path}/h{gate}/kernel"] = ("gru_hw", f"{base}.{sfx}|{gate}")
+    m[f"{path}/hn/bias"] = ("gru_hb", f"{base}.{sfx}|n")
+
+
+def rmvpe_mapping(params: dict) -> dict[str, tuple[str, str]]:
+    """flax params tree -> rmvpe.pt state-dict names (E2E(4,1,(2,2)),
+    reference modules/rvc/infer/lib/rmvpe.py:430-473)."""
+    m: dict[str, tuple[str, str]] = {}
+    unet = params["unet"]
+    m["unet/bn_in/scale"] = ("w", "unet.encoder.bn")
+    m["unet/bn_in/bias"] = ("b", "unet.encoder.bn")
+    for name, tpl in unet.items():
+        if name.startswith("enc_") or name.startswith("inter_"):
+            i = int(name.split("_")[1])
+            tk = ("unet.encoder.layers" if name.startswith("enc_")
+                  else "unet.intermediate.layers")
+            for bname, btpl in tpl.items():
+                j = int(bname.split("_")[1])
+                _rmvpe_block(m, f"unet/{name}/{bname}", f"{tk}.{i}.conv.{j}",
+                             btpl)
+        elif name.startswith("dec_"):
+            i = int(name.split("_")[1])
+            tk = f"unet.decoder.layers.{i}"
+            m[f"unet/{name}/convt/kernel"] = ("convT2_w", f"{tk}.conv1.0")
+            m[f"unet/{name}/bn/scale"] = ("w", f"{tk}.conv1.1")
+            m[f"unet/{name}/bn/bias"] = ("b", f"{tk}.conv1.1")
+            for bname, btpl in tpl.items():
+                if bname.startswith("block_"):
+                    j = int(bname.split("_")[1])
+                    _rmvpe_block(m, f"unet/{name}/{bname}",
+                                 f"{tk}.conv2.{j}", btpl)
+    m["cnn/kernel"] = ("conv2_w", "cnn")
+    m["cnn/bias"] = ("bias", "cnn")
+    _rmvpe_gru(m, "gru/GRUCell_0", "fc.0.gru", "l0")
+    _rmvpe_gru(m, "gru/GRUCell_1", "fc.0.gru", "l0_reverse")
+    m["fc/kernel"] = ("dense_w", "fc.1")
+    m["fc/bias"] = ("bias", "fc.1")
+    return m
+
+
+def rmvpe_stats_mapping(stats: dict) -> dict[str, tuple[str, str]]:
+    """batch_stats tree (mean/var) -> torch running_mean/running_var keys."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def bn(path, key):
+        m[f"{path}/mean"] = ("direct", f"{key}.running_mean")
+        m[f"{path}/var"] = ("direct", f"{key}.running_var")
+
+    unet = stats["unet"]
+    bn("unet/bn_in", "unet.encoder.bn")
+    for name, tpl in unet.items():
+        if name.startswith("enc_") or name.startswith("inter_"):
+            i = int(name.split("_")[1])
+            tk = ("unet.encoder.layers" if name.startswith("enc_")
+                  else "unet.intermediate.layers")
+            for bname in tpl:
+                j = int(bname.split("_")[1])
+                bn(f"unet/{name}/{bname}/bn1", f"{tk}.{i}.conv.{j}.conv.1")
+                bn(f"unet/{name}/{bname}/bn2", f"{tk}.{i}.conv.{j}.conv.4")
+        elif name.startswith("dec_"):
+            i = int(name.split("_")[1])
+            tk = f"unet.decoder.layers.{i}"
+            bn(f"unet/{name}/bn", f"{tk}.conv1.1")
+            for bname in tpl:
+                if bname.startswith("block_"):
+                    j = int(bname.split("_")[1])
+                    bn(f"unet/{name}/{bname}/bn1", f"{tk}.conv2.{j}.conv.1")
+                    bn(f"unet/{name}/{bname}/bn2", f"{tk}.conv2.{j}.conv.4")
+    return m
+
+
+def convert_rmvpe(state_dict: dict, variables: dict,
+                  strict: bool = True) -> dict:
+    """torch rmvpe.pt state dict -> flax {"params", "batch_stats"}."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return {
+        "params": fill_tree(variables["params"],
+                            rmvpe_mapping(variables["params"]), sd, strict),
+        "batch_stats": fill_tree(
+            variables["batch_stats"],
+            rmvpe_stats_mapping(variables["batch_stats"]), sd, strict),
+    }
+
+
+def load_rmvpe_checkpoint(path: str) -> dict:
+    """rmvpe.pt -> flax variables for models/rmvpe.E2E (full-size)."""
+    import jax
+
+    from audiolab_tpu.models.rmvpe import RMVPE
+
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    wrapper = RMVPE()
+    template = wrapper.init(jax.random.PRNGKey(0), t_frames=32)
+    return convert_rmvpe(sd, template)

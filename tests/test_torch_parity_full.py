@@ -219,3 +219,80 @@ def test_hubert_v1_final_proj_parity():
     out = np.asarray(f_model.apply({"params": params}, jnp.asarray(wav)))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+# ------------------------------------------------------------------ RMVPE
+
+def test_rmvpe_full_parity():
+    """torch RMVPE E2E (rmvpe.pt key names) -> convert_rmvpe -> flax.
+
+    Runs a structurally identical small variant (same code path, loop
+    counts come from the template) in float64: XLA CPU convs use reduced
+    precision in fp32 on this host (~2e-3 relative), which would mask
+    nothing but adds noise; fp64 gives exact layout validation.
+    """
+    from tests.torch_ref_models import RmvpeE2ETorch
+
+    import jax as _jax
+
+    small = dict(n_blocks=2, en_de_layers=3, inter_layers=2,
+                 en_out_channels=2, gru_hidden=8)
+    torch.manual_seed(7)
+    t_model = RmvpeE2ETorch(**small).double().eval()
+    # randomize BN affine + running stats so a swap/misroute shows up
+    gen = torch.Generator().manual_seed(8)
+    for mod in t_model.modules():
+        if isinstance(mod, torch.nn.BatchNorm2d):
+            with torch.no_grad():
+                mod.running_mean.normal_(0.0, 0.5, generator=gen)
+                mod.running_var.uniform_(0.5, 1.5, generator=gen)
+                mod.weight.uniform_(0.5, 1.5, generator=gen)
+                mod.bias.normal_(0.0, 0.5, generator=gen)
+
+    from audiolab_tpu.models.rmvpe import E2E
+    from audiolab_tpu.utils.convert import convert_rmvpe
+
+    f_model = E2E(**small)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        mel = np.random.default_rng(9).standard_normal((1, 24, 128)) * 0.7
+        variables = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 24, 128), jnp.float64)))
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        conv = convert_rmvpe(sd, variables, strict=True)
+        conv = _jax.tree.map(lambda a: a.astype(np.float64), conv)
+
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()
+        out = np.asarray(f_model.apply(conv, jnp.asarray(mel)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+def test_rmvpe_fullsize_mapping_covers_checkpoint():
+    """Every leaf of the FULL-SIZE E2E(4,1,(2,2)) tree has a mapping and the
+    shapes line up with a fabricated rmvpe.pt-shaped state dict (template
+    via eval_shape -- no compile)."""
+    from audiolab_tpu.models.rmvpe import E2E
+    from audiolab_tpu.utils.convert import (
+        convert_rmvpe,
+        rmvpe_mapping,
+        rmvpe_stats_mapping,
+        synth_state_dict,
+    )
+
+    f_model = E2E()
+    variables = jax.eval_shape(
+        lambda: f_model.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 128), jnp.float32)))
+    sd = synth_state_dict(variables["params"],
+                          rmvpe_mapping(variables["params"]), seed=3)
+    sd.update(synth_state_dict(variables["batch_stats"],
+                               rmvpe_stats_mapping(variables["batch_stats"]),
+                               seed=4))
+    conv = convert_rmvpe(sd, variables, strict=True)  # raises on any gap
+    n = len(jax.tree.leaves(conv))
+    assert n == len(jax.tree.leaves(variables)), n

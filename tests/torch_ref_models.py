@@ -576,3 +576,141 @@ class _HubertAttention(nn.Module):
         o = F.scaled_dot_product_attention(q, k, v)
         o = o.transpose(1, 2).contiguous().view(b, t, self.dim)
         return self.out_proj(o)
+
+
+# ------------------------------------------------------------------ RMVPE
+
+
+class _RmvpeConvBlock(nn.Module):
+    """ConvBlockRes (rmvpe.py:238-267): two conv+BN+ReLU, residual add;
+    keys .conv.{0,1,3,4} + optional .shortcut."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+            nn.Conv2d(cout, cout, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+        )
+        if cin != cout:
+            self.shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        y = self.conv(x)
+        return y + (self.shortcut(x) if hasattr(self, "shortcut") else x)
+
+
+class _RmvpeEncBlock(nn.Module):
+    """ResEncoderBlock (rmvpe.py:307-328): n conv blocks (+ avg pool)."""
+
+    def __init__(self, cin, cout, n_blocks, pool):
+        super().__init__()
+        self.conv = nn.ModuleList(
+            [_RmvpeConvBlock(cin, cout)]
+            + [_RmvpeConvBlock(cout, cout) for _ in range(n_blocks - 1)])
+        self.do_pool = pool
+        if pool:
+            self.pool = nn.AvgPool2d((2, 2))
+
+    def forward(self, x):
+        for blk in self.conv:
+            x = blk(x)
+        if self.do_pool:
+            return x, self.pool(x)
+        return x
+
+
+class _RmvpeDecBlock(nn.Module):
+    """ResDecoderBlock (rmvpe.py:350-376): ConvT(k3,s2,p1,op1)+BN+ReLU,
+    concat skip, n conv blocks; keys .conv1.{0,1} / .conv2.{j}."""
+
+    def __init__(self, cin, cout, n_blocks):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.ConvTranspose2d(cin, cout, 3, stride=2, padding=1,
+                               output_padding=1, bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+        )
+        self.conv2 = nn.ModuleList(
+            [_RmvpeConvBlock(cout * 2, cout)]
+            + [_RmvpeConvBlock(cout, cout) for _ in range(n_blocks - 1)])
+
+    def forward(self, x, skip):
+        x = self.conv1(x)
+        x = torch.cat((x, skip), dim=1)
+        for blk in self.conv2:
+            x = blk(x)
+        return x
+
+
+class RmvpeE2ETorch(nn.Module):
+    """rmvpe.py:430-473 E2E(n_blocks, 1, (2,2)); state-dict names match
+    the published rmvpe.pt (unet.encoder.layers.*, fc.0.gru.*, ...)."""
+
+    def __init__(self, n_blocks=4, en_de_layers=5, inter_layers=4,
+                 en_out_channels=16, gru_hidden=256, n_mels=128,
+                 n_class=360):
+        super().__init__()
+        self.unet = nn.Module()
+        enc = nn.Module()
+        enc.bn = nn.BatchNorm2d(1)
+        layers = []
+        cin, cout = 1, en_out_channels
+        for _ in range(en_de_layers):
+            layers.append(_RmvpeEncBlock(cin, cout, n_blocks, pool=True))
+            cin, cout = cout, cout * 2
+        enc.layers = nn.ModuleList(layers)
+        self.unet.encoder = enc
+
+        inter = nn.Module()
+        inter.layers = nn.ModuleList(
+            [_RmvpeEncBlock(cin, cout, n_blocks, pool=False)]
+            + [_RmvpeEncBlock(cout, cout, n_blocks, pool=False)
+               for _ in range(inter_layers - 1)])
+        self.unet.intermediate = inter
+
+        dec = nn.Module()
+        dlayers = []
+        ch = cout
+        for _ in range(en_de_layers):
+            dlayers.append(_RmvpeDecBlock(ch, ch // 2, n_blocks))
+            ch //= 2
+        dec.layers = nn.ModuleList(dlayers)
+        self.unet.decoder = dec
+
+        self.cnn = nn.Conv2d(en_out_channels, 3, 3, padding=1)
+        self.fc = nn.Sequential(
+            _RmvpeBiGRU(3 * n_mels, gru_hidden),
+            nn.Linear(2 * gru_hidden, n_class),
+            nn.Dropout(0.25),
+            nn.Sigmoid(),
+        )
+
+    def forward(self, mel):
+        # mel (b, n_mels, T) -> (b, 1, T, n_mels) NCHW
+        x = mel.transpose(-1, -2).unsqueeze(1)
+        x = self.unet.encoder.bn(x)
+        skips = []
+        for layer in self.unet.encoder.layers:
+            skip, x = layer(x)
+            skips.append(skip)
+        for layer in self.unet.intermediate.layers:
+            x = layer(x)
+        for i, layer in enumerate(self.unet.decoder.layers):
+            x = layer(x, skips[-1 - i])
+        x = self.cnn(x).transpose(1, 2).flatten(-2)  # (b, T, 3*n_mels)
+        return self.fc(x)
+
+
+class _RmvpeBiGRU(nn.Module):
+    def __init__(self, n_in, hidden):
+        super().__init__()
+        self.gru = nn.GRU(n_in, hidden, num_layers=1, batch_first=True,
+                          bidirectional=True)
+
+    def forward(self, x):
+        return self.gru(x)[0]
