@@ -9,6 +9,12 @@ implementation of the architecture family:
   (alternating attention over time and over bands, rotary embeddings)
   -> per-band mask MLPs -> complex mask * STFT -> iSTFT per stem
 
+The module structure is shape- and semantics-compatible with the published
+lucidrains/BS-RoFormer checkpoints the reference downloads (gated attention
+with per-head sigmoid gates, interleaved-pair rotary embedding, per-axial
+transformer output RMSNorm, tanh-MLP + GLU mask estimators), so
+utils/convert.roformer_mapping can fill the tree from a real .ckpt.
+
 TPU notes: attention runs on the Pallas flash kernel; the axial layout keeps
 sequence lengths short (T≈400 frames per 8 s chunk, B=62 bands) so both
 axes tile the MXU well; everything is one jitted graph per chunk batch.
@@ -16,7 +22,7 @@ axes tile the MXU well; everything is one jitted graph per chunk batch.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import flax.linen as nn
@@ -27,7 +33,8 @@ import numpy as np
 from audiolab_tpu.kernels.attention import flash_attention
 from audiolab_tpu.kernels.stft import istft, stft
 
-# default 1025-bin band layout (sums to n_fft//2+1 for n_fft=2048)
+# default 1025-bin band layout (sums to n_fft//2+1 for n_fft=2048); matches
+# lucidrains' DEFAULT_FREQS_PER_BANDS used by the published checkpoints
 DEFAULT_BANDS: tuple[int, ...] = (
     (2,) * 24 + (4,) * 12 + (12,) * 8 + (24,) * 8 + (48,) * 8 + (128,) + (129,)
 )
@@ -38,12 +45,17 @@ class RoformerConfig:
     dim: int = 192
     depth: int = 6                  # axial (time, freq) pairs
     heads: int = 8
-    stems: Sequence[str] = ("vocals", "other")
+    dim_head: int = 64              # per-head width (inner = heads*dim_head)
+    stems: Sequence[str] = ("vocals", "other")  # one mask estimator each
+    residual_stem: str | None = None  # stem synthesized as mix - sum(stems)
     freqs_per_bands: Sequence[int] = DEFAULT_BANDS
     n_fft: int = 2048
     hop: int = 512
     channels: int = 2               # stereo
     ff_mult: int = 4
+    time_depth: int = 1             # inner layers per time transformer
+    freq_depth: int = 1             # inner layers per freq transformer
+    mask_est_depth: int = 2         # hidden linears in each mask MLP
 
     @property
     def n_bands(self) -> int:
@@ -51,34 +63,43 @@ class RoformerConfig:
 
 
 def rope(x: jnp.ndarray) -> jnp.ndarray:
-    """Rotary position embedding over axis -2 (sequence)."""
-    b, h, t, d = x.shape
+    """Rotary embedding over axis -2, INTERLEAVED pair convention
+    (rotary_embedding_torch's rotate_half groups (d r) with r=2, which is
+    what the published checkpoints were trained with)."""
+    t, d = x.shape[-2], x.shape[-1]
     half = d // 2
     freqs = 1.0 / (10000.0 ** (np.arange(0, half, dtype=np.float32) / half))
     angles = jnp.arange(t)[:, None] * freqs[None, :]  # (t, half)
     cos, sin = jnp.cos(angles), jnp.sin(angles)
-    x1, x2 = x[..., :half], x[..., half:]
-    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.reshape(x.shape)
 
 
 class RMSNorm(nn.Module):
+    """lucidrains RMSNorm: F.normalize(x) * sqrt(d) * gamma (eps 1e-12)."""
+
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        var = jnp.mean(x * x, axis=-1, keepdims=True)
-        return x * jax.lax.rsqrt(var + 1e-6) * scale
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        norm = jnp.maximum(
+            jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)), 1e-12)
+        return x / norm * (d ** 0.5) * scale
 
 
 class Attention(nn.Module):
     dim: int
     heads: int
+    dim_head: int = 64
 
     @nn.compact
     def __call__(self, x):
         b, t, _ = x.shape
-        d = self.dim // self.heads
+        d = self.dim_head
+        inner = self.heads * d
         x = RMSNorm(name="norm")(x)
-        qkv = nn.Dense(self.dim * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(z):
@@ -87,7 +108,10 @@ class Attention(nn.Module):
         q, k, v = map(heads_first, (q, k, v))
         q, k = rope(q), rope(k)
         o = flash_attention(q, k, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, t, self.dim)
+        # per-head sigmoid gates (bs_roformer Attention.to_gates)
+        gates = nn.Dense(self.heads, name="to_gates")(x)  # (b, t, h)
+        o = o * jax.nn.sigmoid(gates).transpose(0, 2, 1)[..., None]
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, inner)
         return nn.Dense(self.dim, use_bias=False, name="to_out")(o)
 
 
@@ -103,16 +127,23 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, name="fc2")(x)
 
 
-class TransformerBlock(nn.Module):
+class Transformer(nn.Module):
+    """One axial transformer: `depth` (attn, ff) pairs + output RMSNorm,
+    mirroring bs_roformer.Transformer(norm_output=True)."""
+
     dim: int
     heads: int
+    dim_head: int
     ff_mult: int
+    depth: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = x + Attention(self.dim, self.heads, name="attn")(x)
-        x = x + FeedForward(self.dim, self.ff_mult, name="ff")(x)
-        return x
+        for j in range(self.depth):
+            x = x + Attention(self.dim, self.heads, self.dim_head,
+                              name=f"attn_{j}")(x)
+            x = x + FeedForward(self.dim, self.ff_mult, name=f"ff_{j}")(x)
+        return RMSNorm(name="norm")(x)
 
 
 class BandSplit(nn.Module):
@@ -134,18 +165,23 @@ class BandSplit(nn.Module):
 
 
 class MaskEstimator(nn.Module):
+    """Per-band tanh-MLP -> GLU, structured like bs_roformer.MaskEstimator:
+    MLP(dim -> 4*dim x depth -> 2*out) then GLU halves to out."""
+
     cfg: RoformerConfig
 
     @nn.compact
     def __call__(self, x):
         # x (b, t, bands, dim) -> complex mask (b, t, n_bins, 2*channels)
         c = self.cfg
+        hidden = c.dim * 4
         outs = []
         for i, width in enumerate(c.freqs_per_bands):
-            h = RMSNorm(name=f"norm_{i}")(x[:, :, i, :])
-            h = nn.Dense(c.dim * 4, name=f"fc1_{i}")(h)
+            h = x[:, :, i, :]
+            for k in range(c.mask_est_depth):
+                h = jnp.tanh(nn.Dense(hidden, name=f"mlp_{i}_{k}")(h))
+            h = nn.Dense(width * 2 * c.channels * 2, name=f"mlp_{i}_out")(h)
             h = nn.glu(h, axis=-1)
-            h = nn.Dense(width * 2 * c.channels, name=f"fc2_{i}")(h)
             outs.append(h.reshape(*h.shape[:2], width, 2 * c.channels))
         return jnp.concatenate(outs, axis=2)
 
@@ -162,7 +198,8 @@ class BSRoformer(nn.Module):
         spec = jnp.stack([real, imag], axis=-1)  # (b, ch, t, bins, 2)
         spec = spec.transpose(0, 2, 3, 1, 4).reshape(
             b, real.shape[-2], c.n_fft // 2 + 1, ch * 2
-        )  # (b, t, bins, ch*2)
+        )  # (b, t, bins, ch*2) — per bin: (ch0 re, ch0 im, ch1 re, ch1 im),
+        # matching bs_roformer's 'b (f s) t c -> b t (f s c)' packing
 
         x = BandSplit(c, name="band_split")(spec)  # (b, t, bands, dim)
         t_frames, n_bands = x.shape[1], x.shape[2]
@@ -170,16 +207,19 @@ class BSRoformer(nn.Module):
         for i in range(c.depth):
             # time attention: fold bands into batch
             xt = x.transpose(0, 2, 1, 3).reshape(b * n_bands, t_frames, c.dim)
-            xt = TransformerBlock(c.dim, c.heads, c.ff_mult, name=f"time_{i}")(xt)
+            xt = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
+                             c.time_depth, name=f"time_{i}")(xt)
             x = xt.reshape(b, n_bands, t_frames, c.dim).transpose(0, 2, 1, 3)
             # freq (band) attention: fold time into batch
             xf = x.reshape(b * t_frames, n_bands, c.dim)
-            xf = TransformerBlock(c.dim, c.heads, c.ff_mult, name=f"freq_{i}")(xf)
+            xf = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
+                             c.freq_depth, name=f"freq_{i}")(xf)
             x = xf.reshape(b, t_frames, n_bands, c.dim)
 
         x = RMSNorm(name="final_norm")(x)
 
         out = {}
+        acc = None
         for stem in c.stems:
             mask = MaskEstimator(c, name=f"mask_{stem}")(x)  # (b,t,bins,ch*2)
             masked = _complex_mul(spec, mask, ch)
@@ -190,6 +230,12 @@ class BSRoformer(nn.Module):
                 masked[..., 0], masked[..., 1], n_fft=c.n_fft, hop=c.hop, length=n
             )
             out[stem] = wav
+            acc = wav if acc is None else acc + wav
+        if c.residual_stem is not None:
+            # published vocal models are num_stems=1: the complement stem is
+            # the mix residual (stem_separator.py derives instrumental the
+            # same way)
+            out[c.residual_stem] = audio - acc
         return out
 
 

@@ -639,3 +639,94 @@ def load_rmvpe_checkpoint(path: str) -> dict:
     wrapper = RMVPE()
     template = wrapper.init(jax.random.PRNGKey(0), t_frames=32)
     return convert_rmvpe(sd, template)
+
+
+# ------------------------------------------------------------ BS-RoFormer
+
+def roformer_mapping(template: dict,
+                     stems: tuple | list | None = None
+                     ) -> dict[str, tuple[str, str]]:
+    """flax BSRoformer tree -> lucidrains bs_roformer state-dict names (the
+    format of the published viperx/ZFTurbo checkpoints the reference
+    downloads, stem_separator.py:379-386)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def transformer(path, tkey, tpl):
+        inner = sum(1 for k in tpl if k.startswith("attn_"))
+        for j in range(inner):
+            a = f"{tkey}.layers.{j}.0"
+            m[f"{path}/attn_{j}/norm/scale"] = ("gamma", f"{a}.norm")
+            dense(f"{path}/attn_{j}/to_qkv", f"{a}.to_qkv", bias=False)
+            dense(f"{path}/attn_{j}/to_gates", f"{a}.to_gates")
+            dense(f"{path}/attn_{j}/to_out", f"{a}.to_out.0", bias=False)
+            f = f"{tkey}.layers.{j}.1.net"
+            m[f"{path}/ff_{j}/norm/scale"] = ("gamma", f"{f}.0")
+            dense(f"{path}/ff_{j}/fc1", f"{f}.1")
+            dense(f"{path}/ff_{j}/fc2", f"{f}.4")
+        m[f"{path}/norm/scale"] = ("gamma", f"{tkey}.norm")
+
+    for i in range(sum(1 for k in template["band_split"]
+                       if k.startswith("norm_"))):
+        m[f"band_split/norm_{i}/scale"] = ("gamma",
+                                           f"band_split.to_features.{i}.0")
+        dense(f"band_split/proj_{i}", f"band_split.to_features.{i}.1")
+
+    depth = sum(1 for k in template if k.startswith("time_"))
+    for i in range(depth):
+        transformer(f"time_{i}", f"layers.{i}.0", template[f"time_{i}"])
+        transformer(f"freq_{i}", f"layers.{i}.1", template[f"freq_{i}"])
+    m["final_norm/scale"] = ("gamma", "final_norm")
+
+    if stems is None:
+        stems = [k[len("mask_"):] for k in template if k.startswith("mask_")]
+    for s, stem in enumerate(stems):
+        tpl = template.get(f"mask_{stem}")
+        if tpl is None:
+            continue  # residual stem: no estimator in the checkpoint
+        bands = sorted({int(k.split("_")[1]) for k in tpl})
+        for b in bands:
+            ks = sorted(int(k.split("_")[2]) for k in tpl
+                        if k.startswith(f"mlp_{b}_") and k.split("_")[2].isdigit())
+            base = f"mask_estimators.{s}.to_freqs.{b}.0"
+            for k in ks:
+                dense(f"mask_{stem}/mlp_{b}_{k}", f"{base}.{2 * k}")
+            dense(f"mask_{stem}/mlp_{b}_out", f"{base}.{2 * len(ks)}")
+    return m
+
+
+def convert_roformer(state_dict: dict, template: dict,
+                     stems: tuple | list | None = None,
+                     strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):  # lightning-style prefix on some ckpts
+            k = k[len("model."):]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, roformer_mapping(template, stems), sd, strict)
+
+
+def load_roformer_checkpoint(path: str, cfg) -> dict:
+    """Published BS-RoFormer .ckpt -> flax params for models/separation.
+    ``cfg`` is a RoformerConfig whose dims/bands match the checkpoint yaml
+    (dim 512 depth 12 for the SDR-12.96 vocal model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.separation.roformer import BSRoformer
+
+    ckpt = torch_load_weights(path)
+    sd = ckpt.get("state_dict", ckpt.get("state", ckpt))
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    model = BSRoformer(cfg)
+    n = cfg.hop * 16
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.channels, n), jnp.float32))
+    )["params"]
+    return convert_roformer(sd, template, stems=tuple(cfg.stems))

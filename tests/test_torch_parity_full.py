@@ -296,3 +296,75 @@ def test_rmvpe_fullsize_mapping_covers_checkpoint():
     conv = convert_rmvpe(sd, variables, strict=True)  # raises on any gap
     n = len(jax.tree.leaves(conv))
     assert n == len(jax.tree.leaves(variables)), n
+
+
+# ------------------------------------------------------------ BS-RoFormer
+
+def test_bs_roformer_full_parity():
+    """torch BS-RoFormer (lucidrains state-dict names, the published
+    separation checkpoint format) -> convert_roformer -> flax, audio in /
+    stems out, in float64."""
+    from tests.torch_ref_models import BSRoformerTorch
+
+    import jax as _jax
+
+    bands = (2, 3, 4)  # sums to 9 = 16//2+1
+    kw = dict(dim=16, depth=2, heads=2, dim_head=8, freqs_per_bands=bands,
+              n_fft=16, hop=8, channels=2, ff_mult=2, time_depth=1,
+              freq_depth=2, mask_est_depth=2)
+    torch.manual_seed(11)
+    t_model = BSRoformerTorch(num_stems=2, **kw).double().eval()
+
+    from audiolab_tpu.models.separation.roformer import (
+        BSRoformer,
+        RoformerConfig,
+    )
+    from audiolab_tpu.utils.convert import convert_roformer
+
+    cfg = RoformerConfig(stems=("vocals", "other"), **kw)
+    f_model = BSRoformer(cfg)
+
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        audio = np.random.default_rng(12).standard_normal((1, 2, 96)) * 0.3
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 2, 96), jnp.float64))
+        )["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_roformer(sd, template, stems=("vocals", "other"),
+                                  strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(audio)).numpy()  # (1,2,2,96)
+        out = f_model.apply({"params": params}, jnp.asarray(audio))
+        # the library keeps its DFT basis / rope cos-sin tables in float32
+        # (TPU-native choice), so fp64 agreement floors at ~1e-6; layout
+        # errors would be O(signal) = 1e-2, three orders above this gate
+        for s, stem in enumerate(("vocals", "other")):
+            got = np.asarray(out[stem])
+            assert got.shape == ref[:, s].shape
+            np.testing.assert_allclose(got, ref[:, s], atol=5e-5,
+                                       err_msg=stem)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+def test_bs_roformer_residual_stem():
+    """num_stems=1 checkpoints: the complement stem is the mix residual."""
+    from audiolab_tpu.models.separation.roformer import (
+        BSRoformer,
+        RoformerConfig,
+    )
+
+    cfg = RoformerConfig(dim=8, depth=1, heads=2, dim_head=4,
+                         freqs_per_bands=(4, 5), n_fft=16, hop=8,
+                         stems=("vocals",), residual_stem="other")
+    model = BSRoformer(cfg)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 2, 64)), jnp.float32)
+    out = model.apply(model.init(jax.random.PRNGKey(0), audio), audio)
+    assert set(out) == {"vocals", "other"}
+    np.testing.assert_allclose(np.asarray(out["vocals"] + out["other"]),
+                               np.asarray(audio), atol=1e-4)

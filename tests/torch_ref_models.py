@@ -714,3 +714,195 @@ class _RmvpeBiGRU(nn.Module):
 
     def forward(self, x):
         return self.gru(x)[0]
+
+
+# ------------------------------------------------------------ BS-RoFormer
+
+
+class _BsrRMSNorm(nn.Module):
+    """bs_roformer RMSNorm: F.normalize(x,dim=-1) * sqrt(d) * gamma."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.scale = dim ** 0.5
+        self.gamma = nn.Parameter(torch.ones(dim))
+
+    def forward(self, x):
+        return F.normalize(x, dim=-1) * self.scale * self.gamma
+
+
+def _bsr_rope(x):
+    """rotary_embedding_torch convention: interleaved (d r), r=2, rotating
+    all dim_head dims with theta 10000."""
+    d, t = x.shape[-1], x.shape[-2]
+    half = d // 2
+    freqs = 1.0 / (10000.0 ** (torch.arange(half, dtype=x.dtype) / half))
+    ang = torch.arange(t, dtype=x.dtype)[:, None] * freqs[None, :]
+    cos, sin = ang.cos(), ang.sin()
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    return torch.stack(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1).flatten(-2)
+
+
+class _BsrAttention(nn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.norm = _BsrRMSNorm(dim)
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.to_gates = nn.Linear(dim, heads)
+        self.to_out = nn.Sequential(nn.Linear(inner, dim, bias=False),
+                                    nn.Dropout(0.0))
+        self.heads, self.dim_head = heads, dim_head
+
+    def forward(self, x):
+        b, t, _ = x.shape
+        x = self.norm(x)
+        q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+        shp = (b, t, self.heads, self.dim_head)
+        q, k, v = (z.view(shp).transpose(1, 2) for z in (q, k, v))
+        q, k = _bsr_rope(q), _bsr_rope(k)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o * self.to_gates(x).sigmoid().transpose(1, 2).unsqueeze(-1)
+        o = o.transpose(1, 2).reshape(b, t, -1)
+        return self.to_out(o)
+
+
+def _bsr_ff(dim, mult=4):
+    inner = dim * mult
+    return nn.Sequential(_BsrRMSNorm(dim), nn.Linear(dim, inner), nn.GELU(),
+                         nn.Dropout(0.0), nn.Linear(inner, dim),
+                         nn.Dropout(0.0))
+
+
+class _BsrFeedForward(nn.Module):
+    def __init__(self, dim, mult=4):
+        super().__init__()
+        self.net = _bsr_ff(dim, mult)
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _BsrTransformer(nn.Module):
+    def __init__(self, dim, depth, heads, dim_head, ff_mult):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [nn.ModuleList([_BsrAttention(dim, heads, dim_head),
+                            _BsrFeedForward(dim, ff_mult)])
+             for _ in range(depth)])
+        self.norm = _BsrRMSNorm(dim)
+
+    def forward(self, x):
+        for attn, ff in self.layers:
+            x = x + attn(x)
+            x = x + ff(x)
+        return self.norm(x)
+
+
+class _BsrBandSplit(nn.Module):
+    def __init__(self, dim, dim_inputs):
+        super().__init__()
+        self.to_features = nn.ModuleList(
+            [nn.Sequential(_BsrRMSNorm(din), nn.Linear(din, dim))
+             for din in dim_inputs])
+
+    def forward(self, x, dim_inputs):
+        outs = []
+        start = 0
+        for fn, din in zip(self.to_features, dim_inputs):
+            outs.append(fn(x[..., start:start + din]))
+            start += din
+        return torch.stack(outs, dim=-2)
+
+
+def _bsr_mlp(din, dout, hidden, depth):
+    dims = (din,) + (hidden,) * depth + (dout,)
+    mods = []
+    for i, (a, b) in enumerate(zip(dims[:-1], dims[1:])):
+        mods.append(nn.Linear(a, b))
+        if i < len(dims) - 2:
+            mods.append(nn.Tanh())
+    return nn.Sequential(*mods)
+
+
+class _BsrMaskEstimator(nn.Module):
+    def __init__(self, dim, dim_inputs, depth):
+        super().__init__()
+        self.to_freqs = nn.ModuleList(
+            [nn.Sequential(_bsr_mlp(dim, din * 2, dim * 4, depth),
+                           nn.GLU(dim=-1))
+             for din in dim_inputs])
+
+    def forward(self, x):
+        # x (b, t, bands, dim) -> (b, t, sum(dim_inputs))
+        outs = [fn(x[..., i, :]) for i, fn in enumerate(self.to_freqs)]
+        return torch.cat(outs, dim=-1)
+
+
+class BSRoformerTorch(nn.Module):
+    """lucidrains/BS-RoFormer replica (inference graph); state-dict names
+    match the published viperx/ZFTurbo separation checkpoints the reference
+    downloads (stem_separator.py:379-386)."""
+
+    def __init__(self, dim, depth, heads=8, dim_head=64, num_stems=1,
+                 freqs_per_bands=(2, 3), n_fft=2048, hop=512, channels=2,
+                 ff_mult=4, time_depth=1, freq_depth=1, mask_est_depth=2):
+        super().__init__()
+        self.cfgv = dict(freqs_per_bands=freqs_per_bands, n_fft=n_fft,
+                         hop=hop, channels=channels)
+        dim_inputs = tuple(2 * f * channels for f in freqs_per_bands)
+        self.band_split = _BsrBandSplit(dim, dim_inputs)
+        self.layers = nn.ModuleList(
+            [nn.ModuleList(
+                [_BsrTransformer(dim, time_depth, heads, dim_head, ff_mult),
+                 _BsrTransformer(dim, freq_depth, heads, dim_head, ff_mult)])
+             for _ in range(depth)])
+        self.final_norm = _BsrRMSNorm(dim)
+        self.mask_estimators = nn.ModuleList(
+            [_BsrMaskEstimator(dim, dim_inputs, mask_est_depth)
+             for _ in range(num_stems)])
+        self.dim_inputs = dim_inputs
+
+    def forward(self, audio):
+        # audio (b, s, n) -> (b, num_stems, s, n)
+        cfg = self.cfgv
+        b, s, n = audio.shape
+        win = torch.hann_window(cfg["n_fft"], dtype=audio.dtype)
+        spec = torch.stft(audio.reshape(b * s, n), n_fft=cfg["n_fft"],
+                          hop_length=cfg["hop"], window=win,
+                          return_complex=True)  # (b*s, f, t)
+        spec = torch.view_as_real(spec).reshape(
+            b, s, spec.shape[-2], spec.shape[-1], 2)
+        # 'b s f t c -> b (f s) t c' then 'b f t c -> b t (f c)'
+        fs = spec.permute(0, 2, 1, 3, 4)  # b f s t c
+        packed = fs.permute(0, 3, 1, 2, 4).reshape(
+            b, fs.shape[3], -1)  # b t (f s c)
+        x = self.band_split(packed, self.dim_inputs)  # (b, t, bands, dim)
+
+        t_frames, bands = x.shape[1], x.shape[2]
+        for time_tr, freq_tr in self.layers:
+            xt = x.permute(0, 2, 1, 3).reshape(b * bands, t_frames, -1)
+            xt = time_tr(xt)
+            x = xt.reshape(b, bands, t_frames, -1).permute(0, 2, 1, 3)
+            xf = x.reshape(b * t_frames, bands, -1)
+            xf = freq_tr(xf)
+            x = xf.reshape(b, t_frames, bands, -1)
+        x = self.final_norm(x)
+
+        outs = []
+        for est in self.mask_estimators:
+            mask = est(x)  # (b, t, (f s c))
+            mask = mask.reshape(b, t_frames, -1, 2)  # (b, t, (f s), c)
+            mc = torch.view_as_complex(mask.contiguous())  # (b, t, f s)
+            sc = torch.view_as_complex(
+                fs.reshape(b, -1, fs.shape[3], 2).contiguous())  # (b, fs, t)
+            masked = sc * mc.permute(0, 2, 1)
+            # '(f s)' -> per-channel istft
+            f_bins = cfg["n_fft"] // 2 + 1
+            masked = masked.reshape(b, f_bins, s, -1).permute(0, 2, 1, 3)
+            wav = torch.istft(masked.reshape(b * s, f_bins, -1),
+                              n_fft=cfg["n_fft"], hop_length=cfg["hop"],
+                              window=win, length=n)
+            outs.append(wav.reshape(b, s, n))
+        return torch.stack(outs, dim=1)
