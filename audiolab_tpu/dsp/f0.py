@@ -110,3 +110,93 @@ def coarse_f0(f0: jnp.ndarray, f0_min: float = 50.0, f0_max: float = 1100.0) -> 
     scaled = (f0_mel - f0_mel_min) * 254.0 / (f0_mel_max - f0_mel_min) + 1.0
     scaled = jnp.where(f0_mel > 0.0, scaled, 1.0)
     return jnp.clip(jnp.rint(scaled), 1, 255).astype(jnp.int32)
+
+
+def merge_f0(stack: jnp.ndarray, merge_type: str = "median") -> jnp.ndarray:
+    """Merge an (m, ...) stack of f0 tracks (reference hybrid merge,
+    pitch_extraction.py:279-286 via get_merge_func).
+
+    Unvoiced frames (0 Hz) are excluded from the merge: a plain median over
+    [0, f, f'] would halve pitch at any single-method dropout."""
+    voiced = stack > 0.0
+    n_voiced = voiced.sum(axis=0)
+    if merge_type == "mean":
+        s = jnp.where(voiced, stack, 0.0).sum(axis=0)
+        merged = s / jnp.maximum(n_voiced, 1)
+    else:
+        # median over voiced entries: sort with unvoiced pushed to +inf,
+        # then index the middle of the voiced prefix
+        big = jnp.where(voiced, stack, jnp.inf)
+        srt = jnp.sort(big, axis=0)
+        m = stack.shape[0]
+        lo = jnp.clip((n_voiced - 1) // 2, 0, m - 1)
+        hi = jnp.clip(n_voiced // 2, 0, m - 1)
+        merged = 0.5 * (jnp.take_along_axis(srt, lo[None], axis=0)[0]
+                        + jnp.take_along_axis(srt, hi[None], axis=0)[0])
+    # a frame counts as voiced if the majority of methods agree
+    return jnp.where(n_voiced * 2 > stack.shape[0], merged, 0.0)
+
+
+def f0_dio(
+    x: np.ndarray,
+    sr: int = 16000,
+    hop: int = 160,
+    fmin: float = 50.0,
+    fmax: float = 1100.0,
+) -> np.ndarray:
+    """Host (numpy) DIO-class estimator: zero-crossing candidates from
+    octave-spaced low-pass bands + normalized-autocorrelation scoring and
+    parabolic refinement (a portable stand-in for pyworld.dio+stonemask,
+    reference pitch_extraction.py:172-191; kept host-side for parity
+    testing and the hybrid merge, per SURVEY §2.5)."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    t_frames = n // hop + 1
+    centers = np.arange(t_frames) * hop
+
+    # candidate bands: low-pass at fc, f0 candidate from rising-zero-crossing
+    # intervals interpolated to frame times
+    spec = np.fft.rfft(x)
+    freqs_bin = np.fft.rfftfreq(n, 1.0 / sr)
+    n_bands = max(2, int(np.ceil(np.log2(fmax / fmin))) + 1)
+    cand = np.zeros((n_bands, t_frames))
+    for bi in range(n_bands):
+        fc = fmin * (2.0 ** (bi + 1))
+        lp = np.fft.irfft(np.where(freqs_bin <= fc, spec, 0.0), n)
+        sgn = lp > 0
+        rise = np.nonzero(~sgn[:-1] & sgn[1:])[0]
+        if len(rise) < 2:
+            continue
+        # sub-sample crossing positions
+        frac = lp[rise] / (lp[rise] - lp[rise + 1])
+        pos = rise + frac
+        periods = np.diff(pos)
+        mid = 0.5 * (pos[:-1] + pos[1:])
+        f0c = sr / np.maximum(periods, 1e-6)
+        cand[bi] = np.interp(centers, mid, f0c,
+                             left=f0c[0], right=f0c[-1])
+
+    # score candidates by normalized autocorrelation at the candidate lag
+    w = 2 * hop * 4
+    xp = np.pad(x, (w // 2, w))
+    frames = xp[centers[:, None] + np.arange(w)[None, :]]
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    e = (frames * frames).sum(axis=1) + 1e-12
+
+    best = np.zeros(t_frames)
+    best_score = np.full(t_frames, -1.0)
+    for bi in range(n_bands):
+        f0c = cand[bi]
+        valid = (f0c >= fmin) & (f0c <= fmax)
+        lag = np.clip((sr / np.maximum(f0c, 1.0)).astype(int), 1, w // 2)
+        idx = np.arange(w - w // 2)
+        shifted = frames[np.arange(t_frames)[:, None], idx[None, :] + lag[:, None]]
+        head = frames[:, : w - w // 2]
+        r = (head * shifted).sum(axis=1)
+        score = np.where(valid, r / e, -1.0)
+        take = score > best_score
+        best[take] = f0c[take]
+        best_score[take] = score[take]
+
+    voiced = best_score > 0.35
+    return np.where(voiced, best, 0.0)

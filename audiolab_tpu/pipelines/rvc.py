@@ -27,7 +27,7 @@ import numpy as np
 from scipy import signal as sps
 
 from audiolab_tpu.core.chunking import extract_chunks, plan_chunks, stitch_chunks
-from audiolab_tpu.dsp.f0 import coarse_f0, f0_autocorr
+from audiolab_tpu.dsp.f0 import coarse_f0, f0_autocorr, merge_f0
 from audiolab_tpu.kernels.resample import resample
 from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
 from audiolab_tpu.models.rvc.synthesizer import SynthesizerConfig, SynthesizerTrn
@@ -40,7 +40,7 @@ class RVCPipelineConfig:
     sr: int = 48000           # model output rate
     chunk_seconds: float = 8.0  # canonical compile-cached chunk length (16 kHz)
     overlap_seconds: float = 0.4
-    f0_method: str = "rmvpe"  # rmvpe | yin
+    f0_method: str = "rmvpe"  # rmvpe | yin | crepe | hybrid | [list]
     f0_min: float = 50.0
     f0_max: float = 1100.0
     device_batch: int = 8     # chunks per device step: ONE compiled shape,
@@ -85,6 +85,7 @@ class VoiceConverter:
         synth_params,
         hubert_params,
         rmvpe=None,
+        crepe=None,
         index_features: np.ndarray | None = None,
         cfg: RVCPipelineConfig | None = None,
         hubert_cfg: HubertConfig | None = None,
@@ -98,6 +99,7 @@ class VoiceConverter:
         self.synth_params = synth_params
         self.hubert_params = hubert_params
         self.rmvpe = rmvpe
+        self.crepe = crepe  # models/crepe.CrepePredictor (weights converted)
         self.index_features = (
             jnp.asarray(index_features) if index_features is not None else None
         )
@@ -167,20 +169,52 @@ class VoiceConverter:
 
     # ---------------- host orchestration ----------------
 
+    def _f0_on_host(self) -> bool:
+        """True when f0 comes from a separate model/merge call (not fused
+        into the conversion graph)."""
+        m = self.cfg.f0_method
+        if isinstance(m, (list, tuple)) or m == "hybrid":
+            return True
+        if m == "rmvpe":
+            return self.rmvpe is not None
+        if m == "crepe":
+            return self.crepe is not None
+        return False
+
+    def _f0_one_method(self, method: str, wav16) -> jnp.ndarray:
+        if method == "rmvpe" and self.rmvpe is not None:
+            return self.rmvpe.infer(jnp.asarray(wav16))
+        if method == "crepe" and self.crepe is not None:
+            rows = [self.crepe.predict(w, hop=160, fmin=self.cfg.f0_min,
+                                       fmax=self.cfg.f0_max)[0]
+                    for w in jnp.asarray(wav16)]
+            return jnp.stack(rows)
+        # ONE vmapped device call over all chunks (a per-chunk host loop
+        # serialises ~30 dispatches on a 4-min track); the result stays
+        # on device — no host round trip before _convert_chunk
+        return jax.vmap(
+            lambda w: f0_autocorr(
+                w, sr=16000, hop=160,
+                fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
+            )[0]
+        )(jnp.asarray(wav16))
+
     def _extract_f0(self, wav16, transpose: int) -> jnp.ndarray:
         """(b, n) -> (b, t100) f0 Hz at 100 Hz frame rate."""
-        if self.cfg.f0_method == "rmvpe" and self.rmvpe is not None:
-            f0 = self.rmvpe.infer(jnp.asarray(wav16))
+        m = self.cfg.f0_method
+        if isinstance(m, (list, tuple)) or m == "hybrid":
+            # reference hybrid: run several estimators, median/mean-merge
+            # the stack (pitch_extraction.py:205-286); default pairs the
+            # neural method with the DSP one, like its harvest+rmvpe+
+            methods = list(m) if isinstance(m, (list, tuple)) else [
+                meth for meth, ok in (("rmvpe", self.rmvpe is not None),
+                                      ("crepe", self.crepe is not None),
+                                      ("yin", True)) if ok][:2]
+            stack = jnp.stack([self._f0_one_method(meth, wav16)
+                               for meth in methods])
+            f0 = merge_f0(stack, "median")
         else:
-            # ONE vmapped device call over all chunks (a per-chunk host loop
-            # serialises ~30 dispatches on a 4-min track); the result stays
-            # on device — no host round trip before _convert_chunk
-            f0 = jax.vmap(
-                lambda w: f0_autocorr(
-                    w, sr=16000, hop=160,
-                    fmin=self.cfg.f0_min, fmax=self.cfg.f0_max,
-                )[0]
-            )(jnp.asarray(wav16))
+            f0 = self._f0_one_method(m, wav16)
         return f0 * (2.0 ** (transpose / 12.0))
 
     def convert(
@@ -223,7 +257,7 @@ class VoiceConverter:
         if pad_rows:
             chunks = jnp.concatenate([chunks, jnp.zeros((pad_rows,) + chunks.shape[1:], chunks.dtype)])
         sids = jnp.full((db,), sid, jnp.int32)
-        fuse_f0 = not (self.cfg.f0_method == "rmvpe" and self.rmvpe is not None)
+        fuse_f0 = not self._f0_on_host()
         transpose_factor = jnp.full((1, 1), 2.0 ** (transpose / 12.0))
         outs = []
         with jax.default_matmul_precision(self.cfg.matmul_precision):

@@ -730,3 +730,56 @@ def load_roformer_checkpoint(path: str, cfg) -> dict:
                            jnp.zeros((1, cfg.channels, n), jnp.float32))
     )["params"]
     return convert_roformer(sd, template, stems=tuple(cfg.stems))
+
+
+# ------------------------------------------------------------------ CREPE
+
+def crepe_mapping(params: dict) -> dict[str, tuple[str, str]]:
+    """flax Crepe tree -> torchcrepe crepe.pth names (conv{i}/conv{i}_BN/
+    classifier)."""
+    m: dict[str, tuple[str, str]] = {}
+    for i in range(1, 7):
+        m[f"conv{i}/kernel"] = ("conv2_w", f"conv{i}")
+        m[f"conv{i}/bias"] = ("bias", f"conv{i}")
+        m[f"conv{i}_BN/scale"] = ("w", f"conv{i}_BN")
+        m[f"conv{i}_BN/bias"] = ("b", f"conv{i}_BN")
+    m["classifier/kernel"] = ("dense_w", "classifier")
+    m["classifier/bias"] = ("bias", "classifier")
+    return m
+
+
+def crepe_stats_mapping(stats: dict) -> dict[str, tuple[str, str]]:
+    m: dict[str, tuple[str, str]] = {}
+    for i in range(1, 7):
+        m[f"conv{i}_BN/mean"] = ("direct", f"conv{i}_BN.running_mean")
+        m[f"conv{i}_BN/var"] = ("direct", f"conv{i}_BN.running_var")
+    return m
+
+
+def convert_crepe(state_dict: dict, variables: dict,
+                  strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return {
+        "params": fill_tree(variables["params"],
+                            crepe_mapping(variables["params"]), sd, strict),
+        "batch_stats": fill_tree(
+            variables["batch_stats"],
+            crepe_stats_mapping(variables["batch_stats"]), sd, strict),
+    }
+
+
+def load_crepe_checkpoint(path: str, model: str = "full") -> dict:
+    """torchcrepe crepe.pth -> flax variables for models/crepe.Crepe."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.crepe import WINDOW, Crepe
+
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    net = Crepe(model=model)
+    variables = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, WINDOW), jnp.float32)))
+    return convert_crepe(sd, variables)

@@ -906,3 +906,36 @@ class BSRoformerTorch(nn.Module):
                               window=win, length=n)
             outs.append(wav.reshape(b, s, n))
         return torch.stack(outs, dim=1)
+
+
+# ------------------------------------------------------------------ CREPE
+
+
+class CrepeTorch(nn.Module):
+    """torchcrepe Crepe replica (state-dict names conv{i}/conv{i}_BN/
+    classifier match the published crepe weights)."""
+
+    def __init__(self, model="tiny"):
+        super().__init__()
+        chans = {"full": (1024, 128, 128, 128, 256, 512),
+                 "tiny": (128, 16, 16, 16, 32, 64)}[model]
+        cin = 1
+        for i, ch in enumerate(chans):
+            k, s = ((512, 1), (4, 1)) if i == 0 else ((64, 1), (1, 1))
+            setattr(self, f"conv{i + 1}", nn.Conv2d(cin, ch, k, s))
+            setattr(self, f"conv{i + 1}_BN", nn.BatchNorm2d(ch))
+            cin = ch
+        self.classifier = nn.Linear(chans[-1] * 4, 360)
+
+    def forward(self, x):
+        # x (b, 1024) normalized frames
+        x = x[:, None, :, None]
+        for i in range(6):
+            pad = (0, 0, 254, 254) if i == 0 else (0, 0, 31, 32)
+            x = F.pad(x, pad)
+            x = getattr(self, f"conv{i + 1}")(x)
+            x = F.relu(x)
+            x = getattr(self, f"conv{i + 1}_BN")(x)
+            x = F.max_pool2d(x, (2, 1), (2, 1))
+        x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)
+        return torch.sigmoid(self.classifier(x))
