@@ -183,6 +183,13 @@ class Transcriber:
                 tokens_to_segments(toks[w], self.cfg, self.detokenize,
                                    window_offset=30.0 * w)
             )
+        # forced alignment for word timings (replaces uniform interpolation;
+        # reference: WhisperX align, layouts/transcribe.py:84-430)
+        from audiolab_tpu.pipelines.forced_align import energy_align_words
+
+        for s in segments:
+            s.words = energy_align_words(x, self.cfg.sr, s.start, s.end,
+                                         s.text.split())
         if diarize_turns:
             assign_speakers(segments, diarize_turns)
         text = to_txt(segments)
