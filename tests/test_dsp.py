@@ -202,3 +202,56 @@ def test_wavegrad_enhancer_slot():
     y, sr = super_resolve(x, 24000, enhancer_fn=enh, chunk_seconds=0.25,
                           overlap_seconds=0.05)
     assert sr == 48000 and np.isfinite(y).all()
+
+
+# --------------------------------------------------------------- remaster
+
+def test_matchering_levels_and_limiter():
+    """Level stage matches loudest-piece RMS to the reference within ~1 dB;
+    limiter keeps the peak at/below the ceiling (wrappers/remaster.py role)."""
+    import numpy as np
+
+    from audiolab_tpu.pipelines.processors.remaster import (
+        limiter_lookahead,
+        loudest_pieces,
+        matchering_master,
+        ms_encode,
+        piece_rms,
+    )
+
+    sr = 8000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr * 6) / sr
+    # quiet, dull target (lowpassed-ish tone); loud, bright reference
+    tgt = np.stack([0.05 * np.sin(2 * np.pi * 220 * t)] * 2)
+    tgt[:, : sr] = 0.001  # a quiet piece that must be excluded from analysis
+    ref = np.stack([
+        0.5 * np.sin(2 * np.pi * 220 * t) + 0.3 * np.sin(2 * np.pi * 3000 * t)
+    ] * 2)
+    out = matchering_master(tgt.astype(np.float32), ref.astype(np.float32), sr)
+
+    assert out.shape == tgt.shape and np.isfinite(out).all()
+    assert np.abs(out).max() <= 0.99
+    om, _ = ms_encode(out)
+    rm, _ = ms_encode(ref)
+    o_rms = piece_rms(om, sr, loudest_pieces(om, sr))
+    r_rms = piece_rms(rm, sr, loudest_pieces(rm, sr))
+    db = 20 * np.log2(o_rms / r_rms + 1e-12) / np.log2(10)
+    assert abs(db) < 1.5, db
+
+    # spectral tilt moved toward the bright reference
+    def hf_ratio(x):
+        sp = np.abs(np.fft.rfft(x[0]))
+        f = np.fft.rfftfreq(x.shape[1], 1 / sr)
+        return sp[f > 2000].sum() / (sp[f < 1000].sum() + 1e-9)
+
+    assert hf_ratio(out) > hf_ratio(tgt) * 5
+
+    # limiter: a 2x-over-ceiling impulse train comes back at the ceiling
+    x = np.zeros((1, sr), np.float32)
+    x[0, ::1000] = 2.0
+    y = limiter_lookahead(x, sr, ceiling=0.9)
+    assert np.abs(y).max() <= 0.9 + 1e-4
+    # and quiet material passes untouched
+    q = (0.1 * np.sin(2 * np.pi * 100 * t[:sr]))[None].astype(np.float32)
+    np.testing.assert_allclose(limiter_lookahead(q, sr), q, atol=1e-6)
