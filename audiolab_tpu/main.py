@@ -58,7 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         from audiolab_tpu.pipelines.acestep import random_acestep
         from audiolab_tpu.pipelines.music import random_stable_audio
         from audiolab_tpu.pipelines.transcribe import random_transcriber
-        from audiolab_tpu.pipelines.tts import random_zonos
+        from audiolab_tpu.pipelines.tts import (
+            random_chatterbox,
+            random_xtts,
+            random_zonos,
+        )
         from audiolab_tpu.models.yue import random_yue
         from audiolab_tpu.serve import music_api, transcribe_api, tts_api
 
@@ -68,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         # converted weights and leave the default device alone
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
         tts_api.register_backend("zonos", random_zonos())
+        tts_api.register_backend("coqui", random_xtts())
+        tts_api.register_backend("chatterbox", random_chatterbox())
         music_api.register_backend("stable_audio", random_stable_audio())
         music_api.register_backend("acestep", random_acestep())
         music_api.register_backend("yue", random_yue())

@@ -1,0 +1,210 @@
+"""XTTS-class voice-cloning TTS (reference: Coqui XTTS-v2 engine,
+handlers/tts.py:16-126 and modules/cloning/tts.py:27-192).
+
+The reference's Coqui engine is: reference-audio conditioning -> GPT-style
+autoregressive transformer over VQ audio codes -> GAN vocoder.  Same stack
+here, built TPU-first from the shared blocks:
+
+  ConditioningEncoder  mel of the reference clip -> learned-query cross
+                       attention -> L conditioning latents + speaker vector
+  XttsGPT              decoder-only LM (models/lm.py TransformerLM with a
+                       donated-KV lax.scan decode) over [cond | text |
+                       audio-codes]; one token range per modality
+  Vocoder              BigVGAN on code embeddings + speaker conditioning
+
+This is a capability-parity engine (train/convert to fill weights); the
+interfaces mirror the reference: clone(wav) -> voice, tts(text, voice).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiolab_tpu.kernels.mel import mel_spectrogram
+from audiolab_tpu.models.bigvgan import BigVGAN, BigVGANConfig
+from audiolab_tpu.models.lm import LMConfig, TransformerLM, decode, init_cache
+
+
+@dataclass(frozen=True)
+class XTTSConfig:
+    text_vocab: int = 256           # byte-level text tokens
+    n_codes: int = 1024             # VQ audio codebook
+    dim: int = 256
+    n_layers: int = 4
+    n_heads: int = 4
+    cond_latents: int = 8           # conditioning prefix length
+    mel_bins: int = 80
+    sr: int = 24000
+    max_seq_len: int = 2048
+    dtype: str = "float32"
+
+    @property
+    def audio_start(self) -> int:   # BOS for the audio stream
+        return self.n_codes
+
+    @property
+    def audio_stop(self) -> int:
+        return self.n_codes + 1
+
+    @property
+    def audio_vocab(self) -> int:
+        return self.n_codes + 2
+
+    def lm(self) -> LMConfig:
+        return LMConfig(
+            vocab_size=self.audio_vocab, dim=self.dim,
+            n_layers=self.n_layers, n_heads=self.n_heads,
+            n_kv_heads=self.n_heads, ffn_dim=self.dim * 4,
+            max_seq_len=self.max_seq_len, dtype=self.dtype,
+        )
+
+
+class ConditioningEncoder(nn.Module):
+    """Reference mel -> (cond latents (b, L, dim), speaker vector (b, dim)).
+    Conv downsample + learned-query cross attention (the perceiver-resampler
+    role of XTTS's conditioning encoder)."""
+
+    cfg: XTTSConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        c = self.cfg
+        x = nn.Conv(c.dim, (3,), strides=(2,), name="conv1")(mel)
+        x = nn.gelu(x)
+        x = nn.Conv(c.dim, (3,), strides=(2,), name="conv2")(x)
+        x = nn.gelu(x)
+        x = nn.LayerNorm(name="ln")(x)
+        q = self.param("queries", nn.initializers.normal(0.02),
+                       (c.cond_latents, c.dim))
+        queries = jnp.broadcast_to(q, (x.shape[0],) + q.shape)
+        lat = nn.MultiHeadDotProductAttention(
+            num_heads=c.n_heads, name="xattn")(queries, x, x)
+        lat = lat + nn.Dense(c.dim, name="ff")(nn.gelu(lat))
+        spk = x.mean(axis=1)
+        spk = spk / jnp.maximum(jnp.linalg.norm(spk, axis=-1, keepdims=True),
+                                1e-6)
+        return lat, spk
+
+
+class XttsGPT(nn.Module):
+    """Decoder-only LM over [cond latents | text | audio codes]."""
+
+    cfg: XTTSConfig
+
+    def setup(self):
+        c = self.cfg
+        self.text_emb = nn.Embed(c.text_vocab, c.dim, name="text_emb")
+        self.audio_emb = nn.Embed(c.audio_vocab, c.dim, name="audio_emb")
+        self.lm = TransformerLM(c.lm(), embed_input=False, with_head=False,
+                                name="lm")
+        self.audio_head = nn.Dense(c.audio_vocab, use_bias=False,
+                                   name="audio_head")
+
+    def prefill(self, cond, text_ids, caches):
+        """cond (b, L, dim), text (b, s) -> logits for the first audio token."""
+        c = self.cfg
+        bos = self.audio_emb(
+            jnp.full((text_ids.shape[0], 1), c.audio_start, jnp.int32))
+        x = jnp.concatenate([cond, self.text_emb(text_ids), bos], axis=1)
+        h, caches = self.lm(x, pos=jnp.arange(x.shape[1]), caches=caches)
+        return self.audio_head(h[:, -1:].astype(jnp.float32)), caches
+
+    def step(self, tokens, pos, caches):
+        """tokens (b, 1) audio ids -> next-token logits."""
+        x = self.audio_emb(tokens)
+        h, caches = self.lm(x, pos=pos, caches=caches)
+        return self.audio_head(h.astype(jnp.float32)), caches
+
+
+class XttsVocoder(nn.Module):
+    """Audio codes -> waveform: code embeddings + speaker cond -> BigVGAN."""
+
+    cfg: XTTSConfig
+
+    @nn.compact
+    def __call__(self, codes, spk):
+        c = self.cfg
+        z = nn.Embed(c.n_codes, c.mel_bins, name="code_emb")(codes)
+        g = nn.Dense(c.mel_bins, name="spk_proj")(spk)
+        vcfg = BigVGANConfig(
+            n_mels=c.mel_bins, upsample_rates=(8, 8, 4),
+            upsample_kernel_sizes=(16, 16, 8), upsample_initial_channel=256)
+        return BigVGAN(vcfg, name="bigvgan")(z + g[:, None, :])
+
+
+class XTTS:
+    """Bundles the three modules + jitted generate (the engine core)."""
+
+    def __init__(self, cfg: XTTSConfig, params: dict):
+        self.cfg = cfg
+        self.cond_enc = ConditioningEncoder(cfg)
+        self.gpt = XttsGPT(cfg)
+        self.vocoder = XttsVocoder(cfg)
+        self.params = params
+
+    # ---------- construction ----------
+
+    @classmethod
+    def random_init(cls, cfg: XTTSConfig, seed: int = 0) -> "XTTS":
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        cond_enc, gpt, voc = (ConditioningEncoder(cfg), XttsGPT(cfg),
+                              XttsVocoder(cfg))
+        mel = jnp.zeros((1, 16, cfg.mel_bins))
+        cond = jnp.zeros((1, cfg.cond_latents, cfg.dim))
+        caches = init_cache(cfg.lm(), 1, cfg.max_seq_len)
+        params = {
+            "cond": cond_enc.init(k1, mel)["params"],
+            "gpt": gpt.init(k2, cond, jnp.zeros((1, 4), jnp.int32), caches,
+                            method=XttsGPT.prefill)["params"],
+            "vocoder": voc.init(k3, jnp.zeros((1, 8), jnp.int32),
+                                jnp.zeros((1, cfg.dim)))["params"],
+        }
+        return cls(cfg, params)
+
+    # ---------- inference ----------
+
+    def embed_reference(self, wav: np.ndarray, sr: int):
+        """Reference clip -> (cond latents, speaker vector)."""
+        mel = mel_spectrogram(jnp.asarray(wav, jnp.float32)[None], sr=sr,
+                              n_fft=1024, hop=256, n_mels=self.cfg.mel_bins)
+        mel = jnp.log(jnp.clip(mel, 1e-5, None))
+        return self.cond_enc.apply({"params": self.params["cond"]}, mel)
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _generate_codes(self, params, cond, text_ids, steps, rng):
+        c = self.cfg
+        caches = init_cache(c.lm(), text_ids.shape[0], c.max_seq_len)
+        logits, caches = self.gpt.apply(
+            {"params": params}, cond, text_ids, caches,
+            method=XttsGPT.prefill)
+        first = jnp.argmax(logits[:, -1], axis=-1)
+        start = cond.shape[1] + text_ids.shape[1] + 1
+
+        def apply_fn(p, toks, pos, cch):
+            return self.gpt.apply({"params": p}, toks, pos, cch,
+                                  method=XttsGPT.step)
+
+        toks, _ = decode(apply_fn, params, caches, first, start, steps, rng,
+                         temperature=0.75, top_k=50,
+                         stop_token=c.audio_stop)
+        return toks
+
+    def tts(self, text: str, ref_wav: np.ndarray, ref_sr: int,
+            max_codes: int = 256, seed: int = 0) -> tuple[np.ndarray, int]:
+        c = self.cfg
+        cond, spk = self.embed_reference(ref_wav, ref_sr)
+        ids = jnp.asarray([min(b, c.text_vocab - 1)
+                           for b in text.encode("utf-8")], jnp.int32)[None]
+        codes = self._generate_codes(self.params["gpt"], cond, ids,
+                                     max_codes, jax.random.PRNGKey(seed))
+        # trim at stop, clamp BOS/STOP ids out of the vocoder range
+        codes = jnp.clip(codes, 0, c.n_codes - 1)
+        wav = self.vocoder.apply({"params": self.params["vocoder"]},
+                                 codes, spk)
+        return np.asarray(wav[0]), c.sr

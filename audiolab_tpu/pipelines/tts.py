@@ -206,18 +206,74 @@ class DiaTTSEngine:
         return audio[0], self.sr
 
 
-def register_default_backends(tts_api, zonos=None, dia=None) -> None:
-    """Engine table mirroring layouts/tts.py:570 generate_tts dispatch.
+class XTTSEngine:
+    """Coqui-XTTS-class engine (layouts/tts.py:570 'coqui' dispatch,
+    handlers/tts.py:16-126): GPT over VQ codes + BigVGAN, voices cloned
+    from reference audio (models/xtts.py)."""
 
-    The reference's four engines map as: zonos -> ZonosTTS; dia -> Dia;
-    coqui (XTTS voice clone+TTS) -> the Zonos engine with a reference-audio
-    speaker embedding (same capability, one stack); chatterbox -> dia
-    alias until a dedicated model lands."""
+    def __init__(self, model):
+        self.model = model  # models.xtts.XTTS
+        self._voices: dict[str, tuple[np.ndarray, int]] = {}
+
+    @property
+    def voices(self):
+        return ["default"] + sorted(self._voices)
+
+    def add_voice(self, name: str, wav: np.ndarray, sr: int) -> None:
+        """Clone a voice from reference audio (XTTS's signature feature)."""
+        self._voices[name] = (np.asarray(wav, np.float32), sr)
+
+    def _ref(self, voice: str) -> tuple[np.ndarray, int]:
+        if voice in self._voices:
+            return self._voices[voice]
+        # deterministic built-in reference (shaped noise through a comb)
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(24000).astype(np.float32) * 0.1
+        for d in (89, 131):
+            x[d:] += 0.6 * x[:-d]
+        return x * 0.2, 24000
+
+    def generate(self, text: str, voice: str = "default", speed: float = 1.0,
+                 seed: int = 0, **_):
+        ref, sr = self._ref(voice)
+        n_codes = max(16, int(len(text.split()) * 18 / max(speed, 0.25)))
+        return self.model.tts(text, ref, sr, max_codes=min(n_codes, 512),
+                              seed=seed)
+
+
+class ChatterboxEngine:
+    """Chatterbox-class engine (layouts/tts.py:381): unit LM + flow-matching
+    decoder + Vocos, with the exaggeration knob (models/chatterbox.py)."""
+
+    voices = ["default"]
+
+    def __init__(self, model):
+        self.model = model  # models.chatterbox.Chatterbox
+
+    def generate(self, text: str, voice: str = "default", speed: float = 1.0,
+                 seed: int = 0, exaggeration: float = 0.5, **_):
+        n_units = max(12, int(len(text.split()) * 10 / max(speed, 0.25)))
+        return self.model.tts(text, exaggeration=float(exaggeration),
+                              max_units=min(n_units, 384), seed=seed)
+
+
+def register_default_backends(tts_api, zonos=None, dia=None, xtts=None,
+                              chatterbox=None) -> None:
+    """Engine table mirroring layouts/tts.py:570 generate_tts dispatch:
+    four DISTINCT engines (zonos, coqui/XTTS, chatterbox, dia).  When a
+    dedicated engine isn't supplied, the closest stack stands in so the
+    endpoint stays live (aliases flagged in COVERAGE)."""
     if zonos is not None:
         tts_api.register_backend("zonos", zonos)
+    if xtts is not None:
+        tts_api.register_backend("coqui", xtts)
+    elif zonos is not None:
         tts_api.register_backend("coqui", zonos)
     if dia is not None:
         tts_api.register_backend("dia", dia)
+    if chatterbox is not None:
+        tts_api.register_backend("chatterbox", chatterbox)
+    elif dia is not None:
         tts_api.register_backend("chatterbox", dia)
 
 
@@ -242,3 +298,20 @@ def random_zonos(model_cfg: ZonosConfig | None = None, seed: int = 0):
     se = SpeakerEncoder(mc.spk_dim)
     sp = se.init(jax.random.PRNGKey(seed + 2), jnp.zeros((1, 20, 80)))["params"]
     return ZonosTTS(mc, params, dac_cfg, dp, sp)
+
+
+def random_xtts(seed: int = 0) -> "XTTSEngine":
+    """Random-weight XTTS-class engine (converter/training fills real)."""
+    from audiolab_tpu.models.xtts import XTTS, XTTSConfig
+
+    cfg = XTTSConfig(dim=64, n_layers=2, n_heads=4, cond_latents=4,
+                     max_seq_len=1024)
+    return XTTSEngine(XTTS.random_init(cfg, seed))
+
+
+def random_chatterbox(seed: int = 0) -> "ChatterboxEngine":
+    """Random-weight Chatterbox-class engine."""
+    from audiolab_tpu.models.chatterbox import Chatterbox, ChatterboxConfig
+
+    cfg = ChatterboxConfig(dim=64, n_layers=2, n_heads=4, max_seq_len=1024)
+    return ChatterboxEngine(Chatterbox.random_init(cfg, seed))

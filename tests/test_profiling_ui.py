@@ -46,3 +46,34 @@ def test_ui_route(tmp_path):
     code, resp = router.dispatch("GET", "/", {})
     assert code == 200 and isinstance(resp, RawResponse)
     assert b"AudioLab" in resp.body and b"/api/v1/process/chain" in resp.body
+
+
+def test_ui_arg_form_and_hints(tmp_path):
+    """The SPA embeds the ArgHandler equivalent: schema-driven form
+    (renderProcForm), per-field hint toggles, and live localStorage
+    mirroring keyed {Processor}{field} (reference handlers/args.py:7-176);
+    the schema endpoint supplies the hint text."""
+    import json
+    import urllib.request
+
+    from audiolab_tpu.serve.api import create_app
+    from audiolab_tpu.serve.http import serve_background
+
+    server, port = serve_background(create_app(str(tmp_path)))
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+        for marker in ("renderProcForm", "localStorage", "hintb",
+                       "/api/v1/process/processors", "proc-on"):
+            assert marker in html, marker
+        r = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/v1/process/processors",
+            timeout=30).read())
+        procs = {p["title"]: p for p in r["processors"]}
+        assert "Separate" in procs
+        # every field ships a description for the hint system
+        for p in r["processors"]:
+            for name, spec in p.get("properties", {}).items():
+                assert spec.get("description"), (p["title"], name)
+    finally:
+        server.shutdown()

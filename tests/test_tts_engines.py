@@ -62,3 +62,80 @@ def test_merge_models(tmp_path):
     k = "emb_g"
     expected = 0.25 * np.asarray(pa[k]["embedding"]) + 0.75 * np.asarray(pb[k]["embedding"])
     np.testing.assert_allclose(pm[k]["embedding"], expected, rtol=1e-6)
+
+
+# ---------------------------------------------------- XTTS / Chatterbox
+
+def test_xtts_engine_generates_and_clones():
+    """XTTS-class: distinct stack (GPT over VQ codes + BigVGAN), voice
+    cloning from reference audio changes the output."""
+    import numpy as np
+
+    from audiolab_tpu.pipelines.tts import random_xtts
+
+    eng = random_xtts()
+    wav, sr = eng.generate("hello world", seed=1)
+    assert sr == 24000 and wav.ndim == 1 and len(wav) > 1000
+    assert np.isfinite(wav).all()
+
+    ref = (0.2 * np.sin(2 * np.pi * 150 * np.arange(24000) / 24000)
+           ).astype(np.float32)
+    eng.add_voice("alice", ref, 24000)
+    assert "alice" in eng.voices
+    wav2, _ = eng.generate("hello world", voice="alice", seed=1)
+    assert not np.allclose(wav[: min(len(wav), len(wav2))],
+                           wav2[: min(len(wav), len(wav2))])
+
+
+def test_chatterbox_engine_exaggeration_knob():
+    """Chatterbox-class: unit LM + flow decoder + Vocos; the exaggeration
+    scalar conditions the LM (logit-level check — at random init the flow
+    DiT's zero-init output head hides conditioning in the waveform)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.lm import init_cache
+    from audiolab_tpu.models.chatterbox import T3
+    from audiolab_tpu.pipelines.tts import random_chatterbox
+
+    eng = random_chatterbox()
+    w1, sr = eng.generate("test sentence", seed=2, exaggeration=0.1)
+    assert sr == 24000 and np.isfinite(w1).all() and len(w1) > 1000
+
+    m = eng.model
+    ids = jnp.zeros((1, 4), jnp.int32)
+    spk = jnp.zeros((1, m.cfg.dim))
+
+    def logits(ex):
+        caches = init_cache(m.cfg.lm(), 1, m.cfg.max_seq_len)
+        lg, _ = m.t3.apply({"params": m.params["t3"]}, ids, spk,
+                           jnp.asarray([ex]), caches, method=T3.prefill)
+        return np.asarray(lg)
+
+    assert not np.allclose(logits(0.1), logits(0.9))
+
+
+def test_four_distinct_engines_registered():
+    """register_default_backends wires 4 DISTINCT engines when provided
+    (reference layouts/tts.py:570)."""
+    from audiolab_tpu.pipelines.tts import (
+        random_chatterbox,
+        random_xtts,
+        register_default_backends,
+    )
+    from audiolab_tpu.serve import tts_api
+
+    saved = dict(tts_api._BACKENDS)
+    try:
+        tts_api._BACKENDS.clear()
+        x, cb = random_xtts(), random_chatterbox()
+        register_default_backends(tts_api, zonos=object(), dia=object(),
+                                  xtts=x, chatterbox=cb)
+        b = tts_api._BACKENDS
+        assert set(b) >= {"zonos", "coqui", "dia", "chatterbox"}
+        assert b["coqui"] is x and b["chatterbox"] is cb
+        assert len({id(v) for v in b.values()}) == 4
+    finally:
+        tts_api._BACKENDS.clear()
+        tts_api._BACKENDS.update(saved)
