@@ -53,13 +53,21 @@ class Export(BaseProcessor):
             stage = proj.stage_dir("export")
             base = os.path.splitext(os.path.basename(proj.src_file))[0]
             callback(1, f"Writing {fmt} project", 2)
+            # video inputs get a video track in the DAW project
+            # (reference util/video_track.py via wrappers/export.py)
+            video = getattr(proj, "video_source", None)
+            if video and not os.path.exists(video):
+                video = None
             if fmt == "ableton":
+                dur = first.samples.shape[-1] / first.sample_rate
                 proj_file = write_ableton_project(
-                    os.path.join(stage, f"{base}.als"), stems, bpm, first.sample_rate
+                    os.path.join(stage, f"{base}.als"), stems, bpm,
+                    first.sample_rate, video_file=video, video_duration_s=dur
                 )
             else:
                 proj_file = write_reaper_project(
-                    os.path.join(stage, f"{base}.rpp"), stems, bpm, first.sample_rate
+                    os.path.join(stage, f"{base}.rpp"), stems, bpm,
+                    first.sample_rate, video_file=video
                 )
             bundle = zip_project(os.path.join(stage, f"{base}_project.zip"), [proj_file] + stems)
             proj.add_output("export", [bundle])

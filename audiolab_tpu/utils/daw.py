@@ -42,13 +42,66 @@ def detect_bpm(audio: np.ndarray, sr: int) -> float:
     return float(round(60.0 * fps / lag, 1))
 
 
+def _video_crc_and_size(path: str) -> tuple[int, int]:
+    """CRC32 + byte size of the video file (reference video_track.py
+    OriginalFileSize/OriginalCrc fields), streamed so big files are fine."""
+    import zlib
+
+    crc = 0
+    size = 0
+    with open(path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            crc = zlib.crc32(chunk, crc)
+            size += len(chunk)
+    return crc & 0xFFFFFFFF, size
+
+
+def add_video_track(
+    tracks: "ET.Element",
+    video_file: str,
+    track_id: int,
+    bpm: float = 120.0,
+    duration_s: float | None = None,
+    color: int = 16,
+) -> None:
+    """Ableton video track (reference util/video_track.py:5): video rides
+    an AudioTrack whose clip references the media file, with beat-timed
+    clip start/end, its own color, and file-info placeholders."""
+    crc, size = (0, 0)
+    if os.path.exists(video_file):
+        crc, size = _video_crc_and_size(video_file)
+    clip_end = (duration_s or 0.0) * bpm / 60.0
+    name = os.path.splitext(os.path.basename(video_file))[0]
+
+    track = ET.SubElement(tracks, "AudioTrack", Id=str(track_id))
+    tname = ET.SubElement(track, "Name")
+    ET.SubElement(tname, "EffectiveName", Value=f"{track_id}-{name}")
+    ET.SubElement(track, "Color", Value=str(color))
+    dev = ET.SubElement(track, "DeviceChain")
+    clip = ET.SubElement(dev, "AudioClip",
+                         Id=str(track_id * 100), Time="0")
+    ET.SubElement(clip, "CurrentStart", Value="0")
+    ET.SubElement(clip, "CurrentEnd", Value=str(clip_end))
+    ET.SubElement(clip, "Name", Value=name)
+    sample = ET.SubElement(clip, "SampleRef")
+    fref = ET.SubElement(sample, "FileRef")
+    ET.SubElement(fref, "RelativePath",
+                  Value=f"Samples/Imported/{os.path.basename(video_file)}")
+    ET.SubElement(fref, "Path", Value=os.path.abspath(video_file))
+    ET.SubElement(fref, "OriginalFileSize", Value=str(size))
+    ET.SubElement(fref, "OriginalCrc", Value=str(crc))
+
+
 def write_ableton_project(
     out_path: str,
     stems: list[str],
     bpm: float = 120.0,
     sample_rate: int = 44100,
+    video_file: str | None = None,
+    video_duration_s: float | None = None,
 ) -> str:
-    """Minimal valid Live 11 set: one audio track per stem, master tempo."""
+    """Minimal valid Live 11 set: one audio track per stem, master tempo,
+    optional video track (util/video_track.py role)."""
     root = ET.Element(
         "Ableton",
         MajorVersion="5",
@@ -68,6 +121,9 @@ def write_ableton_project(
         sample = ET.SubElement(dev, "SampleRef")
         fref = ET.SubElement(sample, "FileRef")
         ET.SubElement(fref, "Path", Value=os.path.abspath(stem))
+    if video_file:
+        add_video_track(tracks, video_file, 10 + len(stems), bpm,
+                        video_duration_s)
     master = ET.SubElement(live_set, "MasterTrack")
     mixer = ET.SubElement(master, "DeviceChain")
     tempo = ET.SubElement(mixer, "Tempo")
@@ -84,27 +140,36 @@ def write_reaper_project(
     stems: list[str],
     bpm: float = 120.0,
     sample_rate: int = 44100,
+    video_file: str | None = None,
 ) -> str:
-    """Reaper .rpp: plain-text node tree, one track+item per stem."""
+    """Reaper .rpp: plain-text node tree, one track+item per stem; video
+    gets its own track with a SOURCE VIDEO item."""
     lines = [
         "<REAPER_PROJECT 0.1 \"7.0\" 0",
         f"  TEMPO {bpm} 4 4",
         f"  SAMPLERATE {sample_rate} 0 0",
     ]
-    for stem in stems:
-        name = os.path.splitext(os.path.basename(stem))[0]
-        lines += [
+
+    def track(name: str, path: str, source: str) -> list[str]:
+        return [
             "  <TRACK",
             f'    NAME "{name}"',
             "    <ITEM",
             "      POSITION 0",
             f'      NAME "{name}"',
-            "      <SOURCE WAVE",
-            f'        FILE "{os.path.abspath(stem)}"',
+            f"      <SOURCE {source}",
+            f'        FILE "{os.path.abspath(path)}"',
             "      >",
             "    >",
             "  >",
         ]
+
+    for stem in stems:
+        name = os.path.splitext(os.path.basename(stem))[0]
+        lines += track(name, stem, "WAVE")
+    if video_file:
+        lines += track(os.path.splitext(os.path.basename(video_file))[0],
+                       video_file, "VIDEO")
     lines.append(">")
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")

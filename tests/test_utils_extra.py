@@ -99,3 +99,35 @@ def test_streaming_vc_blocks():
         assert np.isfinite(out).all()
         outs.append(out)
     assert len(np.concatenate(outs)) == 3 * stream.block_out
+
+
+def test_daw_video_track(tmp_path):
+    """Video inputs land as a DAW video track (reference
+    util/video_track.py): Ableton gets an AudioTrack clip referencing the
+    media with CRC/size/beat-timed end; Reaper a SOURCE VIDEO item."""
+    import gzip
+
+    import numpy as np
+
+    from audiolab_tpu.core.audio_io import write_audio
+    from audiolab_tpu.utils.daw import (
+        write_ableton_project,
+        write_reaper_project,
+    )
+
+    stem = str(tmp_path / "vocals.wav")
+    write_audio(stem, np.zeros(4000, np.float32), 8000)
+    vid = tmp_path / "clip.mp4"
+    vid.write_bytes(b"\x00fake-video-bytes" * 100)
+
+    als = write_ableton_project(str(tmp_path / "p.als"), [stem], bpm=120.0,
+                                video_file=str(vid), video_duration_s=30.0)
+    xml = gzip.open(als).read().decode()
+    assert "clip.mp4" in xml and "OriginalCrc" in xml
+    assert '<CurrentEnd Value="60.0"' in xml  # 30 s at 120 bpm = 60 beats
+    assert "Samples/Imported/clip.mp4" in xml
+
+    rpp = write_reaper_project(str(tmp_path / "p.rpp"), [stem],
+                               video_file=str(vid))
+    txt = open(rpp).read()
+    assert "SOURCE VIDEO" in txt and "clip.mp4" in txt
