@@ -228,10 +228,16 @@ class DACConfig:
     n_q: int = 9
     codebook_size: int = 1024
     codebook_dim: int = 8
+    decoder_dim: int | None = None  # first decoder width (upstream 1536);
+                                    # defaults to ``dim``
 
     @property
     def hop(self) -> int:
         return int(np.prod(self.rates))
+
+    @property
+    def d0(self) -> int:
+        return self.decoder_dim or self.dim
 
 
 class DACResUnit(nn.Module):
@@ -257,18 +263,20 @@ class DACDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, codes: jnp.ndarray) -> jnp.ndarray:
-        """codes (b, n_q, t) -> audio (b, t*hop)."""
-        c = self.cfg
-        embs = self.param(
-            "codebooks", nn.initializers.normal(0.02),
-            (c.n_q, c.codebook_size, c.codebook_dim),
-        )
-        zs = [embs[qi][codes[:, qi]] for qi in range(codes.shape[1])]
-        z = jnp.concatenate(zs, axis=-1)  # (b, t, n_q*cb_dim)
-        # out_proj per codebook group then latent projection (dac quantizer)
-        z = nn.Conv(c.dim, (1,), name="proj")(z)
+        """codes (b, n_q, t) -> audio (b, t*hop).
 
-        ch = c.dim
+        Structure matches descript-audio-codec's decode path so real
+        weights convert: per-quantizer codebook + out_proj summed (the RVQ
+        dequantize), then Conv(7) at decoder_dim with halving DecoderBlocks
+        (Snake -> ConvT(2r, stride r) -> 3 ResUnits, dilations 1/3/9)."""
+        c = self.cfg
+        z = 0.0
+        for qi in range(c.n_q):
+            emb = nn.Embed(c.codebook_size, c.codebook_dim,
+                           name=f"codebook_{qi}")(codes[:, qi])
+            z = z + nn.Dense(c.dim, name=f"out_proj_{qi}")(emb)
+
+        ch = c.d0
         h = nn.Conv(ch, (7,), padding="SAME", name="conv_in")(z)
         for i, r in enumerate(c.rates):
             ch //= 2
@@ -328,7 +336,9 @@ class Vocos(nn.Module):
         n_bins = c.n_fft // 2 + 1
         out = nn.Dense(2 * n_bins, name="head")(h)
         logmag, phase = jnp.split(out.astype(jnp.float32), 2, axis=-1)
-        mag = jnp.exp(jnp.clip(logmag, None, 12.0))
+        # upstream vocos clips the MAGNITUDE at 1e2 (heads.py); the inner
+        # logmag clip just keeps exp finite in fp32
+        mag = jnp.clip(jnp.exp(jnp.clip(logmag, None, 12.0)), None, 1e2)
         real = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
         return istft(real, imag, c.n_fft, c.hop)

@@ -125,6 +125,12 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
         # with flax padding ((1,2),(1,2)) in tests/test_torch_parity_full)
         w = np.transpose(np.asarray(sd[key + ".weight"]), (2, 3, 0, 1))
         return w[::-1, ::-1].copy()
+    if kind == "snake_a":
+        # Snake1d alpha (1, ch, 1) -> flax (ch,)
+        return np.asarray(sd[key + ".alpha"]).reshape(-1)
+    if kind == "densewn1x1_w":
+        # weight-normed 1x1 Conv1d as a Dense: fold then (out,in,1)->(in,out)
+        return _get_wn(sd, key)[:, :, 0].T
     if kind.startswith("gru_"):
         # key format "{torch_gru_prefix}.{l0|l0_reverse}|{r|z|n}"
         base_sfx, gate = key.split("|")
@@ -199,6 +205,12 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
     elif kind == "convT2_w":
         put(key + ".weight", rng.standard_normal(
             (flax_shape[2], flax_shape[3], flax_shape[0], flax_shape[1])))
+    elif kind == "snake_a":
+        put(key + ".alpha", rng.standard_normal((1, flax_shape[0], 1)) * 0.1 + 1.0)
+    elif kind == "densewn1x1_w":
+        v = rng.standard_normal((flax_shape[1], flax_shape[0], 1))
+        put(key + ".weight_v", v)
+        put(key + ".weight_g", np.abs(rng.standard_normal((v.shape[0], 1, 1))) + 0.5)
     elif kind.startswith("gru_"):
         base_sfx, _gate = key.split("|")
         base, sfx = base_sfx.rsplit(".", 1)
@@ -783,3 +795,136 @@ def load_crepe_checkpoint(path: str, model: str = "full") -> dict:
         lambda: net.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, WINDOW), jnp.float32)))
     return convert_crepe(sd, variables)
+
+
+# -------------------------------------------------------------------- DAC
+
+def dac_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax DACDecoder tree -> descript-audio-codec state-dict names
+    (quantizer.quantizers.N / decoder.model.N), decode path only."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    n_q = sum(1 for k in template if k.startswith("codebook_"))
+    for i in range(n_q):
+        m[f"codebook_{i}/embedding"] = (
+            "direct", f"quantizer.quantizers.{i}.codebook.weight")
+        m[f"out_proj_{i}/kernel"] = (
+            "densewn1x1_w", f"quantizer.quantizers.{i}.out_proj")
+        m[f"out_proj_{i}/bias"] = (
+            "bias", f"quantizer.quantizers.{i}.out_proj")
+
+    wn("conv_in", "decoder.model.0")
+    n_rates = sum(1 for k in template if k.startswith("up_"))
+    for i in range(n_rates):
+        blk = f"decoder.model.{1 + i}.block"
+        m[f"snake_{i}/alpha"] = ("snake_a", f"{blk}.0")
+        m[f"up_{i}/kernel"] = ("convTwn_w", f"{blk}.1")
+        m[f"up_{i}/bias"] = ("bias", f"{blk}.1")
+        for j in range(3):
+            res = f"{blk}.{2 + j}.block"
+            m[f"res_{i}_{j}/s1/alpha"] = ("snake_a", f"{res}.0")
+            wn(f"res_{i}_{j}/c1", f"{res}.1")
+            m[f"res_{i}_{j}/s2/alpha"] = ("snake_a", f"{res}.2")
+            wn(f"res_{i}_{j}/c2", f"{res}.3")
+    m["snake_out/alpha"] = ("snake_a", f"decoder.model.{1 + n_rates}")
+    wn("conv_out", f"decoder.model.{2 + n_rates}")
+    return m
+
+
+def convert_dac(state_dict: dict, template: dict, strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, dac_mapping(template), sd, strict)
+
+
+def load_dac_checkpoint(path: str, cfg=None) -> tuple[dict, "object"]:
+    """Published DAC weights.pth -> (flax params, DACConfig)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.codecs import DACConfig, DACDecoder
+
+    ckpt = torch_load_weights(path)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    cfg = cfg or DACConfig(decoder_dim=1536)
+    model = DACDecoder(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.n_q, 4), jnp.int32)))["params"]
+    return convert_dac(sd, template), cfg
+
+
+# ------------------------------------------------------------------ Vocos
+
+def vocos_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax Vocos tree -> charactr/vocos state-dict names (backbone.embed,
+    backbone.convnext.N.*, head.out) — the vocoder YuE upsamples with."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    conv("embed", "backbone.embed")
+    norm("norm_in", "backbone.norm")
+    for i in range(sum(1 for k in template if k.startswith("block_"))):
+        b = f"backbone.convnext.{i}"
+        conv(f"block_{i}/dwconv", f"{b}.dwconv")
+        norm(f"block_{i}/norm", f"{b}.norm")
+        dense(f"block_{i}/pw1", f"{b}.pwconv1")
+        dense(f"block_{i}/pw2", f"{b}.pwconv2")
+        m[f"block_{i}/gamma"] = ("direct", f"{b}.gamma")
+    norm("norm_out", "backbone.final_layer_norm")
+    dense("head", "head.out")
+    return m
+
+
+def convert_vocos(state_dict: dict, template: dict,
+                  strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, vocos_mapping(template), sd, strict)
+
+
+def load_vocos_checkpoint(path: str, cfg=None) -> tuple[dict, "object"]:
+    """Published vocos pytorch_model.bin / .safetensors -> flax params."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.codecs import Vocos, VocosConfig
+
+    sd = torch_load_weights(path)
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    if cfg is None:
+        in_dim = sd["backbone.embed.weight"].shape[1]
+        dim = sd["backbone.embed.weight"].shape[0]
+        n_layers = len({k.split(".")[2] for k in sd
+                        if k.startswith("backbone.convnext.")})
+        n_fft = sd["head.out.weight"].shape[0] - 2
+        cfg = VocosConfig(dim=dim, n_layers=n_layers, n_fft=n_fft,
+                          hop=n_fft // 4)
+        model = Vocos(cfg)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, in_dim), jnp.float32))
+        )["params"]
+    else:
+        model = Vocos(cfg)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 8, cfg.dim), jnp.float32))
+        )["params"]
+    return convert_vocos(sd, template), cfg

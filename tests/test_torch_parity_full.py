@@ -368,3 +368,80 @@ def test_bs_roformer_residual_stem():
     assert set(out) == {"vocals", "other"}
     np.testing.assert_allclose(np.asarray(out["vocals"] + out["other"]),
                                np.asarray(audio), atol=1e-4)
+
+
+# -------------------------------------------------------------------- DAC
+
+def test_dac_decoder_full_parity():
+    """torch DAC decode path (published state-dict names) ->
+    convert_dac -> flax, codes in / audio out, fp64."""
+    from tests.torch_ref_models import DACDecoderTorch
+
+    import jax as _jax
+
+    torch.manual_seed(31)
+    t_model = DACDecoderTorch(latent=32, decoder_dim=64, rates=(4, 2),
+                              n_q=3, cb_size=32, cb_dim=4).double().eval()
+
+    from audiolab_tpu.models.codecs import DACConfig, DACDecoder
+    from audiolab_tpu.utils.convert import convert_dac
+
+    cfg = DACConfig(dim=32, decoder_dim=64, rates=(4, 2), n_q=3,
+                    codebook_size=32, codebook_dim=4)
+    f_model = DACDecoder(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        codes = np.random.default_rng(32).integers(0, 32, (2, 3, 16))
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 3, 4), jnp.int32)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_dac(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(codes)).numpy()[:, 0]
+        out = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(codes)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        # the Snake activation computes in float32 on purpose (TPU VPU
+        # path), flooring fp64 agreement at ~1e-7; layout errors are O(0.1)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+# ------------------------------------------------------------------ Vocos
+
+def test_vocos_full_parity():
+    """torch Vocos (charactr key names) -> convert_vocos -> flax: latents
+    in / audio out (ConvNeXt trunk + iSTFT head), fp64."""
+    from tests.torch_ref_models import VocosTorch
+
+    import jax as _jax
+
+    torch.manual_seed(41)
+    t_model = VocosTorch(in_dim=16, dim=32, n_layers=2, n_fft=64,
+                         hop=16).double().eval()
+
+    from audiolab_tpu.models.codecs import Vocos, VocosConfig
+    from audiolab_tpu.utils.convert import convert_vocos
+
+    f_model = Vocos(VocosConfig(dim=32, n_layers=2, ffn_mult=3, n_fft=64,
+                                hop=16))
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        z = np.random.default_rng(42).standard_normal((2, 12, 16)) * 0.5
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8, 16), jnp.float64)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_vocos(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(z)).numpy()
+        out = np.asarray(f_model.apply({"params": params}, jnp.asarray(z)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        # fp32 hann/iDFT tables in the library floor agreement ~1e-6
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

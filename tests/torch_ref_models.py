@@ -939,3 +939,137 @@ class CrepeTorch(nn.Module):
             x = F.max_pool2d(x, (2, 1), (2, 1))
         x = x.permute(0, 2, 1, 3).reshape(x.shape[0], -1)
         return torch.sigmoid(self.classifier(x))
+
+
+# -------------------------------------------------------------------- DAC
+
+
+class _DacSnake1d(nn.Module):
+    def __init__(self, ch):
+        super().__init__()
+        self.alpha = nn.Parameter(torch.ones(1, ch, 1))
+
+    def forward(self, x):
+        return x + torch.sin(self.alpha * x) ** 2 / (self.alpha + 1e-9)
+
+
+def _dac_wn(conv):
+    return weight_norm(conv)
+
+
+class _DacResUnit(nn.Module):
+    def __init__(self, ch, dilation):
+        super().__init__()
+        pad = ((7 - 1) * dilation) // 2
+        self.block = nn.Sequential(
+            _DacSnake1d(ch),
+            _dac_wn(nn.Conv1d(ch, ch, 7, dilation=dilation, padding=pad)),
+            _DacSnake1d(ch),
+            _dac_wn(nn.Conv1d(ch, ch, 1)),
+        )
+
+    def forward(self, x):
+        return x + self.block(x)
+
+
+class _DacDecoderBlock(nn.Module):
+    def __init__(self, cin, cout, rate):
+        super().__init__()
+        self.block = nn.Sequential(
+            _DacSnake1d(cin),
+            _dac_wn(nn.ConvTranspose1d(cin, cout, 2 * rate, stride=rate,
+                                       padding=rate // 2)),
+            _DacResUnit(cout, 1),
+            _DacResUnit(cout, 3),
+            _DacResUnit(cout, 9),
+        )
+
+    def forward(self, x):
+        return self.block(x)
+
+
+class _DacVQ(nn.Module):
+    def __init__(self, latent, cb_dim, cb_size):
+        super().__init__()
+        self.codebook = nn.Embedding(cb_size, cb_dim)
+        self.out_proj = _dac_wn(nn.Conv1d(cb_dim, latent, 1))
+
+
+class DACDecoderTorch(nn.Module):
+    """descript-audio-codec decode path; state-dict names match the
+    published weights.pth (quantizer.quantizers.N, decoder.model.N)."""
+
+    def __init__(self, latent=32, decoder_dim=64, rates=(4, 2), n_q=3,
+                 cb_size=32, cb_dim=4):
+        super().__init__()
+        self.quantizer = nn.Module()
+        self.quantizer.quantizers = nn.ModuleList(
+            [_DacVQ(latent, cb_dim, cb_size) for _ in range(n_q)])
+        mods = [_dac_wn(nn.Conv1d(latent, decoder_dim, 7, padding=3))]
+        ch = decoder_dim
+        for r in rates:
+            mods.append(_DacDecoderBlock(ch, ch // 2, r))
+            ch //= 2
+        mods += [_DacSnake1d(ch),
+                 _dac_wn(nn.Conv1d(ch, 1, 7, padding=3)), nn.Tanh()]
+        self.decoder = nn.Module()
+        self.decoder.model = nn.Sequential(*mods)
+
+    def forward(self, codes):
+        # codes (b, n_q, t)
+        z = 0.0
+        for i, q in enumerate(self.quantizer.quantizers):
+            e = q.codebook(codes[:, i]).transpose(1, 2)  # (b, cb_dim, t)
+            z = z + q.out_proj(e)
+        return self.decoder.model(z)
+
+
+# ------------------------------------------------------------------ Vocos
+
+
+class _VocosConvNeXt(nn.Module):
+    def __init__(self, dim, mult=3):
+        super().__init__()
+        self.dwconv = nn.Conv1d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim)
+        self.pwconv1 = nn.Linear(dim, dim * mult)
+        self.pwconv2 = nn.Linear(dim * mult, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):  # (b, t, d)
+        h = self.dwconv(x.transpose(1, 2)).transpose(1, 2)
+        h = self.norm(h)
+        h = self.pwconv2(F.gelu(self.pwconv1(h)))
+        return x + self.gamma * h
+
+
+class VocosTorch(nn.Module):
+    """charactr/vocos replica (backbone.* / head.out key names)."""
+
+    def __init__(self, in_dim=16, dim=32, n_layers=2, mult=3, n_fft=64,
+                 hop=16):
+        super().__init__()
+        self.backbone = nn.Module()
+        self.backbone.embed = nn.Conv1d(in_dim, dim, 7, padding=3)
+        self.backbone.norm = nn.LayerNorm(dim)
+        self.backbone.convnext = nn.ModuleList(
+            [_VocosConvNeXt(dim, mult) for _ in range(n_layers)])
+        self.backbone.final_layer_norm = nn.LayerNorm(dim)
+        self.head = nn.Module()
+        self.head.out = nn.Linear(dim, n_fft + 2)
+        self.n_fft, self.hop = n_fft, hop
+
+    def forward(self, z):  # (b, t, in_dim) -> (b, n)
+        x = self.backbone.embed(z.transpose(1, 2)).transpose(1, 2)
+        x = self.backbone.norm(x)
+        for blk in self.backbone.convnext:
+            x = blk(x)
+        x = self.backbone.final_layer_norm(x)
+        out = self.head.out(x)
+        mag, p = out.chunk(2, dim=-1)
+        mag = torch.exp(mag).clip(max=1e2)
+        spec = (mag * torch.cos(p) + 1j * mag * torch.sin(p))
+        return torch.istft(spec.transpose(1, 2), self.n_fft, self.hop,
+                           window=torch.hann_window(self.n_fft,
+                                                    dtype=z.dtype),
+                           center=True)
