@@ -87,12 +87,23 @@ class OpenVoiceCloner:
 
 # ------------------------------------------------------------------ diarization
 
+def neural_diarize(wav: np.ndarray, sr: int, diarizer=None
+                   ) -> list[tuple[float, float, str]]:
+    """pyannote-class two-stage diarization: EEND segmentation net +
+    embedding clustering (models/diarize.py; reference
+    speaker_separation.py:24-209).  Pass a NeuralDiarizer with converted/
+    trained weights for real accuracy; default is random-init."""
+    from audiolab_tpu.models.diarize import NeuralDiarizer
+
+    return (diarizer or NeuralDiarizer()).diarize(wav, sr)
+
+
 def diarize(
     wav: np.ndarray, sr: int, spk_encoder: SpeakerEncoder, spk_params,
     n_speakers: int = 2, window_s: float = 1.5, hop_s: float = 0.75,
 ) -> list[tuple[float, float, str]]:
-    """Windowed speaker embeddings -> k-means -> merged turns
-    (speaker_separation.py equivalent without pyannote)."""
+    """Windowed speaker embeddings -> k-means -> merged turns (the fast
+    fallback; neural_diarize is the pyannote-class path)."""
     x = np.asarray(wav, np.float32)
     if sr != 16000:
         x = resample_poly_np(x, sr, 16000)

@@ -1,0 +1,94 @@
+"""Neural diarization (pyannote-class, models/diarize.py): PIT loss
+semantics, clustering, and the end-to-end chunked pipeline."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from audiolab_tpu.models.diarize import (
+    DiarizeConfig,
+    NeuralDiarizer,
+    SegmentationNet,
+    _agglomerate,
+    _merge_turns,
+    pit_bce_loss,
+)
+
+
+def test_pit_loss_permutation_invariant():
+    rng = np.random.default_rng(0)
+    tgt = (rng.random((2, 20, 3)) > 0.5).astype(np.float32)
+    pred = np.clip(tgt * 0.9 + 0.05, 0.0, 1.0)
+    base = float(pit_bce_loss(jnp.asarray(pred), jnp.asarray(tgt)))
+    # permuting the prediction channels must not change the loss
+    perm = pred[..., [2, 0, 1]]
+    assert np.isclose(
+        float(pit_bce_loss(jnp.asarray(perm), jnp.asarray(tgt))), base,
+        atol=1e-6)
+    # and a matched prediction scores better than a shuffled one
+    bad = np.clip(1.0 - tgt * 0.9, 0.05, 0.95)
+    assert float(pit_bce_loss(jnp.asarray(bad), jnp.asarray(tgt))) > base
+
+
+def test_pit_loss_trainable():
+    """One gradient step on the segmentation net reduces the PIT loss."""
+    cfg = DiarizeConfig(hidden=16, max_speakers=2, n_mels=8)
+    net = SegmentationNet(cfg)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, 16, 8)), jnp.float32)
+    tgt = jnp.asarray((rng.random((2, 16, 2)) > 0.5).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), mel)["params"]
+
+    def loss_fn(p):
+        return pit_bce_loss(net.apply({"params": p}, mel), tgt)
+
+    l0, g = jax.value_and_grad(loss_fn)(params)
+    p1 = jax.tree.map(lambda a, b: a - 0.5 * b, params, g)
+    assert float(loss_fn(p1)) < float(l0)
+
+
+def test_agglomerate_merges_similar():
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    embs = np.stack([a, a + 0.01, b, b + 0.01, a - 0.01])
+    labels = _agglomerate(embs, threshold=0.5)
+    assert labels[0] == labels[1] == labels[4]
+    assert labels[2] == labels[3] != labels[0]
+
+
+def test_merge_turns_dedups_overlap():
+    turns = [(0.0, 2.0, "SPEAKER_00"), (1.5, 3.0, "SPEAKER_00"),
+             (3.5, 4.0, "SPEAKER_01"), (4.1, 5.0, "SPEAKER_01"),
+             (6.0, 7.0, "SPEAKER_00")]
+    merged = _merge_turns(turns)
+    assert merged == [(0.0, 3.0, "SPEAKER_00"), (3.5, 5.0, "SPEAKER_01"),
+                      (6.0, 7.0, "SPEAKER_00")]
+
+
+def test_neural_diarize_end_to_end():
+    """Random-init full path: chunking, activities, embeddings, clustering
+    -> well-formed global turns inside the audio bounds."""
+    cfg = DiarizeConfig(hidden=16, n_mels=16, max_speakers=2, chunk_s=2.0,
+                        chunk_hop_s=1.0, threshold=0.4)
+    d = NeuralDiarizer(cfg)
+    rng = np.random.default_rng(2)
+    wav = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000 * 5) / 16000)
+           + 0.02 * rng.standard_normal(16000 * 5)).astype(np.float32)
+    turns = d.diarize(wav, 16000)
+    dur = 5.0
+    for t0, t1, spk in turns:
+        assert 0.0 <= t0 < t1 <= dur + 0.1
+        assert spk.startswith("SPEAKER_")
+    # chunk-overlap dedup: same-speaker turns never touch
+    for (a0, a1, s1), (b0, b1, s2) in zip(turns, turns[1:]):
+        assert b0 >= a1 - 1e-6 or s1 != s2
+
+
+def test_facade_neural_path():
+    from audiolab_tpu.pipelines.cloning import neural_diarize
+
+    wav = np.zeros(16000, np.float32)
+    wav[2000:9000] = 0.2
+    turns = neural_diarize(wav, 16000)
+    assert isinstance(turns, list)
