@@ -133,13 +133,18 @@ def train_model(
     cfg: WTConfig | None = None,
     token: CancellationToken | None = None,
     callback=None,
+    segment_gen=None,
 ) -> dict:
-    """Train loop with EMA + orbax checkpoints + cancellation."""
+    """Train loop with EMA + orbax checkpoints + cancellation.
+
+    ``segment_gen`` overrides the (audio, mel) batch source — the
+    super-resolution trainer feeds (fullband audio, band-limited mel)
+    pairs through the same loop (train/super_res.py)."""
     cfg = cfg or WTConfig()
     token = token or CancellationToken()
     model = WaveGrad(cfg.model)
     rng_np = np.random.default_rng(0)
-    gen = _load_segments(project_dir, cfg, rng_np)
+    gen = segment_gen or _load_segments(project_dir, cfg, rng_np)
 
     audio0, mel0 = next(gen)
     params = model.init(jax.random.PRNGKey(0), audio0, mel0,
