@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audiolab_tpu.kernels.attention import attention_reference, flash_attention
-from audiolab_tpu.models.lm import RMSNorm, apply_rope, rope_freqs, LMConfig
+from audiolab_tpu.models.lm import RMSNorm, apply_rope
 from audiolab_tpu.models.zonos import delay_pattern, undelay_pattern
 
 
@@ -33,12 +33,19 @@ class DiaConfig:
     dim_dec: int = 1024
     n_layers_enc: int = 6
     n_layers_dec: int = 12
-    n_heads: int = 16
+    n_heads: int = 16              # decoder GQA query heads
     n_codebooks: int = 9
     codebook_size: int = 1028      # 1024 + BOS/EOS/PAD/MASK
     max_text_len: int = 512
     max_audio_len: int = 2048
     dtype: str = "float32"
+    # upstream Dia-1.6B geometry (dia/config.py): decoder self-attn is GQA
+    # (kv_heads < query heads, explicit gqa_head_dim); cross-attn is MHA
+    # with its own head dim.  None keeps the derived defaults.
+    kv_heads: int | None = None          # None -> n_heads (no GQA)
+    head_dim_dec: int | None = None      # None -> dim_dec // n_heads
+    cross_head_dim: int | None = None    # None -> dim_dec // n_heads
+    n_heads_enc: int | None = None       # None -> n_heads // 2
 
     @property
     def eos_id(self) -> int:
@@ -54,31 +61,46 @@ class DiaConfig:
 
 
 class MHA(nn.Module):
-    """Self- or cross-attention with optional cache."""
+    """Self- or cross-attention with optional cache.
 
-    dim: int
+    Matches the vendored Dia Attention (layers.py:241-406): GQA via
+    kv_heads/head_dim, rotary on q AND k (cross-attn K uses source
+    positions), and softmax scale **1.0** — Dia does NOT scale by
+    1/sqrt(head_dim) (layers.py:399 scale=1.0)."""
+
+    dim: int                     # output width
     n_heads: int
-    kv_dim: int | None = None
+    n_kv_heads: int | None = None
+    head_dim: int | None = None
+    scale: float = 1.0
 
     def setup(self):
-        hd = self.dim // self.n_heads
-        self.wq = nn.Dense(self.dim, use_bias=False, name="wq")
-        self.wk = nn.Dense(self.dim, use_bias=False, name="wk")
-        self.wv = nn.Dense(self.dim, use_bias=False, name="wv")
+        hd = self.head_dim or self.dim // self.n_heads
+        kvh = self.n_kv_heads or self.n_heads
+        self.hd, self.kvh = hd, kvh
+        self.wq = nn.Dense(self.n_heads * hd, use_bias=False, name="wq")
+        self.wk = nn.Dense(kvh * hd, use_bias=False, name="wk")
+        self.wv = nn.Dense(kvh * hd, use_bias=False, name="wv")
         self.wo = nn.Dense(self.dim, use_bias=False, name="wo")
-        self._freqs = rope_freqs(LMConfig(dim=self.dim, n_heads=self.n_heads))
+        # timescale 1..10000 over head_dim (layers.py:167-207) == theta-1e4
+        self._freqs = 1.0 / (10000.0 ** (np.arange(0, hd, 2) / hd))
 
     def qkv(self, xq, xkv, pos_q=None, pos_k=None, rope=True):
+        """Returns q (b,t,N,hd) and k/v already GQA-repeated to N heads
+        (the upstream caches store repeated K/V too)."""
         b, tq, _ = xq.shape
         tk = xkv.shape[1]
-        hd = self.dim // self.n_heads
-        q = self.wq(xq).reshape(b, tq, self.n_heads, hd)
-        k = self.wk(xkv).reshape(b, tk, self.n_heads, hd)
-        v = self.wv(xkv).reshape(b, tk, self.n_heads, hd)
+        q = self.wq(xq).reshape(b, tq, self.n_heads, self.hd)
+        k = self.wk(xkv).reshape(b, tk, self.kvh, self.hd)
+        v = self.wv(xkv).reshape(b, tk, self.kvh, self.hd)
         if rope:
             freqs = jnp.asarray(self._freqs)
             q = apply_rope(q, pos_q if pos_q is not None else jnp.arange(tq), freqs)
             k = apply_rope(k, pos_k if pos_k is not None else jnp.arange(tk), freqs)
+        rep = self.n_heads // self.kvh
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
         return q, k, v
 
     def __call__(self, xq, xkv, causal=False, mask=None, pos_q=None, pos_k=None,
@@ -86,11 +108,13 @@ class MHA(nn.Module):
         q, k, v = self.qkv(xq, xkv, pos_q, pos_k, rope)
         qh, kh, vh = (jnp.swapaxes(a, 1, 2) for a in (q, k, v))
         if mask is None and causal and xq.shape[1] > 1:
-            o = flash_attention(qh, kh, vh, causal=True)
+            o = flash_attention(qh, kh, vh, causal=True, scale=self.scale)
         else:
-            o = attention_reference(qh, kh, vh, causal=causal, mask=mask)
+            o = attention_reference(qh, kh, vh, causal=causal, mask=mask,
+                                    scale=self.scale)
         b, tq = xq.shape[:2]
-        return self.wo(jnp.swapaxes(o, 1, 2).reshape(b, tq, self.dim))
+        return self.wo(
+            jnp.swapaxes(o, 1, 2).reshape(b, tq, self.n_heads * self.hd))
 
 
 class FFN(nn.Module):
@@ -113,9 +137,10 @@ class DiaEncoder(nn.Module):
         mask = None
         if text_mask is not None:
             mask = text_mask[:, None, None, :]
+        heads = c.n_heads_enc or c.n_heads // 2
         for i in range(c.n_layers_enc):
             h = RMSNorm(name=f"norm1_{i}")(x)
-            x = x + MHA(c.dim_enc, c.n_heads // 2, name=f"attn_{i}")(
+            x = x + MHA(c.dim_enc, heads, name=f"attn_{i}")(
                 h, h, mask=mask
             )
             x = x + FFN(c.dim_enc, name=f"ffn_{i}")(RMSNorm(name=f"norm2_{i}")(x))
@@ -129,10 +154,13 @@ class DiaDecoder(nn.Module):
         c = self.cfg
         self.code_emb = nn.Embed(c.n_codebooks * c.codebook_size, c.dim_dec,
                                  name="code_emb")
-        self.enc_proj = nn.Dense(c.dim_dec, use_bias=False, name="enc_proj")
-        self.self_attn = [MHA(c.dim_dec, c.n_heads, name=f"self_{i}")
+        # upstream cross-attn consumes encoder output directly (its k/v
+        # projections map enc width -> heads*head_dim); no enc projection
+        self.self_attn = [MHA(c.dim_dec, c.n_heads, c.kv_heads,
+                              c.head_dim_dec, name=f"self_{i}")
                           for i in range(c.n_layers_dec)]
-        self.cross_attn = [MHA(c.dim_dec, c.n_heads, name=f"cross_{i}")
+        self.cross_attn = [MHA(c.dim_dec, c.n_heads, None, c.cross_head_dim,
+                               name=f"cross_{i}")
                            for i in range(c.n_layers_dec)]
         self.ffns = [FFN(c.dim_dec, name=f"ffn_{i}") for i in range(c.n_layers_dec)]
         self.n1 = [RMSNorm(name=f"n1_{i}") for i in range(c.n_layers_dec)]
@@ -152,31 +180,33 @@ class DiaDecoder(nn.Module):
         return jnp.stack([hd(h) for hd in self.heads], axis=1)
 
     def cross_kv(self, enc_out):
-        """Precompute per-layer cross K/V from encoder output."""
+        """Precompute per-layer cross K/V from encoder output; K carries
+        rotary at SOURCE positions (layers.py:680-698)."""
         c = self.cfg
-        e = self.enc_proj(enc_out)
-        hd = c.dim_dec // c.n_heads
-        b, tk, _ = e.shape
+        b, tk, _ = enc_out.shape
+        pos_k = jnp.arange(tk)
         kvs = []
         for i in range(c.n_layers_dec):
             mha = self.cross_attn[i]
-            k = mha.wk(e).reshape(b, tk, c.n_heads, hd)
-            v = mha.wv(e).reshape(b, tk, c.n_heads, hd)
+            k = mha.wk(enc_out).reshape(b, tk, mha.kvh, mha.hd)
+            k = apply_rope(k, pos_k, jnp.asarray(mha._freqs))
+            v = mha.wv(enc_out).reshape(b, tk, mha.kvh, mha.hd)
             kvs.append((k, v))
         return kvs
 
-    def _cross(self, i, xq, kv, enc_mask):
+    def _cross(self, i, xq, kv, enc_mask, pos_q):
         mha = self.cross_attn[i]
         b, tq, _ = xq.shape
-        hd = self.cfg.dim_dec // self.cfg.n_heads
-        q = mha.wq(xq).reshape(b, tq, self.cfg.n_heads, hd)
+        q = mha.wq(xq).reshape(b, tq, mha.n_heads, mha.hd)
+        q = apply_rope(q, pos_q, jnp.asarray(mha._freqs))
         k, v = kv
         mask = enc_mask[:, None, None, :] if enc_mask is not None else None
         o = attention_reference(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
-            mask=mask,
+            mask=mask, scale=mha.scale,
         )
-        return mha.wo(jnp.swapaxes(o, 1, 2).reshape(b, tq, self.cfg.dim_dec))
+        return mha.wo(
+            jnp.swapaxes(o, 1, 2).reshape(b, tq, mha.n_heads * mha.hd))
 
     def prefill(self, codes, enc_out, enc_mask=None):
         """Full forward over (b, n_q, t) prompt; returns (logits9_last,
@@ -193,16 +223,17 @@ class DiaDecoder(nn.Module):
             q, k, v = mha.qkv(h, h, pos, pos)
             o = flash_attention(
                 jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
-                causal=True,
+                causal=True, scale=mha.scale,
             )
-            x = x + mha.wo(jnp.swapaxes(o, 1, 2).reshape(b, t, c.dim_dec))
-            hd = c.dim_dec // c.n_heads
-            cache_k = jnp.zeros((b, c.max_audio_len, c.n_heads, hd), k.dtype)
+            x = x + mha.wo(
+                jnp.swapaxes(o, 1, 2).reshape(b, t, mha.n_heads * mha.hd))
+            cache_k = jnp.zeros((b, c.max_audio_len, mha.n_heads, mha.hd),
+                                k.dtype)
             cache_v = jnp.zeros_like(cache_k)
             cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, 0, axis=1)
             cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, 0, axis=1)
             caches.append(dict(k=cache_k, v=cache_v, index=jnp.asarray(t, jnp.int32)))
-            x = x + self._cross(i, self.n2[i](x), cross[i], enc_mask)
+            x = x + self._cross(i, self.n2[i](x), cross[i], enc_mask, pos)
             x = x + self.ffns[i](self.n3[i](x))
         h = self.final(x[:, -1])
         return self.logits9(h), caches, cross
@@ -223,12 +254,13 @@ class DiaDecoder(nn.Module):
             mask = (jnp.arange(kf.shape[1])[None, :] <= idx)[:, None, None, :]
             o = attention_reference(
                 jnp.swapaxes(q, 1, 2), jnp.swapaxes(kf, 1, 2),
-                jnp.swapaxes(vf, 1, 2), mask=mask,
+                jnp.swapaxes(vf, 1, 2), mask=mask, scale=mha.scale,
             )
             b = x.shape[0]
-            x = x + mha.wo(jnp.swapaxes(o, 1, 2).reshape(b, 1, c.dim_dec))
+            x = x + mha.wo(
+                jnp.swapaxes(o, 1, 2).reshape(b, 1, mha.n_heads * mha.hd))
             new_caches.append(dict(k=kf, v=vf, index=idx + 1))
-            x = x + self._cross(i, self.n2[i](x), cross[i], enc_mask)
+            x = x + self._cross(i, self.n2[i](x), cross[i], enc_mask, pos)
             x = x + self.ffns[i](self.n3[i](x))
         return self.logits9(self.final(x[:, 0])), new_caches
 

@@ -125,6 +125,28 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
         # with flax padding ((1,2),(1,2)) in tests/test_torch_parity_full)
         w = np.transpose(np.asarray(sd[key + ".weight"]), (2, 3, 0, 1))
         return w[::-1, ::-1].copy()
+    if kind == "dg_qkv":
+        # flax-style DenseGeneral (in, heads, hd) -> Dense kernel (in, h*d);
+        # key format "torchkey|heads" (no transpose: DenseGeneral kernels
+        # are already input-major, dia/layers.py:30-91)
+        tk, h = key.rsplit("|", 1)
+        w = np.asarray(sd[tk + ".weight"])
+        return w.reshape(w.shape[0], -1)
+    if kind == "dg_out":
+        # DenseGeneral (heads, hd, out) -> Dense kernel (h*d, out)
+        tk, h = key.rsplit("|", 1)
+        w = np.asarray(sd[tk + ".weight"])
+        return w.reshape(-1, w.shape[-1])
+    if kind == "dg_w":
+        # DenseGeneral (in, out): already flax kernel layout
+        return np.asarray(sd[key + ".weight"])
+    if kind == "fused0":
+        return np.asarray(sd[key + ".weight"])[:, 0, :]
+    if kind == "fused1":
+        return np.asarray(sd[key + ".weight"])[:, 1, :]
+    if kind == "logits_q":
+        tk, q = key.rsplit("|", 1)
+        return np.asarray(sd[tk + ".weight"])[:, int(q), :]
     if kind == "snake_a":
         # Snake1d alpha (1, ch, 1) -> flax (ch,)
         return np.asarray(sd[key + ".alpha"]).reshape(-1)
@@ -205,6 +227,27 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
     elif kind == "convT2_w":
         put(key + ".weight", rng.standard_normal(
             (flax_shape[2], flax_shape[3], flax_shape[0], flax_shape[1])))
+    elif kind == "dg_qkv":
+        tk, h = key.rsplit("|", 1)
+        h = int(h)
+        put(tk + ".weight", rng.standard_normal(
+            (flax_shape[0], h, flax_shape[1] // h)))
+    elif kind == "dg_out":
+        tk, h = key.rsplit("|", 1)
+        h = int(h)
+        put(tk + ".weight", rng.standard_normal(
+            (h, flax_shape[0] // h, flax_shape[1])))
+    elif kind == "dg_w":
+        put(key + ".weight", rng.standard_normal(flax_shape))
+    elif kind in ("fused0", "fused1"):
+        put(key + ".weight", rng.standard_normal(
+            (flax_shape[0], 2, flax_shape[1])))
+    elif kind == "logits_q":
+        tk, _q = key.rsplit("|", 1)
+        # created lazily at full size on first touch; q count unknown here,
+        # so fabricate per-slice via a dict of columns is avoided: tests
+        # use the torch replica for logits coverage instead
+        pass
     elif kind == "snake_a":
         put(key + ".alpha", rng.standard_normal((1, flax_shape[0], 1)) * 0.1 + 1.0)
     elif kind == "densewn1x1_w":
@@ -928,3 +971,144 @@ def load_vocos_checkpoint(path: str, cfg=None) -> tuple[dict, "object"]:
                                jnp.zeros((1, 8, cfg.dim), jnp.float32))
         )["params"]
     return convert_vocos(sd, template), cfg
+
+
+# ---------------------------------------------------------- LLaMA-arch LM
+
+def llama_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax TransformerLM tree -> HF LLaMA state-dict names.  YuE's stage-1
+    and stage-2 models are LLaMA-architecture HF checkpoints
+    (modules/yue/inference/infer.py:245 AutoModelForCausalLM), so this one
+    mapping makes both stages real-weight capable."""
+    m: dict[str, tuple[str, str]] = {}
+    if "tok_emb" in template:
+        m["tok_emb/embedding"] = ("direct", "model.embed_tokens.weight")
+    n = sum(1 for k in template if k.startswith("layer_"))
+    for i in range(n):
+        b = f"model.layers.{i}"
+        p = f"layer_{i}"
+        for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "o_proj")):
+            m[f"{p}/attn/{ours}/kernel"] = ("dense_w",
+                                            f"{b}.self_attn.{theirs}")
+        m[f"{p}/attn_norm/weight"] = ("direct",
+                                      f"{b}.input_layernorm.weight")
+        m[f"{p}/mlp_norm/weight"] = ("direct",
+                                     f"{b}.post_attention_layernorm.weight")
+        for ours, theirs in (("w1", "gate_proj"), ("w3", "up_proj"),
+                             ("w2", "down_proj")):
+            m[f"{p}/mlp/{ours}/kernel"] = ("dense_w", f"{b}.mlp.{theirs}")
+    m["final_norm/weight"] = ("direct", "model.norm.weight")
+    if "lm_head" in template:
+        m["lm_head/kernel"] = ("dense_w", "lm_head")
+    return m
+
+
+def convert_llama(state_dict: dict, template: dict,
+                  strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k] = np.asarray(v)
+        if k == "model.embed_tokens.weight" and "lm_head.weight" not in state_dict:
+            sd["lm_head.weight"] = np.asarray(v)  # tied embeddings
+    return fill_tree(template, llama_mapping(template), sd, strict)
+
+
+def load_llama_checkpoint(path: str, cfg) -> dict:
+    """HF LLaMA .safetensors/.bin -> flax params for models/lm.TransformerLM
+    (used by YuE stage-1/2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.lm import TransformerLM
+
+    sd = torch_load_weights(path)
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    model = TransformerLM(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4), jnp.int32)))["params"]
+    return convert_llama(sd, template)
+
+
+# -------------------------------------------------------------------- Dia
+
+def dia_mapping(template: dict, cfg) -> dict[str, tuple[str, str]]:
+    """flax DiaModel tree -> nari-labs Dia state-dict names (the vendored
+    reference source at modules/diatts/dia/layers.py defines the naming:
+    encoder.layers.N.self_attention.{q,k,v,o}_proj, mlp.wi_fused/wo,
+    decoder.embeddings.Q, decoder.logits_dense)."""
+    m: dict[str, tuple[str, str]] = {}
+    enc_heads = cfg.n_heads_enc or cfg.n_heads // 2
+    kvh = cfg.kv_heads or cfg.n_heads
+
+    def attn(path, key, h, kv):
+        m[f"{path}/wq/kernel"] = ("dg_qkv", f"{key}.q_proj|{h}")
+        m[f"{path}/wk/kernel"] = ("dg_qkv", f"{key}.k_proj|{kv}")
+        m[f"{path}/wv/kernel"] = ("dg_qkv", f"{key}.v_proj|{kv}")
+        m[f"{path}/wo/kernel"] = ("dg_out", f"{key}.o_proj|{h}")
+
+    def mlp(path, key):
+        m[f"{path}/w1/kernel"] = ("fused0", f"{key}.wi_fused")
+        m[f"{path}/w3/kernel"] = ("fused1", f"{key}.wi_fused")
+        m[f"{path}/w2/kernel"] = ("dg_w", f"{key}.wo")
+
+    m["encoder/emb/embedding"] = ("direct", "encoder.embedding.weight")
+    n_enc = sum(1 for k in template["encoder"] if k.startswith("attn_"))
+    for i in range(n_enc):
+        b = f"encoder.layers.{i}"
+        attn(f"encoder/attn_{i}", f"{b}.self_attention", enc_heads, enc_heads)
+        m[f"encoder/norm1_{i}/weight"] = ("direct", f"{b}.pre_sa_norm.weight")
+        m[f"encoder/norm2_{i}/weight"] = ("direct", f"{b}.post_sa_norm.weight")
+        mlp(f"encoder/ffn_{i}", f"{b}.mlp")
+    m["encoder/final_norm/weight"] = ("direct", "encoder.norm.weight")
+
+    m["decoder/code_emb/embedding"] = ("direct", "__dia_code_emb__")
+    n_dec = sum(1 for k in template["decoder"] if k.startswith("self_"))
+    for i in range(n_dec):
+        b = f"decoder.layers.{i}"
+        attn(f"decoder/self_{i}", f"{b}.self_attention", cfg.n_heads, kvh)
+        attn(f"decoder/cross_{i}", f"{b}.cross_attention", cfg.n_heads,
+             cfg.n_heads)
+        m[f"decoder/n1_{i}/weight"] = ("direct", f"{b}.pre_sa_norm.weight")
+        m[f"decoder/n2_{i}/weight"] = ("direct", f"{b}.pre_ca_norm.weight")
+        m[f"decoder/n3_{i}/weight"] = ("direct", f"{b}.pre_mlp_norm.weight")
+        mlp(f"decoder/ffn_{i}", f"{b}.mlp")
+    m["decoder/final_norm/weight"] = ("direct", "decoder.norm.weight")
+    for q in range(cfg.n_codebooks):
+        m[f"decoder/head_{q}/kernel"] = ("logits_q",
+                                         f"decoder.logits_dense|{q}")
+    return m
+
+
+def convert_dia(state_dict: dict, template: dict, cfg,
+                strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # our decoder embeds with one offset table == the per-channel embedding
+    # tables concatenated in channel order
+    embs = [sd[f"decoder.embeddings.{q}.weight"]
+            for q in range(cfg.n_codebooks)
+            if f"decoder.embeddings.{q}.weight" in sd]
+    if embs:
+        sd["__dia_code_emb__"] = np.concatenate(embs, axis=0)
+    return fill_tree(template, dia_mapping(template, cfg), sd, strict)
+
+
+def load_dia_checkpoint(path: str, cfg) -> dict:
+    """nari-labs Dia .pth/.safetensors -> flax params for models/dia."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.dia import DiaModel
+
+    sd = torch_load_weights(path)
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    model = DiaModel(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, cfg.n_codebooks, 4), jnp.int32))
+    )["params"]
+    return convert_dia(sd, template, cfg)

@@ -445,3 +445,111 @@ def test_vocos_full_parity():
         np.testing.assert_allclose(out, ref, atol=5e-5)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------- LLaMA-arch LM
+
+def test_llama_lm_full_parity():
+    """HF-LLaMA-named torch replica -> convert_llama -> TransformerLM:
+    full-sequence logits parity in fp64, with GQA (kv_heads < heads).
+    This is YuE stage-1/2's checkpoint format."""
+    from tests.torch_ref_models import LlamaTorch
+
+    import jax as _jax
+
+    torch.manual_seed(51)
+    t_model = LlamaTorch(vocab=64, dim=32, layers=2, heads=4, kv_heads=2,
+                         ffn=64).double().eval()
+
+    from audiolab_tpu.models.lm import LMConfig, TransformerLM
+    from audiolab_tpu.utils.convert import convert_llama
+
+    cfg = LMConfig(vocab_size=64, dim=32, n_layers=2, n_heads=4,
+                   n_kv_heads=2, ffn_dim=64, max_seq_len=64,
+                   dtype="float64")
+    f_model = TransformerLM(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        ids = np.random.default_rng(52).integers(0, 64, (2, 12))
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 4), jnp.int32)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_llama(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(ids)).numpy()
+        out, _ = f_model.apply({"params": params}, jnp.asarray(ids))
+        out = np.asarray(out)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        # apply_rope/RMSNorm pin float32 internally (TPU design), flooring
+        # fp64 agreement at ~1e-7; layout errors would be O(1)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+def test_llama_tied_embeddings_fallback():
+    """Checkpoints without lm_head.weight reuse embed_tokens (tied)."""
+    from audiolab_tpu.models.lm import LMConfig, TransformerLM
+    from audiolab_tpu.utils.convert import convert_llama, llama_mapping, synth_state_dict
+
+    cfg = LMConfig(vocab_size=16, dim=8, n_layers=1, n_heads=2,
+                   n_kv_heads=2, ffn_dim=16, max_seq_len=16,
+                   dtype="float32")
+    model = TransformerLM(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4), jnp.int32)))["params"]
+    sd = synth_state_dict(template, llama_mapping(template), seed=5)
+    del sd["lm_head.weight"]
+    params = convert_llama(sd, template, strict=True)
+    np.testing.assert_allclose(
+        np.asarray(params["lm_head"]["kernel"]),
+        np.asarray(params["tok_emb"]["embedding"]).T)
+
+
+# -------------------------------------------------------------------- Dia
+
+def test_dia_full_parity():
+    """nari-labs-named torch Dia replica -> convert_dia -> flax DiaModel:
+    teacher-forcing last-position logits parity in fp64 (GQA self-attn,
+    rotary cross K at source positions, softmax scale 1.0)."""
+    from tests.torch_ref_models import DiaTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.dia import DiaConfig, DiaModel
+    from audiolab_tpu.utils.convert import convert_dia
+
+    torch.manual_seed(61)
+    t_model = DiaTorch(dim_enc=16, dim_dec=32, n_enc=1, n_dec=2, heads=4,
+                       kv_heads=2, hd_dec=8, xhd=8, enc_heads=2,
+                       channels=3, vocab=20).double().eval()
+    cfg = DiaConfig(dim_enc=16, dim_dec=32, n_layers_enc=1, n_layers_dec=2,
+                    n_heads=4, kv_heads=2, head_dim_dec=8, cross_head_dim=8,
+                    n_heads_enc=2, n_codebooks=3, codebook_size=20,
+                    max_audio_len=32, max_text_len=16, dtype="float64")
+    f_model = DiaModel(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(62)
+        text = rng.integers(1, 256, (2, 8))
+        codes = rng.integers(0, 20, (2, 3, 6))
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8), jnp.int32),
+                                 jnp.zeros((1, 3, 4), jnp.int32)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_dia(sd, template, cfg, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(text),
+                          torch.from_numpy(codes)).numpy()
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(text), jnp.asarray(codes)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        # fp32-pinned rope/RMSNorm internals floor agreement ~1e-6
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

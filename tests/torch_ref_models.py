@@ -1073,3 +1073,239 @@ class VocosTorch(nn.Module):
                            window=torch.hann_window(self.n_fft,
                                                     dtype=z.dtype),
                            center=True)
+
+
+# ---------------------------------------------------------- LLaMA-arch LM
+
+
+class _LlamaRMSNorm(nn.Module):
+    def __init__(self, dim, eps=1e-5):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.eps = eps
+
+    def forward(self, x):
+        v = x.pow(2).mean(-1, keepdim=True)
+        return self.weight * (x * torch.rsqrt(v + self.eps))
+
+
+def _llama_rope(x, pos, theta=10000.0):
+    # HF convention: rotate_half over split halves
+    d = x.shape[-1]
+    inv = 1.0 / (theta ** (torch.arange(0, d, 2, dtype=x.dtype) / d))
+    ang = pos[:, None].to(x.dtype) * inv[None, :]
+    cos = torch.cat([ang.cos(), ang.cos()], dim=-1)[None, :, None, :]
+    sin = torch.cat([ang.sin(), ang.sin()], dim=-1)[None, :, None, :]
+    x1, x2 = x.chunk(2, dim=-1)
+    rot = torch.cat([-x2, x1], dim=-1)
+    return x * cos + rot * sin
+
+
+class _LlamaAttention(nn.Module):
+    def __init__(self, dim, heads, kv_heads):
+        super().__init__()
+        hd = dim // heads
+        self.q_proj = nn.Linear(dim, heads * hd, bias=False)
+        self.k_proj = nn.Linear(dim, kv_heads * hd, bias=False)
+        self.v_proj = nn.Linear(dim, kv_heads * hd, bias=False)
+        self.o_proj = nn.Linear(heads * hd, dim, bias=False)
+        self.heads, self.kv_heads, self.hd = heads, kv_heads, hd
+
+    def forward(self, x, pos):
+        b, t, _ = x.shape
+        q = self.q_proj(x).view(b, t, self.heads, self.hd)
+        k = self.k_proj(x).view(b, t, self.kv_heads, self.hd)
+        v = self.v_proj(x).view(b, t, self.kv_heads, self.hd)
+        q, k = _llama_rope(q, pos), _llama_rope(k, pos)
+        rep = self.heads // self.kv_heads
+        k = k.repeat_interleave(rep, dim=2)
+        v = v.repeat_interleave(rep, dim=2)
+        o = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+            is_causal=True)
+        return self.o_proj(o.transpose(1, 2).reshape(b, t, -1))
+
+
+class _LlamaMLP(nn.Module):
+    def __init__(self, dim, ffn):
+        super().__init__()
+        self.gate_proj = nn.Linear(dim, ffn, bias=False)
+        self.up_proj = nn.Linear(dim, ffn, bias=False)
+        self.down_proj = nn.Linear(ffn, dim, bias=False)
+
+    def forward(self, x):
+        return self.down_proj(F.silu(self.gate_proj(x)) * self.up_proj(x))
+
+
+class _LlamaLayer(nn.Module):
+    def __init__(self, dim, heads, kv_heads, ffn):
+        super().__init__()
+        self.self_attn = _LlamaAttention(dim, heads, kv_heads)
+        self.mlp = _LlamaMLP(dim, ffn)
+        self.input_layernorm = _LlamaRMSNorm(dim)
+        self.post_attention_layernorm = _LlamaRMSNorm(dim)
+
+    def forward(self, x, pos):
+        x = x + self.self_attn(self.input_layernorm(x), pos)
+        return x + self.mlp(self.post_attention_layernorm(x))
+
+
+class LlamaTorch(nn.Module):
+    """HF-LLaMA-named causal LM replica (model.layers.N.*, lm_head)."""
+
+    def __init__(self, vocab=64, dim=32, layers=2, heads=4, kv_heads=2,
+                 ffn=64):
+        super().__init__()
+        self.model = nn.Module()
+        self.model.embed_tokens = nn.Embedding(vocab, dim)
+        self.model.layers = nn.ModuleList(
+            [_LlamaLayer(dim, heads, kv_heads, ffn) for _ in range(layers)])
+        self.model.norm = _LlamaRMSNorm(dim)
+        self.lm_head = nn.Linear(dim, vocab, bias=False)
+
+    def forward(self, ids):
+        x = self.model.embed_tokens(ids)
+        pos = torch.arange(ids.shape[1])
+        for layer in self.model.layers:
+            x = layer(x, pos)
+        return self.lm_head(self.model.norm(x))
+
+
+# -------------------------------------------------------------------- Dia
+
+
+class _DiaDG(nn.Module):
+    """DenseGeneral (dia/layers.py:30-91): input-major kernel, no bias."""
+
+    def __init__(self, in_shape, out_shape):
+        super().__init__()
+        self.weight = nn.Parameter(
+            torch.randn(*in_shape, *out_shape) * 0.05)
+        self.n_in = len(in_shape)
+
+    def forward(self, x):
+        w = self.weight.reshape(
+            int(np.prod(self.weight.shape[:self.n_in])), -1)
+        xf = x.reshape(*x.shape[:-self.n_in], -1)
+        y = xf @ w
+        return y.reshape(*x.shape[:-self.n_in],
+                         *self.weight.shape[self.n_in:])
+
+
+def _dia_rope(x, pos):
+    """Split-half rotary, timescale 1..10000 (dia/layers.py:167-207)."""
+    hd = x.shape[-1]
+    frac = 2.0 * torch.arange(hd // 2, dtype=x.dtype) / hd
+    timescale = 10000.0 ** frac
+    ang = pos.to(x.dtype)[:, None] / timescale[None, :]  # (t, hd/2)
+    sin, cos = ang.sin()[None, :, None, :], ang.cos()[None, :, None, :]
+    x1, x2 = torch.chunk(x, 2, dim=-1)
+    return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], dim=-1)
+
+
+class _DiaAttention(nn.Module):
+    def __init__(self, q_dim, kv_dim, q_heads, kv_heads, hd, out_dim):
+        super().__init__()
+        self.q_proj = _DiaDG((q_dim,), (q_heads, hd))
+        self.k_proj = _DiaDG((kv_dim,), (kv_heads, hd))
+        self.v_proj = _DiaDG((kv_dim,), (kv_heads, hd))
+        self.o_proj = _DiaDG((q_heads, hd), (out_dim,))
+        self.rep = q_heads // kv_heads
+
+    def forward(self, xq, xkv, pos_q, pos_k, causal):
+        q = _dia_rope(self.q_proj(xq), pos_q).transpose(1, 2)
+        k = _dia_rope(self.k_proj(xkv), pos_k).transpose(1, 2)
+        v = self.v_proj(xkv).transpose(1, 2)
+        if self.rep > 1:
+            k = k.repeat_interleave(self.rep, dim=1)
+            v = v.repeat_interleave(self.rep, dim=1)
+        o = F.scaled_dot_product_attention(q, k, v, is_causal=causal,
+                                           scale=1.0)  # layers.py:399
+        return self.o_proj(o.transpose(1, 2))
+
+
+class _DiaMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.wi_fused = _DiaDG((dim,), (2, hidden))
+        self.wo = _DiaDG((hidden,), (dim,))
+
+    def forward(self, x):
+        h = self.wi_fused(x)
+        return self.wo(F.silu(h[..., 0, :]) * h[..., 1, :])
+
+
+from torch.nn import RMSNorm as _TorchRMSNorm
+
+
+class _DiaEncLayer(nn.Module):
+    def __init__(self, dim, heads, hd):
+        super().__init__()
+        self.pre_sa_norm = _TorchRMSNorm(dim, eps=1e-5)
+        self.self_attention = _DiaAttention(dim, dim, heads, heads, hd, dim)
+        self.post_sa_norm = _TorchRMSNorm(dim, eps=1e-5)
+        self.mlp = _DiaMlp(dim, dim * 4)
+
+    def forward(self, x, pos):
+        x = x + self.self_attention(self.pre_sa_norm(x), self.pre_sa_norm(x),
+                                    pos, pos, causal=False)
+        return x + self.mlp(self.post_sa_norm(x))
+
+
+class _DiaDecLayer(nn.Module):
+    def __init__(self, dim, enc_dim, heads, kv_heads, hd, xhd):
+        super().__init__()
+        self.pre_sa_norm = _TorchRMSNorm(dim, eps=1e-5)
+        self.pre_ca_norm = _TorchRMSNorm(dim, eps=1e-5)
+        self.pre_mlp_norm = _TorchRMSNorm(dim, eps=1e-5)
+        self.self_attention = _DiaAttention(dim, dim, heads, kv_heads, hd, dim)
+        self.cross_attention = _DiaAttention(dim, enc_dim, heads, heads,
+                                             xhd, dim)
+        self.mlp = _DiaMlp(dim, dim * 4)
+
+    def forward(self, x, enc, pos, src_pos):
+        h = self.pre_sa_norm(x)
+        x = x + self.self_attention(h, h, pos, pos, causal=True)
+        x = x + self.cross_attention(self.pre_ca_norm(x), enc, pos, src_pos,
+                                     causal=False)
+        return x + self.mlp(self.pre_mlp_norm(x))
+
+
+class DiaTorch(nn.Module):
+    """nari-labs Dia replica (encoder./decoder. key names, teacher-forcing
+    forward returning last-position per-channel logits)."""
+
+    def __init__(self, vocab_text=256, dim_enc=16, dim_dec=32, n_enc=1,
+                 n_dec=2, heads=4, kv_heads=2, hd_dec=8, xhd=8,
+                 enc_heads=2, channels=3, vocab=20):
+        super().__init__()
+        enc_hd = dim_enc // enc_heads
+        self.encoder = nn.Module()
+        self.encoder.embedding = nn.Embedding(vocab_text, dim_enc)
+        self.encoder.layers = nn.ModuleList(
+            [_DiaEncLayer(dim_enc, enc_heads, enc_hd) for _ in range(n_enc)])
+        self.encoder.norm = _TorchRMSNorm(dim_enc, eps=1e-5)
+        self.decoder = nn.Module()
+        self.decoder.embeddings = nn.ModuleList(
+            [nn.Embedding(vocab, dim_dec) for _ in range(channels)])
+        self.decoder.layers = nn.ModuleList(
+            [_DiaDecLayer(dim_dec, dim_enc, heads, kv_heads, hd_dec, xhd)
+             for _ in range(n_dec)])
+        self.decoder.norm = _TorchRMSNorm(dim_dec, eps=1e-5)
+        self.decoder.logits_dense = _DiaDG((dim_dec,), (channels, vocab))
+
+    def forward(self, text_ids, codes):
+        # text (b, s); codes (b, C, t) -> logits (b, C, vocab) at last pos
+        pos_s = torch.arange(text_ids.shape[1])
+        x = self.encoder.embedding(text_ids)
+        for layer in self.encoder.layers:
+            x = layer(x, pos_s)
+        enc = self.encoder.norm(x)
+
+        y = sum(emb(codes[:, i]) for i, emb in
+                enumerate(self.decoder.embeddings))
+        pos_t = torch.arange(codes.shape[2])
+        for layer in self.decoder.layers:
+            y = layer(y, enc, pos_t, pos_s)
+        h = self.decoder.norm(y)[:, -1]
+        return self.decoder.logits_dense(h)
