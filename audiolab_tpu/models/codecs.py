@@ -366,3 +366,80 @@ def istft(real: jnp.ndarray, imag: jnp.ndarray, n_fft: int, hop: int) -> jnp.nda
     wsum = jnp.zeros((n,)).at[idx].add(jnp.tile(win * win, (t,)))
     out = out / jnp.maximum(wsum, 1e-8)
     return out[:, n_fft // 2 : n - n_fft // 2]
+
+
+# ------------------------------------------------------------- xcodec (YuE)
+
+class TorchConvTranspose(nn.Module):
+    """torch-semantics ConvTranspose1d via explicit dilate + pad + conv:
+    out[t] matches torch(k, s, p, op) exactly for any stride (flax
+    ConvTranspose padding conventions only line up for the even-stride
+    k=2s/p=s/2 case).  Kernel layout equals convTwn_w's output."""
+
+    features: int
+    kernel: int
+    stride: int
+    torch_padding: int
+    output_padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, cin = x.shape
+        y = jnp.zeros((b, (t - 1) * self.stride + 1, cin), x.dtype)
+        y = y.at[:, :: self.stride].set(x)
+        lo = self.kernel - 1 - self.torch_padding
+        hi = lo + self.output_padding
+        y = jnp.pad(y, ((0, 0), (lo, hi), (0, 0)))
+        return nn.Conv(self.features, (self.kernel,), padding="VALID",
+                       use_bias=self.use_bias, name="conv")(y)
+
+
+@dataclass(frozen=True)
+class XCodecConfig:
+    """YuE xcodec decode geometry (soundstream_hubert_new.py:25-120):
+    RVQ over 896-d (128 acoustic + 768 semantic), fc_post2 -> 128-d,
+    DAC-style decoder at 1024 channels, rates (8, 5, 4, 2)."""
+
+    n_q: int = 8
+    codebook_size: int = 1024
+    dim: int = 896                  # quantizer dimension D + 768
+    acoustic_dim: int = 128         # fc_post2 output (decoder input)
+    decoder_dim: int = 1024
+    rates: Sequence[int] = (8, 5, 4, 2)
+
+    @property
+    def hop(self) -> int:
+        return int(np.prod(self.rates))
+
+
+class XCodecDecoder(nn.Module):
+    """codes (b, n_q, t) -> audio (b, t*hop) — the YuE decode path
+    (SoundStream.decode: quantizer.decode -> fc_post2 -> decoder_2)."""
+
+    cfg: XCodecConfig = XCodecConfig()
+
+    @nn.compact
+    def __call__(self, codes: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        z = 0.0
+        for qi in range(c.n_q):
+            z = z + nn.Embed(c.codebook_size, c.dim,
+                             name=f"codebook_{qi}")(codes[:, qi])
+        z = nn.Dense(c.acoustic_dim, name="fc_post2")(z)
+
+        ch = c.decoder_dim
+        h = nn.Conv(ch, (7,), padding="SAME", name="conv_in")(z)
+        for i, r in enumerate(c.rates):
+            ch //= 2
+            h = Snake(name=f"snake_{i}")(h)
+            h = TorchConvTranspose(
+                ch, 2 * r, r, torch_padding=int(np.ceil(r / 2)),
+                output_padding=r % 2, name=f"up_{i}")(h)
+            for j in range(3):
+                h = DACResUnit(ch, dilation=3**j, name=f"res_{i}_{j}")(h)
+        h = Snake(name="snake_out")(h)
+        # the vendored dac2.Decoder omits the final Tanh (dac/model/dac.py
+        # comments it out) — keep raw output for bit parity
+        h = nn.Conv(1, (7,), padding="SAME", name="conv_out")(h)
+        return h[..., 0]

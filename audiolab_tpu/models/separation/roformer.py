@@ -56,6 +56,10 @@ class RoformerConfig:
     time_depth: int = 1             # inner layers per time transformer
     freq_depth: int = 1             # inner layers per freq transformer
     mask_est_depth: int = 2         # hidden linears in each mask MLP
+    dtype: str = "bfloat16"         # activation/matmul dtype: bf16 rides
+                                    # the MXU (~6x fp32 on v5e); params and
+                                    # the STFT/iSTFT stay fp32; tests pass
+                                    # float64 for exact torch parity
 
     @property
     def n_bands(self) -> int:
@@ -73,33 +77,39 @@ def rope(x: jnp.ndarray) -> jnp.ndarray:
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., 0::2], x[..., 1::2]
     out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.reshape(x.shape)
+    # rotation accumulates in fp32 (angles table); return the input dtype so
+    # bf16 activations stay bf16 into the flash kernel
+    return out.reshape(x.shape).astype(x.dtype)
 
 
 class RMSNorm(nn.Module):
-    """lucidrains RMSNorm: F.normalize(x) * sqrt(d) * gamma (eps 1e-12)."""
+    """lucidrains RMSNorm: F.normalize(x) * sqrt(d) * gamma (eps 1e-12).
+    The norm accumulates in fp32 regardless of activation dtype."""
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
+        xf = x.astype(jnp.float32)
         norm = jnp.maximum(
-            jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)), 1e-12)
-        return x / norm * (d ** 0.5) * scale
+            jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True)), 1e-12)
+        return (xf / norm * (d ** 0.5) * scale).astype(x.dtype)
 
 
 class Attention(nn.Module):
     dim: int
     heads: int
     dim_head: int = 64
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         b, t, _ = x.shape
         d = self.dim_head
+        dt = jnp.dtype(self.dtype)
         inner = self.heads * d
         x = RMSNorm(name="norm")(x)
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=dt, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(z):
@@ -109,22 +119,24 @@ class Attention(nn.Module):
         q, k = rope(q), rope(k)
         o = flash_attention(q, k, v)
         # per-head sigmoid gates (bs_roformer Attention.to_gates)
-        gates = nn.Dense(self.heads, name="to_gates")(x)  # (b, t, h)
+        gates = nn.Dense(self.heads, dtype=dt, name="to_gates")(x)  # (b, t, h)
         o = o * jax.nn.sigmoid(gates).transpose(0, 2, 1)[..., None]
         o = o.transpose(0, 2, 1, 3).reshape(b, t, inner)
-        return nn.Dense(self.dim, use_bias=False, name="to_out")(o)
+        return nn.Dense(self.dim, use_bias=False, dtype=dt, name="to_out")(o)
 
 
 class FeedForward(nn.Module):
     dim: int
     mult: int = 4
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dt = jnp.dtype(self.dtype)
         x = RMSNorm(name="norm")(x)
-        x = nn.Dense(self.dim * self.mult, name="fc1")(x)
+        x = nn.Dense(self.dim * self.mult, dtype=dt, name="fc1")(x)
         x = nn.gelu(x)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=dt, name="fc2")(x)
 
 
 class Transformer(nn.Module):
@@ -136,13 +148,15 @@ class Transformer(nn.Module):
     dim_head: int
     ff_mult: int
     depth: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         for j in range(self.depth):
             x = x + Attention(self.dim, self.heads, self.dim_head,
-                              name=f"attn_{j}")(x)
-            x = x + FeedForward(self.dim, self.ff_mult, name=f"ff_{j}")(x)
+                              self.dtype, name=f"attn_{j}")(x)
+            x = x + FeedForward(self.dim, self.ff_mult, self.dtype,
+                                name=f"ff_{j}")(x)
         return RMSNorm(name="norm")(x)
 
 
@@ -159,7 +173,8 @@ class BandSplit(nn.Module):
             band = spec[:, :, start : start + width, :]
             band = band.reshape(*band.shape[:2], -1)  # (b,t,width*2*ch)
             band = RMSNorm(name=f"norm_{i}")(band)
-            outs.append(nn.Dense(c.dim, name=f"proj_{i}")(band))
+            outs.append(nn.Dense(c.dim, dtype=jnp.dtype(c.dtype),
+                                 name=f"proj_{i}")(band))
             start += width
         return jnp.stack(outs, axis=2)  # (b, t, bands, dim)
 
@@ -178,9 +193,11 @@ class MaskEstimator(nn.Module):
         outs = []
         for i, width in enumerate(c.freqs_per_bands):
             h = x[:, :, i, :]
+            dt = jnp.dtype(c.dtype)
             for k in range(c.mask_est_depth):
-                h = jnp.tanh(nn.Dense(hidden, name=f"mlp_{i}_{k}")(h))
-            h = nn.Dense(width * 2 * c.channels * 2, name=f"mlp_{i}_out")(h)
+                h = jnp.tanh(nn.Dense(hidden, dtype=dt, name=f"mlp_{i}_{k}")(h))
+            h = nn.Dense(width * 2 * c.channels * 2, dtype=dt,
+                         name=f"mlp_{i}_out")(h)
             h = nn.glu(h, axis=-1)
             outs.append(h.reshape(*h.shape[:2], width, 2 * c.channels))
         return jnp.concatenate(outs, axis=2)
@@ -208,12 +225,12 @@ class BSRoformer(nn.Module):
             # time attention: fold bands into batch
             xt = x.transpose(0, 2, 1, 3).reshape(b * n_bands, t_frames, c.dim)
             xt = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
-                             c.time_depth, name=f"time_{i}")(xt)
+                             c.time_depth, c.dtype, name=f"time_{i}")(xt)
             x = xt.reshape(b, n_bands, t_frames, c.dim).transpose(0, 2, 1, 3)
             # freq (band) attention: fold time into batch
             xf = x.reshape(b * t_frames, n_bands, c.dim)
             xf = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
-                             c.freq_depth, name=f"freq_{i}")(xf)
+                             c.freq_depth, c.dtype, name=f"freq_{i}")(xf)
             x = xf.reshape(b, t_frames, n_bands, c.dim)
 
         x = RMSNorm(name="final_norm")(x)
@@ -222,7 +239,7 @@ class BSRoformer(nn.Module):
         acc = None
         for stem in c.stems:
             mask = MaskEstimator(c, name=f"mask_{stem}")(x)  # (b,t,bins,ch*2)
-            masked = _complex_mul(spec, mask, ch)
+            masked = _complex_mul(spec, mask.astype(jnp.float32), ch)
             # back to (b, ch, t, bins) re/im
             masked = masked.reshape(b, t_frames, c.n_fft // 2 + 1, ch, 2)
             masked = masked.transpose(0, 3, 1, 2, 4)

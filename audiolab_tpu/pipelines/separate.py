@@ -75,6 +75,7 @@ class StemSeparator:
         overlap_seconds: float = 1.0,
         device_batch: int = 8,
         mesh=None,
+        matmul_precision: str = "bfloat16",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a leading ``dp``
         axis.  Chunk batches are sharded over it, fanning ensemble inference
@@ -91,6 +92,10 @@ class StemSeparator:
             device_batch = max(device_batch, dp)
             device_batch += (-device_batch) % dp
         self.device_batch = device_batch
+        # model matmuls ride the MXU in bf16 (~6x fp32 on v5e); the STFT /
+        # iSTFT kernels pin HIGHEST internally so the spectral front-end
+        # keeps full precision (same policy as RVCPipelineConfig)
+        self.matmul_precision = matmul_precision
 
     def _run_member(self, member: EnsembleMember, audio: np.ndarray) -> dict:
         """Chunk -> fixed-size batched model calls -> crossfade stitch.
@@ -140,25 +145,27 @@ class StemSeparator:
         audio = jnp.asarray(audio)
         vocals_tracks, inst_tracks = [], []
         wv, wi = [], []
-        for i, m in enumerate(self.members):
-            if callback:
-                callback(i, f"Separating with {m.name}", len(self.members))
-            stems = self._run_member(m, audio)
-            v = stems.get("vocals")
-            inst = stems.get("other", stems.get("instrumental"))
-            if inst is None and v is not None:
-                inst = audio - v  # residual instrumental
-            if v is not None:
-                vocals_tracks.append(v)
-                wv.append(m.weight_vocals)
-            if inst is not None:
-                inst_tracks.append(inst)
-                wi.append(m.weight_inst)
+        with jax.default_matmul_precision(self.matmul_precision):
+            for i, m in enumerate(self.members):
+                if callback:
+                    callback(i, f"Separating with {m.name}", len(self.members))
+                stems = self._run_member(m, audio)
+                v = stems.get("vocals")
+                inst = stems.get("other", stems.get("instrumental"))
+                if inst is None and v is not None:
+                    inst = audio - v  # residual instrumental
+                if v is not None:
+                    vocals_tracks.append(v)
+                    wv.append(m.weight_vocals)
+                if inst is not None:
+                    inst_tracks.append(inst)
+                    wi.append(m.weight_inst)
 
-        vocals = blend_tracks(vocals_tracks, wv)
-        inst = blend_tracks(inst_tracks, wi)
-        vocals = debleed(vocals, inst)
-        inst = debleed(inst, vocals)
+            vocals = blend_tracks(vocals_tracks, wv)
+            inst = blend_tracks(inst_tracks, wi)
+            vocals = debleed(vocals, inst)
+            inst = debleed(inst, vocals)
+            del vocals_tracks, inst_tracks
         if as_numpy:
             return {"vocals": np.asarray(vocals, np.float32),
                     "instrumental": np.asarray(inst, np.float32)}

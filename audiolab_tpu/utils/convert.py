@@ -1112,3 +1112,196 @@ def load_dia_checkpoint(path: str, cfg) -> dict:
                            jnp.zeros((1, cfg.n_codebooks, 4), jnp.int32))
     )["params"]
     return convert_dia(sd, template, cfg)
+
+
+# ----------------------------------------------------------- Stable Audio
+
+def sao_dit_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax StableAudioDiT tree -> stable_audio_tools DiffusionTransformer
+    names (wheel source: stable_audio_tools/models/{dit,transformer}.py).
+    Checkpoints prefix these with "model.model." — convert_sao_dit strips
+    that."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    m["timestep_w"] = ("w", "timestep_features")
+    dense("t1", "to_timestep_embed.0")
+    dense("t2", "to_timestep_embed.2")
+    dense("c1", "to_cond_embed.0", bias=False)
+    dense("c2", "to_cond_embed.2", bias=False)
+    dense("g1", "to_global_embed.0", bias=False)
+    dense("g2", "to_global_embed.2", bias=False)
+    m["preprocess_conv/kernel"] = ("dense1x1_w", "preprocess_conv")
+    m["postprocess_conv/kernel"] = ("dense1x1_w", "postprocess_conv")
+    dense("project_in", "transformer.project_in", bias=False)
+    dense("project_out", "transformer.project_out", bias=False)
+    n = sum(1 for k in template if k.startswith("layer_"))
+    for i in range(n):
+        b = f"transformer.layers.{i}"
+        p = f"layer_{i}"
+        m[f"{p}/pre_norm/ln/scale"] = ("gamma", f"{b}.pre_norm")
+        dense(f"{p}/self_attn/to_qkv", f"{b}.self_attn.to_qkv", bias=False)
+        dense(f"{p}/self_attn/to_out", f"{b}.self_attn.to_out", bias=False)
+        m[f"{p}/cross_attend_norm/ln/scale"] = ("gamma",
+                                                f"{b}.cross_attend_norm")
+        dense(f"{p}/cross_attn/to_q", f"{b}.cross_attn.to_q", bias=False)
+        dense(f"{p}/cross_attn/to_kv", f"{b}.cross_attn.to_kv", bias=False)
+        dense(f"{p}/cross_attn/to_out", f"{b}.cross_attn.to_out", bias=False)
+        m[f"{p}/ff_norm/ln/scale"] = ("gamma", f"{b}.ff_norm")
+        dense(f"{p}/ff/proj", f"{b}.ff.ff.0.proj")
+        dense(f"{p}/ff/out", f"{b}.ff.ff.2")
+    return m
+
+
+def convert_sao_dit(state_dict: dict, template: dict,
+                    strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.model.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, sao_dit_mapping(template), sd, strict)
+
+
+def load_sao_dit_checkpoint(path: str, cfg=None) -> dict:
+    """stable-audio-open model.safetensors -> flax StableAudioDiT params."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.stable_audio_dit import (
+        SAODiTConfig,
+        StableAudioDiT,
+    )
+
+    sd = torch_load_weights(path)
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    cfg = cfg or SAODiTConfig()
+    model = StableAudioDiT(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, cfg.io_channels)),
+                           jnp.zeros((1,)),
+                           jnp.zeros((1, 4, cfg.cond_token_dim)),
+                           jnp.zeros((1, cfg.global_cond_dim))))["params"]
+    return convert_sao_dit(sd, template)
+
+
+def oobleck_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax OobleckDecoder tree -> stable_audio_tools OobleckDecoder names
+    (nn.Sequential indices: 0 conv-in, per block .layers.{0 snake, 1 convT,
+    2-4 res units}, then snake + conv-out)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def wn(path, key, bias=True):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def snake(path, key):
+        m[f"{path}/alpha"] = ("direct", f"{key}.alpha")
+        m[f"{path}/beta"] = ("direct", f"{key}.beta")
+
+    wn("conv_in", "layers.0")
+    n_blocks = sum(1 for k in template if k.startswith("up_") and
+                   not k.startswith("up_snake"))
+    for bi in range(n_blocks):
+        blk = f"layers.{1 + bi}.layers"
+        snake(f"up_snake_{bi}", f"{blk}.0")
+        m[f"up_{bi}/kernel"] = ("convTwn_w", f"{blk}.1")
+        m[f"up_{bi}/bias"] = ("bias", f"{blk}.1")
+        for j in range(3):
+            res = f"{blk}.{2 + j}.layers"
+            snake(f"res_{bi}_{j}/s1", f"{res}.0")
+            wn(f"res_{bi}_{j}/c1", f"{res}.1")
+            snake(f"res_{bi}_{j}/s2", f"{res}.2")
+            wn(f"res_{bi}_{j}/c2", f"{res}.3")
+    snake("snake_out", f"layers.{1 + n_blocks}")
+    wn("conv_out", f"layers.{2 + n_blocks}", bias=False)
+    return m
+
+
+def convert_oobleck(state_dict: dict, template: dict,
+                    strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("pretransform.model.decoder.", "decoder.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, oobleck_mapping(template), sd, strict)
+
+
+# ----------------------------------------------------------- xcodec (YuE)
+
+def xcodec_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax XCodecDecoder tree -> YuE xcodec checkpoint names (vendored at
+    modules/yue/inference/xcodec_mini_infer: encodec-style RVQ
+    quantizer.vq.layers.N._codebook.embed + dac2 decoder_2.model.N)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    n_q = sum(1 for k in template if k.startswith("codebook_"))
+    for i in range(n_q):
+        m[f"codebook_{i}/embedding"] = (
+            "direct", f"quantizer.vq.layers.{i}._codebook.embed")
+    m["fc_post2/kernel"] = ("dense_w", "fc_post2")
+    m["fc_post2/bias"] = ("bias", "fc_post2")
+
+    wn("conv_in", "decoder_2.model.0")
+    n_rates = sum(1 for k in template if k.startswith("up_"))
+    for i in range(n_rates):
+        blk = f"decoder_2.model.{1 + i}.block"
+        m[f"snake_{i}/alpha"] = ("snake_a", f"{blk}.0")
+        m[f"up_{i}/conv/kernel"] = ("convTwn_w", f"{blk}.1")
+        m[f"up_{i}/conv/bias"] = ("bias", f"{blk}.1")
+        for j in range(3):
+            res = f"{blk}.{2 + j}.block"
+            m[f"res_{i}_{j}/s1/alpha"] = ("snake_a", f"{res}.0")
+            wn(f"res_{i}_{j}/c1", f"{res}.1")
+            m[f"res_{i}_{j}/s2/alpha"] = ("snake_a", f"{res}.2")
+            wn(f"res_{i}_{j}/c2", f"{res}.3")
+    m["snake_out/alpha"] = ("snake_a", f"decoder_2.model.{1 + n_rates}")
+    wn("conv_out", f"decoder_2.model.{2 + n_rates}")
+    return m
+
+
+def convert_xcodec(state_dict: dict, template: dict,
+                   strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("codec_model.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, xcodec_mapping(template), sd, strict)
+
+
+def load_xcodec_checkpoint(path: str, cfg=None) -> dict:
+    """YuE xcodec ckpt -> flax params for models/codecs.XCodecDecoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.codecs import XCodecConfig, XCodecDecoder
+
+    ckpt = torch_load_weights(path)
+    sd = ckpt.get("codec_model", ckpt.get("state_dict", ckpt))
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    cfg = cfg or XCodecConfig()
+    model = XCodecDecoder(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.n_q, 4), jnp.int32)))["params"]
+    return convert_xcodec(sd, template)

@@ -129,12 +129,12 @@ def build_rvc(cpu, dev):
 
 
 def run_chain(sep, vc, audio_dev, resample):
-    """separate -> mono vocals -> 16 kHz -> RVC. Returns converted wave."""
+    """separate -> mono vocals -> 16 kHz -> RVC (warmup compile pass)."""
     stems = sep.separate(audio_dev, as_numpy=False)
     vocals16k = resample(stems["vocals"])
     out = vc.convert(vocals16k, sid=0)
     jax.block_until_ready(out)
-    return out, stems
+    del stems, vocals16k, out
 
 
 def main() -> None:
@@ -173,6 +173,9 @@ def main() -> None:
         out = vc.convert(vocals16k, sid=0)
         jax.block_until_ready(out)
         t_rvc = time.perf_counter() - t1
+        # free the pass's device buffers before the next one — stems are
+        # ~170 MB each and three live copies fragment v5e HBM into OOM
+        del stems, vocals16k, out
 
         best_sep = min(best_sep, t_sep)
         best_rvc = min(best_rvc, t_rvc)

@@ -321,7 +321,7 @@ def test_bs_roformer_full_parity():
     )
     from audiolab_tpu.utils.convert import convert_roformer
 
-    cfg = RoformerConfig(stems=("vocals", "other"), **kw)
+    cfg = RoformerConfig(stems=("vocals", "other"), dtype="float64", **kw)
     f_model = BSRoformer(cfg)
 
     _jax.config.update("jax_enable_x64", True)
@@ -551,5 +551,45 @@ def test_dia_full_parity():
         assert out.shape == ref.shape, (out.shape, ref.shape)
         # fp32-pinned rope/RMSNorm internals floor agreement ~1e-6
         np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+# ----------------------------------------------------------- xcodec (YuE)
+
+def test_xcodec_decoder_full_parity():
+    """YuE xcodec decode path (encodec RVQ + dac2 decoder with the odd
+    stride-5 block) -> convert_xcodec -> flax, fp64.  Exercises the
+    torch-exact transposed conv (output_padding on odd strides)."""
+    from tests.torch_ref_models import XCodecDecoderTorch
+
+    import jax as _jax
+
+    torch.manual_seed(91)
+    t_model = XCodecDecoderTorch(n_q=2, bins=16, dim=12, acoustic=4,
+                                 dec_dim=16, rates=(2, 5)).double().eval()
+
+    from audiolab_tpu.models.codecs import XCodecConfig, XCodecDecoder
+    from audiolab_tpu.utils.convert import convert_xcodec
+
+    cfg = XCodecConfig(n_q=2, codebook_size=16, dim=12, acoustic_dim=4,
+                       decoder_dim=16, rates=(2, 5))
+    f_model = XCodecDecoder(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        codes = np.random.default_rng(92).integers(0, 16, (2, 2, 9))
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 2, 4), jnp.int32)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_xcodec(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(codes)).numpy()[:, 0]
+        out = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(codes)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        # fp32-pinned Snake floors agreement ~1e-7
+        np.testing.assert_allclose(out, ref, atol=1e-6)
     finally:
         _jax.config.update("jax_enable_x64", False)

@@ -1309,3 +1309,56 @@ class DiaTorch(nn.Module):
             y = layer(y, enc, pos_t, pos_s)
         h = self.decoder.norm(y)[:, -1]
         return self.decoder.logits_dense(h)
+
+
+# ----------------------------------------------------------- xcodec (YuE)
+
+
+class _XcVQ(nn.Module):
+    def __init__(self, bins, dim):
+        super().__init__()
+        self._codebook = nn.Module()
+        self._codebook.register_buffer("embed", torch.randn(bins, dim))
+
+
+class XCodecDecoderTorch(nn.Module):
+    """YuE xcodec decode path replica: encodec RVQ (quantizer.vq.layers.N.
+    _codebook.embed) -> fc_post2 -> dac2 decoder_2 (NO final tanh; stride-5
+    block carries output_padding 1, dac/model/dac.py:94-146)."""
+
+    def __init__(self, n_q=2, bins=16, dim=12, acoustic=4, dec_dim=16,
+                 rates=(2, 5)):
+        super().__init__()
+        self.quantizer = nn.Module()
+        self.quantizer.vq = nn.Module()
+        self.quantizer.vq.layers = nn.ModuleList(
+            [_XcVQ(bins, dim) for _ in range(n_q)])
+        self.fc_post2 = nn.Linear(dim, acoustic)
+        mods = [_dac_wn(nn.Conv1d(acoustic, dec_dim, 7, padding=3))]
+        ch = dec_dim
+        for r in rates:
+            blk = nn.Module()
+            blk.block = nn.Sequential(
+                _DacSnake1d(ch),
+                _dac_wn(nn.ConvTranspose1d(
+                    ch, ch // 2, 2 * r, stride=r,
+                    padding=int(np.ceil(r / 2)), output_padding=r % 2)),
+                _DacResUnit(ch // 2, 1),
+                _DacResUnit(ch // 2, 3),
+                _DacResUnit(ch // 2, 9),
+            )
+            mods.append(blk)
+            ch //= 2
+        mods += [_DacSnake1d(ch), _dac_wn(nn.Conv1d(ch, 1, 7, padding=3))]
+        self.decoder_2 = nn.Module()
+        self.decoder_2.model = nn.Sequential(*mods)
+
+    def forward(self, codes):
+        z = 0.0
+        for i, q in enumerate(self.quantizer.vq.layers):
+            z = z + F.embedding(codes[:, i], q._codebook.embed)
+        z = self.fc_post2(z).transpose(1, 2)  # (b, acoustic, t)
+        x = z
+        for m in self.decoder_2.model:
+            x = m.block(x) if hasattr(m, "block") else m(x)
+        return x
