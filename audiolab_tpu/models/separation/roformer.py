@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audiolab_tpu.kernels.attention import flash_attention
+from audiolab_tpu.kernels.attention import attention_reference, flash_attention
 from audiolab_tpu.kernels.stft import istft, stft
 
 # default 1025-bin band layout (sums to n_fft//2+1 for n_fft=2048); matches
@@ -117,7 +117,15 @@ class Attention(nn.Module):
 
         q, k, v = map(heads_first, (q, k, v))
         q, k = rope(q), rope(k)
-        o = flash_attention(q, k, v)
+        # Pallas grids run SEQUENTIALLY on the one v5e TensorCore, so at
+        # short sequence lengths (the 62-band freq axis: ~44k tiny grid
+        # steps per layer) kernel-step overhead dominates; XLA's fused
+        # batched attention is faster there.  Flash wins on the long time
+        # axis where the O(t^2) logits buffer matters.
+        if t < 256:
+            o = attention_reference(q, k, v)
+        else:
+            o = flash_attention(q, k, v)
         # per-head sigmoid gates (bs_roformer Attention.to_gates)
         gates = nn.Dense(self.heads, dtype=dt, name="to_gates")(x)  # (b, t, h)
         o = o * jax.nn.sigmoid(gates).transpose(0, 2, 1)[..., None]
@@ -161,27 +169,65 @@ class Transformer(nn.Module):
 
 
 class BandSplit(nn.Module):
+    """Per-band RMSNorm + Linear, executed as ONE batched einsum.
+
+    62 per-band Dense calls serialize into hundreds of tiny MXU ops (the
+    profiled bottleneck: ~3.6% MXU utilization); the bands are instead
+    gathered into a padded (bands, maxw) layout and projected with a single
+    (bands, maxw, dim) batched matmul.  Zero padding is exact: padded
+    entries contribute 0 to the L2 norm and 0 through zero-padded kernel
+    rows.  Params stay per-band so checkpoints convert band-by-band."""
+
     cfg: RoformerConfig
 
     @nn.compact
     def __call__(self, spec):
         # spec (b, t, n_bins, 2*channels) real/imag interleaved features
         c = self.cfg
-        outs = []
-        start = 0
-        for i, width in enumerate(c.freqs_per_bands):
-            band = spec[:, :, start : start + width, :]
-            band = band.reshape(*band.shape[:2], -1)  # (b,t,width*2*ch)
-            band = RMSNorm(name=f"norm_{i}")(band)
-            outs.append(nn.Dense(c.dim, dtype=jnp.dtype(c.dtype),
-                                 name=f"proj_{i}")(band))
-            start += width
-        return jnp.stack(outs, axis=2)  # (b, t, bands, dim)
+        ch2 = spec.shape[-1]
+        widths = [w * ch2 for w in c.freqs_per_bands]
+        maxw = max(widths)
+        nb = len(widths)
+        dt = jnp.dtype(c.dtype)
+
+        scales = [self.param(f"norm_scale_{i}", nn.initializers.ones, (d,))
+                  for i, d in enumerate(widths)]
+        kernels = [self.param(f"proj_kernel_{i}",
+                              nn.initializers.lecun_normal(), (d, c.dim))
+                   for i, d in enumerate(widths)]
+        biases = [self.param(f"proj_bias_{i}", nn.initializers.zeros,
+                             (c.dim,)) for i in range(nb)]
+        scale_p = jnp.stack([jnp.pad(s, (0, maxw - s.shape[0]))
+                             for s in scales])            # (nb, maxw)
+        kern_p = jnp.stack([jnp.pad(k, ((0, maxw - k.shape[0]), (0, 0)))
+                            for k in kernels])            # (nb, maxw, dim)
+        bias_p = jnp.stack(biases)                        # (nb, dim)
+
+        # static gather: bin index per (band, slot); padded slots re-read
+        # bin 0 and are masked to zero below
+        starts = np.cumsum([0] + list(c.freqs_per_bands[:-1]))
+        idx = np.zeros((nb, maxw // ch2), np.int32)
+        valid = np.zeros((nb, maxw), np.float32)
+        for i, w in enumerate(c.freqs_per_bands):
+            idx[i, :w] = starts[i] + np.arange(w)
+            valid[i, : w * ch2] = 1.0
+        gathered = spec[:, :, jnp.asarray(idx), :]  # (b,t,nb,maxw/ch2,ch2)
+        x = gathered.reshape(*gathered.shape[:3], maxw) * jnp.asarray(valid)
+
+        xf = x.astype(jnp.float32)
+        norm = jnp.maximum(jnp.sqrt(
+            jnp.sum(xf * xf, axis=-1, keepdims=True)), 1e-12)
+        sqrt_d = jnp.asarray([d ** 0.5 for d in widths], jnp.float32)
+        xn = xf / norm * sqrt_d[None, None, :, None] * scale_p
+        return jnp.einsum("btkw,kwd->btkd", xn.astype(dt),
+                          kern_p.astype(dt)) + bias_p.astype(dt)
 
 
 class MaskEstimator(nn.Module):
-    """Per-band tanh-MLP -> GLU, structured like bs_roformer.MaskEstimator:
-    MLP(dim -> 4*dim x depth -> 2*out) then GLU halves to out."""
+    """Per-band tanh-MLP -> GLU (bs_roformer.MaskEstimator semantics), as
+    batched einsums over the band axis — same padding strategy as
+    BandSplit; the GLU halves are kept in separate padded blocks so the
+    split stays exact.  Params are per-band for conversion."""
 
     cfg: RoformerConfig
 
@@ -190,17 +236,58 @@ class MaskEstimator(nn.Module):
         # x (b, t, bands, dim) -> complex mask (b, t, n_bins, 2*channels)
         c = self.cfg
         hidden = c.dim * 4
-        outs = []
-        for i, width in enumerate(c.freqs_per_bands):
-            h = x[:, :, i, :]
-            dt = jnp.dtype(c.dtype)
-            for k in range(c.mask_est_depth):
-                h = jnp.tanh(nn.Dense(hidden, dtype=dt, name=f"mlp_{i}_{k}")(h))
-            h = nn.Dense(width * 2 * c.channels * 2, dtype=dt,
-                         name=f"mlp_{i}_out")(h)
-            h = nn.glu(h, axis=-1)
-            outs.append(h.reshape(*h.shape[:2], width, 2 * c.channels))
-        return jnp.concatenate(outs, axis=2)
+        nb = c.n_bands
+        dt = jnp.dtype(c.dtype)
+        ch2 = 2 * c.channels
+        outs_w = [w * ch2 for w in c.freqs_per_bands]
+        maxo = max(outs_w)
+
+        h = x.astype(dt)
+        for k in range(c.mask_est_depth):
+            kk = jnp.stack([
+                self.param(f"mlp_kernel_{i}_{k}",
+                           nn.initializers.lecun_normal(),
+                           (c.dim if k == 0 else hidden, hidden))
+                for i in range(nb)])
+            bb = jnp.stack([
+                self.param(f"mlp_bias_{i}_{k}", nn.initializers.zeros,
+                           (hidden,)) for i in range(nb)])
+            h = jnp.tanh(jnp.einsum("btkd,kdh->btkh", h, kk.astype(dt))
+                         + bb.astype(dt))
+
+        # final layer: out features are (value || gate), each padded to maxo
+        # per band so the GLU split at maxo is exact
+        ok, ob = [], []
+        for i, wo in enumerate(outs_w):
+            kern = self.param(f"out_kernel_{i}",
+                              nn.initializers.lecun_normal(),
+                              (hidden, 2 * wo))
+            bias = self.param(f"out_bias_{i}", nn.initializers.zeros,
+                              (2 * wo,))
+            pad = maxo - wo
+            ok.append(jnp.concatenate([
+                jnp.pad(kern[:, :wo], ((0, 0), (0, pad))),
+                jnp.pad(kern[:, wo:], ((0, 0), (0, pad)))], axis=-1))
+            ob.append(jnp.concatenate([
+                jnp.pad(bias[:wo], (0, pad)), jnp.pad(bias[wo:], (0, pad))]))
+        kern_p = jnp.stack(ok)   # (nb, hidden, 2*maxo)
+        bias_p = jnp.stack(ob)
+        out = jnp.einsum("btkh,kho->btko", h, kern_p.astype(dt)) \
+            + bias_p.astype(dt)
+        a, gate = out[..., :maxo], out[..., maxo:]
+        mask = a * jax.nn.sigmoid(gate)   # (b, t, nb, maxo)
+
+        # scatter padded band slots back to contiguous bins
+        n_bins = sum(c.freqs_per_bands)
+        flat_idx = np.zeros((n_bins,), np.int32)
+        start = 0
+        for i, w in enumerate(c.freqs_per_bands):
+            # bin j of band i lives at flat slot i*maxo + j*ch2 .. +ch2
+            for j in range(w):
+                flat_idx[start + j] = i * (maxo // ch2) + j
+            start += w
+        m = mask.reshape(*mask.shape[:2], nb * (maxo // ch2), ch2)
+        return m[:, :, jnp.asarray(flat_idx), :]  # (b, t, n_bins, ch2)
 
 
 class BSRoformer(nn.Module):

@@ -270,7 +270,8 @@ class YuEPipeline:
     def __init__(self, cfg: YuEConfig, s1_params, s2_params,
                  codec: SoundStreamCodec, codec_params,
                  vocos: Vocos | None = None, vocos_params=None,
-                 pcfg: YuEPipelineConfig | None = None):
+                 pcfg: YuEPipelineConfig | None = None,
+                 xcodec=None, xcodec_params=None):
         self.cfg = cfg
         self.s1 = TransformerLM(cfg.stage1)
         self.s2 = TransformerLM(cfg.stage2)
@@ -280,6 +281,11 @@ class YuEPipeline:
         self.codec_params = codec_params
         self.vocos = vocos
         self.vocos_params = vocos_params
+        # checkpoint-faithful decode path (models/codecs.XCodecDecoder,
+        # filled by utils/convert.load_xcodec_checkpoint) — preferred when
+        # real YuE weights are loaded
+        self.xcodec = xcodec
+        self.xcodec_params = xcodec_params
         self.pcfg = pcfg or YuEPipelineConfig()
 
     def _prompt(self, genre: str, lyrics: str, audio_codes=None):
@@ -337,7 +343,13 @@ class YuEPipeline:
                                rng=jax.random.PRNGKey(seed + 99))
         full = jnp.clip(full, 0, self.cfg.vocab.codebook_size - 1)
 
-        if self.vocos is not None:
+        if self.xcodec is not None:
+            # real-checkpoint decode (SoundStream.decode semantics:
+            # RVQ -> fc_post2 -> dac2 decoder; soundstream_hubert_new.py)
+            xcodes = jnp.clip(full[:, : self.xcodec.cfg.n_q], 0,
+                              self.xcodec.cfg.codebook_size - 1)
+            audio = self.xcodec.apply({"params": self.xcodec_params}, xcodes)
+        elif self.vocos is not None:
             # Vocos vocoder path (infer.py:617 xcodec decode -> Vocos
             # upsample): the RVQ latents drive the ConvNeXt→iSTFT head
             # directly — higher-rate audio without the SEANet decoder
@@ -353,7 +365,9 @@ class YuEPipeline:
         peak = np.abs(mix).max() + 1e-9
         if peak > 0.99:
             mix = mix * (0.99 / peak)
-        if self.vocos is not None:
+        if self.xcodec is not None:
+            sr = int(round(self.codec.cfg.frame_rate * self.xcodec.cfg.hop))
+        elif self.vocos is not None:
             sr = int(round(self.codec.cfg.frame_rate * self.vocos.cfg.hop))
         else:
             sr = self.codec.cfg.sr

@@ -725,11 +725,15 @@ def roformer_mapping(template: dict,
             dense(f"{path}/ff_{j}/fc2", f"{f}.4")
         m[f"{path}/norm/scale"] = ("gamma", f"{tkey}.norm")
 
-    for i in range(sum(1 for k in template["band_split"]
-                       if k.startswith("norm_"))):
-        m[f"band_split/norm_{i}/scale"] = ("gamma",
+    n_bands = sum(1 for k in template["band_split"]
+                  if k.startswith("norm_scale_"))
+    for i in range(n_bands):
+        m[f"band_split/norm_scale_{i}"] = ("gamma",
                                            f"band_split.to_features.{i}.0")
-        dense(f"band_split/proj_{i}", f"band_split.to_features.{i}.1")
+        m[f"band_split/proj_kernel_{i}"] = ("dense_w",
+                                            f"band_split.to_features.{i}.1")
+        m[f"band_split/proj_bias_{i}"] = ("bias",
+                                          f"band_split.to_features.{i}.1")
 
     depth = sum(1 for k in template if k.startswith("time_"))
     for i in range(depth):
@@ -743,14 +747,20 @@ def roformer_mapping(template: dict,
         tpl = template.get(f"mask_{stem}")
         if tpl is None:
             continue  # residual stem: no estimator in the checkpoint
-        bands = sorted({int(k.split("_")[1]) for k in tpl})
+        bands = sorted({int(k.split("_")[2]) for k in tpl
+                        if k.startswith("mlp_kernel_")})
         for b in bands:
-            ks = sorted(int(k.split("_")[2]) for k in tpl
-                        if k.startswith(f"mlp_{b}_") and k.split("_")[2].isdigit())
+            ks = sorted(int(k.split("_")[3]) for k in tpl
+                        if k.startswith(f"mlp_kernel_{b}_"))
             base = f"mask_estimators.{s}.to_freqs.{b}.0"
             for k in ks:
-                dense(f"mask_{stem}/mlp_{b}_{k}", f"{base}.{2 * k}")
-            dense(f"mask_{stem}/mlp_{b}_out", f"{base}.{2 * len(ks)}")
+                m[f"mask_{stem}/mlp_kernel_{b}_{k}"] = ("dense_w",
+                                                        f"{base}.{2 * k}")
+                m[f"mask_{stem}/mlp_bias_{b}_{k}"] = ("bias",
+                                                      f"{base}.{2 * k}")
+            last = f"{base}.{2 * len(ks)}"
+            m[f"mask_{stem}/out_kernel_{b}"] = ("dense_w", last)
+            m[f"mask_{stem}/out_bias_{b}"] = ("bias", last)
     return m
 
 

@@ -58,3 +58,27 @@ def test_generate_with_vocos_head():
     # vocos output rate = codec frame_rate * vocos hop
     assert out["sr"] == int(round(pipe.codec.cfg.frame_rate * pipe.vocos.cfg.hop))
     assert np.isfinite(out["mix"]).all() and len(out["mix"]) > 0
+
+
+def test_yue_pipeline_xcodec_decode_path():
+    """The checkpoint-faithful XCodecDecoder plugs into the pipeline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.codecs import XCodecConfig, XCodecDecoder
+    from audiolab_tpu.models.yue import random_yue
+
+    eng = random_yue()
+    pipe = eng.pipeline if hasattr(eng, "pipeline") else eng
+    xc = XCodecDecoder(XCodecConfig(n_q=pipe.cfg.n_q, codebook_size=16,
+                                    dim=12, acoustic_dim=4, decoder_dim=16,
+                                    rates=(2, 5)))
+    pipe.xcodec = xc
+    pipe.xcodec_params = xc.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, pipe.cfg.n_q, 4), jnp.int32))["params"]
+    out = pipe.generate_music("pop", "la la la", n_segments=1,
+                              seconds_per_segment=0.3)
+    assert np.isfinite(out["mix"]).all()
+    assert out["sr"] == int(round(pipe.codec.cfg.frame_rate * 10))
