@@ -56,6 +56,10 @@ class ZonosConfig:
     vocab_text: int = 256      # char-level phoneme fallback
     spk_dim: int = 256
     cond_dim: int = 64
+    head_size: int | None = None   # logits width; upstream Zonos heads are
+                                   # Linear(dim, 1025) while embeddings are
+                                   # 1026-wide (model.py:36-37). None keeps
+                                   # codebook_size (random-weight default).
 
     @property
     def d_inner(self) -> int:
@@ -357,7 +361,8 @@ class ZonosModel(nn.Module):
         self.rate_cond = FourierConditioner(c.dim, 1, name="rate")
         self.pitch_cond = FourierConditioner(c.dim, 1, name="pitch")
         self.heads = [
-            nn.Dense(c.codebook_size, use_bias=False, name=f"head_{q}")
+            nn.Dense(c.head_size or c.codebook_size, use_bias=False,
+                     name=f"head_{q}")
             for q in range(c.n_codebooks)
         ]
 

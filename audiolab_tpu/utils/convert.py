@@ -147,6 +147,14 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "logits_q":
         tk, q = key.rsplit("|", 1)
         return np.asarray(sd[tk + ".weight"])[:, int(q), :]
+    if kind == "wslice":
+        # key "torchkey|i|n": slice i of n equal row-blocks of .weight,
+        # transposed to a flax Dense kernel (fused qkv / gated-mlp splits)
+        tk, i, n = key.rsplit("|", 2)
+        w = np.asarray(sd[tk + ".weight"])
+        h = w.shape[0] // int(n)
+        i = int(i)
+        return w[i * h:(i + 1) * h].T
     if kind == "snake_a":
         # Snake1d alpha (1, ch, 1) -> flax (ch,)
         return np.asarray(sd[key + ".alpha"]).reshape(-1)
@@ -248,6 +256,10 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         # so fabricate per-slice via a dict of columns is avoided: tests
         # use the torch replica for logits coverage instead
         pass
+    elif kind == "wslice":
+        tk, _i, n = key.rsplit("|", 2)
+        put(tk + ".weight",
+            rng.standard_normal((int(n) * flax_shape[1], flax_shape[0])))
     elif kind == "snake_a":
         put(key + ".alpha", rng.standard_normal((1, flax_shape[0], 1)) * 0.1 + 1.0)
     elif kind == "densewn1x1_w":
@@ -1315,3 +1327,60 @@ def load_xcodec_checkpoint(path: str, cfg=None) -> dict:
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, cfg.n_q, 4), jnp.int32)))["params"]
     return convert_xcodec(sd, template)
+
+
+# ------------------------------------------------------------------ Zonos
+
+def zonos_mapping(template: dict, cfg) -> dict[str, tuple[str, str]]:
+    """flax ZonosModel tree -> Zyphra Zonos state-dict names, TRANSFORMER
+    variant (every backbone block is a mamba_ssm MHA + GatedMLP pair;
+    backbone.py:11-51 builds them via create_block).  Covers the bulk of
+    the weights: per-codebook embeddings (concatenated into our offset
+    table), per-codebook heads, and the full backbone.  The hybrid
+    variant's Mamba2 mixers and the espeak prefix conditioner remain
+    weights-gated (no espeak in this environment — COVERAGE.md)."""
+    m: dict[str, tuple[str, str]] = {}
+    m["code_embs/embedding"] = ("direct", "__zonos_code_embs__")
+    for q in range(cfg.n_codebooks):
+        m[f"head_{q}/kernel"] = ("dense_w", f"heads.{q}")
+
+    bk = template["backbone"]
+    n_layers = sum(1 for k in bk if k.startswith("attn_")
+                   or k.startswith("mamba_"))
+    for i in range(n_layers):
+        if f"mamba_{i}" in bk:
+            raise ValueError(
+                f"layer {i} is a Mamba block — zonos_mapping covers the "
+                "transformer variant (use ZonosConfig(attn_every=1))")
+        b = f"backbone.layers.{i}"
+        for j, w in enumerate(("wq", "wk", "wv")):
+            m[f"backbone/attn_{i}/{w}/kernel"] = (
+                "wslice", f"{b}.mixer.in_proj|{j}|3")
+        m[f"backbone/attn_{i}/wo/kernel"] = ("dense_w", f"{b}.mixer.out_proj")
+        m[f"backbone/norm_{i}/weight"] = ("direct", f"{b}.norm.weight")
+        m[f"backbone/mlp_norm_{i}/weight"] = ("direct", f"{b}.norm2.weight")
+        # mamba_ssm GatedMLP: fc1 rows = [value; gate], y = value*silu(gate)
+        # == our silu(w1)*w3 with w1<-gate, w3<-value
+        m[f"backbone/mlp_{i}/w3/kernel"] = ("wslice", f"{b}.mlp.fc1|0|2")
+        m[f"backbone/mlp_{i}/w1/kernel"] = ("wslice", f"{b}.mlp.fc1|1|2")
+        m[f"backbone/mlp_{i}/w2/kernel"] = ("dense_w", f"{b}.mlp.fc2")
+    m["backbone/final_norm/weight"] = ("direct", "backbone.norm_f.weight")
+    return m
+
+
+def convert_zonos(state_dict: dict, template: dict, cfg) -> dict:
+    """Unmapped branches (prefix conditioner, speaker encoder — espeak-
+    gated) keep their init; every MAPPED leaf must resolve or this
+    raises with the offending torch key."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    embs = [sd[f"embeddings.{q}.weight"] for q in range(cfg.n_codebooks)
+            if f"embeddings.{q}.weight" in sd]
+    if embs:
+        sd["__zonos_code_embs__"] = np.concatenate(embs, axis=0)
+    mapping = zonos_mapping(template, cfg)
+    for path, (kind, key) in mapping.items():
+        try:
+            extract(kind, key, sd)
+        except KeyError as e:
+            raise KeyError(f"{path}: missing torch key {e}") from e
+    return fill_tree(template, mapping, sd, strict=False)

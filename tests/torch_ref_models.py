@@ -1362,3 +1362,83 @@ class XCodecDecoderTorch(nn.Module):
         for m in self.decoder_2.model:
             x = m.block(x) if hasattr(m, "block") else m(x)
         return x
+
+
+# ------------------------------------------------------------------ Zonos
+
+
+class _ZonosMHA(nn.Module):
+    """mamba_ssm MHA (transformer-variant mixer): fused in_proj qkv,
+    half-split rotary over the full head, causal SDPA, out_proj."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.in_proj = nn.Linear(dim, 3 * dim, bias=False)
+        self.out_proj = nn.Linear(dim, dim, bias=False)
+        self.heads = heads
+
+    def forward(self, x):
+        b, t, d = x.shape
+        hd = d // self.heads
+        q, k, v = self.in_proj(x).chunk(3, dim=-1)
+        q = q.view(b, t, self.heads, hd)
+        k = k.view(b, t, self.heads, hd)
+        v = v.view(b, t, self.heads, hd)
+        pos = torch.arange(t)
+        q, k = _llama_rope(q, pos), _llama_rope(k, pos)
+        o = F.scaled_dot_product_attention(
+            q.transpose(1, 2), k.transpose(1, 2), v.transpose(1, 2),
+            is_causal=True)
+        return self.out_proj(o.transpose(1, 2).reshape(b, t, d))
+
+
+class _ZonosGatedMLP(nn.Module):
+    """mamba_ssm GatedMLP: fc1 -> (value, gate) -> value*silu(gate) -> fc2."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, 2 * hidden, bias=False)
+        self.fc2 = nn.Linear(hidden, dim, bias=False)
+
+    def forward(self, x):
+        y, gate = self.fc1(x).chunk(2, dim=-1)
+        return self.fc2(y * F.silu(gate))
+
+
+class _ZonosBlock(nn.Module):
+    def __init__(self, dim, heads, hidden):
+        super().__init__()
+        self.norm = _LlamaRMSNorm(dim)
+        self.mixer = _ZonosMHA(dim, heads)
+        self.norm2 = _LlamaRMSNorm(dim)
+        self.mlp = _ZonosGatedMLP(dim, hidden)
+
+    def forward(self, x):
+        x = x + self.mixer(self.norm(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class ZonosTorch(nn.Module):
+    """Zyphra Zonos transformer-variant replica: embeddings.N (1026-wide),
+    backbone.layers.N (MHA+GatedMLP), norm_f, heads.N (1025-wide)."""
+
+    def __init__(self, dim=32, heads=4, layers=2, n_codebooks=3,
+                 emb_size=20, head_size=19, hidden=64):
+        super().__init__()
+        self.embeddings = nn.ModuleList(
+            [nn.Embedding(emb_size, dim) for _ in range(n_codebooks)])
+        self.backbone = nn.Module()
+        self.backbone.layers = nn.ModuleList(
+            [_ZonosBlock(dim, heads, hidden) for _ in range(layers)])
+        self.backbone.norm_f = _LlamaRMSNorm(dim)
+        self.heads = nn.ModuleList(
+            [nn.Linear(dim, head_size, bias=False)
+             for _ in range(n_codebooks)])
+
+    def forward(self, codes):
+        # codes (b, n_q, t) -> per-codebook logits (b, n_q, t, head_size)
+        x = sum(emb(codes[:, i]) for i, emb in enumerate(self.embeddings))
+        for layer in self.backbone.layers:
+            x = layer(x)
+        x = self.backbone.norm_f(x)
+        return torch.stack([h(x) for h in self.heads], dim=1)
