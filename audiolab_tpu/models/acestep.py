@@ -173,6 +173,11 @@ class ACEStepModel(nn.Module):
     def velocity(self, z, t, context):
         return self.dit(z, t, context)
 
+    def velocity_hidden(self, z, t, context, depth):
+        """Velocity + inner hidden states after DiT block ``depth`` (the
+        SSL projection tap, ace_step_transformer.py:478-481)."""
+        return self.dit(z, t, context, return_hidden_at=depth)
+
     def encode_mel(self, mel):
         return self.encoder(mel)
 

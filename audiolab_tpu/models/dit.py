@@ -124,7 +124,11 @@ class DiT(nn.Module):
     cfg: DiTConfig = DiTConfig()
 
     @nn.compact
-    def __call__(self, x, t, context=None, context_mask=None, global_cond=None):
+    def __call__(self, x, t, context=None, context_mask=None, global_cond=None,
+                 return_hidden_at=None):
+        """``return_hidden_at=k`` additionally returns the hidden states
+        after block k (the ACE-Step SSL projection tap,
+        ace_step_transformer.py:478-481)."""
         c = self.cfg
         h = nn.Dense(c.dim, name="proj_in")(x)
         t_emb = nn.Dense(c.dim, name="t1")(timestep_embedding(t))
@@ -134,10 +138,16 @@ class DiT(nn.Module):
         ctx = None
         if context is not None:
             ctx = nn.Dense(c.dim, name="ctx_proj")(context)
+        inner = None
         for i in range(c.n_layers):
             h = DiTBlock(c, name=f"block_{i}")(h, t_emb, ctx, context_mask)
+            if return_hidden_at is not None and i == return_hidden_at:
+                inner = h
         sh, sc = AdaLNModulation(c.dim, 2, name="final_adaln")(t_emb)
         h = modulate(nn.LayerNorm(use_bias=False, use_scale=False, name="final_ln")(h),
                      sh, sc)
-        return nn.Dense(c.out_dim, kernel_init=nn.initializers.zeros,
-                        name="proj_out")(h)
+        out = nn.Dense(c.out_dim, kernel_init=nn.initializers.zeros,
+                       name="proj_out")(h)
+        if return_hidden_at is not None:
+            return out, inner
+        return out

@@ -86,3 +86,38 @@ def test_language_segmentation():
     runs = segment_languages("hello 世界 こんにちは 안녕")
     langs = [l for l, _ in runs]
     assert langs == ["en", "zh", "ja", "ko"]
+
+
+def test_lora_train_with_ssl_loss():
+    """SSL projection loss (trainer.py:145-298 role): frozen HuBERT
+    features constrain inner DiT states; joint LoRA+projector training
+    runs and the projector receives gradient (params change)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
+    from audiolab_tpu.pipelines.acestep import random_acestep
+    from audiolab_tpu.train.acestep_lora import LoRATrainConfig, train_lora
+
+    eng = random_acestep()
+    pipe = getattr(eng, "pipeline", eng)
+    hub_cfg = HubertConfig(dim=16, ffn_dim=32, heads=2, layers=1, final_dim=8)
+    hub = HubertFeatureExtractor(version="v2", cfg=hub_cfg)
+    hp = hub.init(jax.random.PRNGKey(0), jnp.zeros((1, 3200)))["params"]
+
+    def ssl_model(audio):
+        x = np.asarray(audio, np.float32)
+        if x.ndim == 2:
+            x = x.mean(axis=0)
+        return hub.apply({"params": hp}, jnp.asarray(x)[None])
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    cfg = LoRATrainConfig(rank=2, steps=2, seg_latent=8, batch_size=1,
+                          ssl_coeff=0.5, ssl_depth=0)
+    out = train_lora(pipe, [(audio, "piano", "[inst]")], cfg,
+                     ssl_model=ssl_model)
+    assert np.isfinite(out["loss"])
+    assert "proj" in out
+    assert np.abs(np.asarray(out["proj"]["kernel"])).sum() > 0
