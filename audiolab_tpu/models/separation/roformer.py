@@ -56,6 +56,10 @@ class RoformerConfig:
     time_depth: int = 1             # inner layers per time transformer
     freq_depth: int = 1             # inner layers per freq transformer
     mask_est_depth: int = 2         # hidden linears in each mask MLP
+    band_bins: tuple | None = None  # explicit per-band STFT-bin tuples
+                                    # (overlapping allowed — mel-band
+                                    # roformer); None = contiguous
+                                    # freqs_per_bands
     dtype: str = "bfloat16"         # activation/matmul dtype: bf16 rides
                                     # the MXU (~6x fp32 on v5e); params and
                                     # the STFT/iSTFT stay fp32; tests pass
@@ -63,7 +67,46 @@ class RoformerConfig:
 
     @property
     def n_bands(self) -> int:
-        return len(self.freqs_per_bands)
+        return (len(self.band_bins) if self.band_bins is not None
+                else len(self.freqs_per_bands))
+
+
+def band_bin_table(cfg: "RoformerConfig") -> list[tuple[int, ...]]:
+    """Per-band STFT-bin index tuples: explicit (mel-band, overlapping) or
+    contiguous runs from freqs_per_bands."""
+    if cfg.band_bins is not None:
+        return [tuple(b) for b in cfg.band_bins]
+    out, start = [], 0
+    for w in cfg.freqs_per_bands:
+        out.append(tuple(range(start, start + w)))
+        start += w
+    return out
+
+
+def mel_band_bins(n_bands: int, n_fft: int, sr: int) -> tuple[tuple[int, ...], ...]:
+    """Mel-band layout of lucidrains/Mel-Band-RoFormer: the nonzero bins of
+    an htk mel filterbank (norm=None), with DC forced into the first band
+    and Nyquist into the last so every bin is covered."""
+    from audiolab_tpu.kernels.mel import mel_filterbank
+
+    fb = np.asarray(mel_filterbank(sr, n_fft, n_mels=n_bands, fmin=0.0,
+                                   fmax=sr / 2, htk=True, norm=None)).T
+    # fb is (n_bands, n_bins); force DC into the first band and Nyquist
+    # into the last (mel_band_roformer does the same), and hand boundary
+    # bins that sit exactly on a triangle edge (weight 0 everywhere) to
+    # their nearest band so every bin is covered
+    fb[0, 0] = 1.0
+    fb[-1, -1] = 1.0
+    uncovered = np.flatnonzero(~(fb > 0).any(axis=0))
+    for bb in uncovered:
+        centers = np.array([np.mean(np.flatnonzero(fb[i] > 0))
+                            if (fb[i] > 0).any() else 1e9
+                            for i in range(n_bands)])
+        fb[int(np.argmin(np.abs(centers - bb))), bb] = 1.0
+    bands = [tuple(np.flatnonzero(fb[i] > 0).tolist())
+             for i in range(n_bands)]
+    assert all(len(b) for b in bands)
+    return tuple(bands)
 
 
 def rope(x: jnp.ndarray) -> jnp.ndarray:
@@ -125,7 +168,11 @@ class Attention(nn.Module):
         if t < 256:
             o = attention_reference(q, k, v)
         else:
-            o = flash_attention(q, k, v)
+            # one q/kv block per (batch, head): the kernel's grid steps run
+            # sequentially on the single v5e TensorCore, so small blocks are
+            # step-overhead-bound (measured 121 ms -> 48 ms per layer batch
+            # at the 690-frame time axis with 768-wide blocks)
+            o = flash_attention(q, k, v, block_q=768, block_k=768)
         # per-head sigmoid gates (bs_roformer Attention.to_gates)
         gates = nn.Dense(self.heads, dtype=dt, name="to_gates")(x)  # (b, t, h)
         o = o * jax.nn.sigmoid(gates).transpose(0, 2, 1)[..., None]
@@ -185,7 +232,8 @@ class BandSplit(nn.Module):
         # spec (b, t, n_bins, 2*channels) real/imag interleaved features
         c = self.cfg
         ch2 = spec.shape[-1]
-        widths = [w * ch2 for w in c.freqs_per_bands]
+        bands = band_bin_table(c)
+        widths = [len(b) * ch2 for b in bands]
         maxw = max(widths)
         nb = len(widths)
         dt = jnp.dtype(c.dtype)
@@ -205,12 +253,11 @@ class BandSplit(nn.Module):
 
         # static gather: bin index per (band, slot); padded slots re-read
         # bin 0 and are masked to zero below
-        starts = np.cumsum([0] + list(c.freqs_per_bands[:-1]))
         idx = np.zeros((nb, maxw // ch2), np.int32)
         valid = np.zeros((nb, maxw), np.float32)
-        for i, w in enumerate(c.freqs_per_bands):
-            idx[i, :w] = starts[i] + np.arange(w)
-            valid[i, : w * ch2] = 1.0
+        for i, bins in enumerate(bands):
+            idx[i, : len(bins)] = bins
+            valid[i, : len(bins) * ch2] = 1.0
         gathered = spec[:, :, jnp.asarray(idx), :]  # (b,t,nb,maxw/ch2,ch2)
         x = gathered.reshape(*gathered.shape[:3], maxw) * jnp.asarray(valid)
 
@@ -236,10 +283,11 @@ class MaskEstimator(nn.Module):
         # x (b, t, bands, dim) -> complex mask (b, t, n_bins, 2*channels)
         c = self.cfg
         hidden = c.dim * 4
+        bands = band_bin_table(c)
         nb = c.n_bands
         dt = jnp.dtype(c.dtype)
         ch2 = 2 * c.channels
-        outs_w = [w * ch2 for w in c.freqs_per_bands]
+        outs_w = [len(b) * ch2 for b in bands]
         maxo = max(outs_w)
 
         h = x.astype(dt)
@@ -277,17 +325,22 @@ class MaskEstimator(nn.Module):
         a, gate = out[..., :maxo], out[..., maxo:]
         mask = a * jax.nn.sigmoid(gate)   # (b, t, nb, maxo)
 
-        # scatter padded band slots back to contiguous bins
-        n_bins = sum(c.freqs_per_bands)
-        flat_idx = np.zeros((n_bins,), np.int32)
-        start = 0
-        for i, w in enumerate(c.freqs_per_bands):
-            # bin j of band i lives at flat slot i*maxo + j*ch2 .. +ch2
-            for j in range(w):
-                flat_idx[start + j] = i * (maxo // ch2) + j
-            start += w
-        m = mask.reshape(*mask.shape[:2], nb * (maxo // ch2), ch2)
-        return m[:, :, jnp.asarray(flat_idx), :]  # (b, t, n_bins, ch2)
+        # scatter band slots back to bins.  Disjoint (BS) bands hit each bin
+        # once; overlapping mel bands SUM and divide by the per-bin band
+        # count (mel_band_roformer's scatter_add + num_bands_per_freq).
+        n_bins = 1 + max(max(b) for b in bands)
+        maxbins = maxo // ch2
+        slot_bin = np.full((nb * maxbins,), n_bins, np.int32)  # pad -> dump
+        counts = np.zeros((n_bins,), np.float32)
+        for i, bins in enumerate(bands):
+            for j, bb in enumerate(bins):
+                slot_bin[i * maxbins + j] = bb
+                counts[bb] += 1.0
+        m = mask.reshape(*mask.shape[:2], nb * maxbins, ch2)
+        summed = jnp.zeros((*m.shape[:2], n_bins + 1, ch2), m.dtype)
+        summed = summed.at[:, :, jnp.asarray(slot_bin), :].add(m)
+        out_m = summed[:, :, :n_bins, :]
+        return out_m / jnp.asarray(np.maximum(counts, 1.0))[None, None, :, None]
 
 
 class BSRoformer(nn.Module):

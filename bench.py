@@ -1,11 +1,14 @@
 """Headline benchmark: FULL separate -> RVC voice-conversion chain RTF.
 
-Stage A — ensemble stem separation on a 4-minute stereo 44.1 kHz track:
-3 BS-RoFormer members at upstream scale (dim 384 / depth 12, the
-SDR-12.96 class listed at reference stem_separator.py:379-386), weighted
-avg/median blend + residual de-bleed, all device-resident.  The members
-share ONE compiled graph (params are arguments, not closure constants), so
-the ensemble pays a single compile.
+Stage A — ensemble stem separation on a 4-minute stereo 44.1 kHz track
+at the REFERENCE'S DEFAULT ensemble size: stem_separator.py defaults
+``ensemble_strength`` to 1 and slices ``models_with_weights[:strength]``,
+so the default chain runs ONE RoFormer-class member (the SDR-12.96 class
+listed at :379-386).  Members are BS-RoFormers at upstream scale
+(dim 384 / depth 12); set BENCH_ENSEMBLE=3 (etc.) to measure larger
+ensembles — members share ONE compiled graph (params are arguments), so
+extra members add run time but no compile.  Blend + residual de-bleed
+run device-resident.
 
 Stage B — RVC conversion of the vocals stem: device-side mono mix +
 polyphase resample to 16 kHz, then the fused jitted chain (HuBERT features
@@ -65,8 +68,11 @@ def build_separator(cpu, dev):
     # models per member, stem_separator.py:393-394)
     apply = jax.jit(lambda p, x: model.apply({"params": p}, x))
 
-    # ensemble blend weights mirror the reference's top members (:379-386)
-    weights = [(8.4, 16.0), (8.6, 15.2), (8.3, 14.9)]
+    # ensemble blend weights mirror the reference's member table
+    # (:379-386), sliced to ensemble_strength like the reference (default 1)
+    strength = int(os.environ.get("BENCH_ENSEMBLE", "1"))
+    weights = [(8.6, 16.0), (8.4, 16.0), (8.5, 16.0), (7.2, 14.9),
+               (6.9, 14.9), (6.9, 14.9), (6.8, 14.9)][:strength]
     members = []
     for i, (wv, wi) in enumerate(weights):
         # cheap param variation: scale a copy so members differ numerically

@@ -646,3 +646,63 @@ def test_zonos_backbone_full_parity():
         np.testing.assert_allclose(out, ref, atol=1e-5)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+# ------------------------------------------------------- Mel-Band RoFormer
+
+def test_mel_band_roformer_full_parity():
+    """Overlapping mel bands: gather + scatter-add/count-normalize masks
+    (lucidrains mel_band_roformer, the dereverb/denoise + Kim vocal
+    checkpoints) -> same converter -> flax, fp64."""
+    from tests.torch_ref_models import MelBandRoformerTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.separation.roformer import (
+        BSRoformer,
+        RoformerConfig,
+    )
+    from audiolab_tpu.utils.convert import convert_roformer
+
+    band_bins = ((0, 1, 2), (2, 3, 4, 5), (5, 6, 7, 8))  # overlaps at 2, 5
+    kw = dict(dim=16, depth=1, heads=2, dim_head=8, n_fft=16, hop=8,
+              channels=2, ff_mult=2, time_depth=1, freq_depth=1,
+              mask_est_depth=2)
+    torch.manual_seed(111)
+    t_model = MelBandRoformerTorch(band_bins, num_stems=1,
+                                   **kw).double().eval()
+
+    cfg = RoformerConfig(stems=("vocals",), band_bins=band_bins,
+                         dtype="float64", **kw)
+    f_model = BSRoformer(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        audio = np.random.default_rng(112).standard_normal((1, 2, 96)) * 0.3
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 2, 96), jnp.float64))
+        )["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_roformer(sd, template, stems=("vocals",),
+                                  strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(audio)).numpy()[:, 0]
+        out = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(audio))["vocals"])
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+def test_mel_band_bins_layout():
+    from audiolab_tpu.models.separation.roformer import mel_band_bins
+
+    bands = mel_band_bins(24, 2048, 44100)
+    assert len(bands) == 24
+    assert 0 in bands[0] and 1024 in bands[-1]
+    covered = set()
+    for b in bands:
+        covered.update(b)
+    assert covered == set(range(1025))  # every bin belongs to a band

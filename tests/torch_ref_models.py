@@ -1442,3 +1442,76 @@ class ZonosTorch(nn.Module):
             x = layer(x)
         x = self.backbone.norm_f(x)
         return torch.stack([h(x) for h in self.heads], dim=1)
+
+
+class MelBandRoformerTorch(BSRoformerTorch):
+    """Mel-Band RoFormer replica: same trunk/params as BSRoformerTorch but
+    bands are explicit (overlapping) STFT-bin index lists; masks scatter-
+    ADD into bins and divide by the per-bin band count
+    (lucidrains mel_band_roformer semantics)."""
+
+    def __init__(self, band_bins, **kw):
+        widths = tuple(len(b) for b in band_bins)
+        super().__init__(freqs_per_bands=widths, **kw)
+        self.band_bins = [list(b) for b in band_bins]
+        n_bins = kw["n_fft"] // 2 + 1
+        counts = torch.zeros(n_bins)
+        for bins in band_bins:
+            for bb in bins:
+                counts[bb] += 1.0
+        self.register_buffer("bin_counts", counts)
+
+    def forward(self, audio):
+        cfg = self.cfgv
+        b, s, n = audio.shape
+        win = torch.hann_window(cfg["n_fft"], dtype=audio.dtype)
+        spec = torch.stft(audio.reshape(b * s, n), n_fft=cfg["n_fft"],
+                          hop_length=cfg["hop"], window=win,
+                          return_complex=True)
+        spec = torch.view_as_real(spec).reshape(
+            b, s, spec.shape[-2], spec.shape[-1], 2)
+        fs = spec.permute(0, 2, 1, 3, 4)  # b f s t c
+        t_frames = fs.shape[3]
+        feat = fs.permute(0, 3, 1, 2, 4)  # b t f s c
+
+        # per-band gather (overlapping)
+        band_feats = []
+        for bins, fn in zip(self.band_bins, self.band_split.to_features):
+            g = feat[:, :, bins].reshape(b, t_frames, -1)
+            band_feats.append(fn(g))
+        x = torch.stack(band_feats, dim=-2)
+
+        bands = x.shape[2]
+        for time_tr, freq_tr in self.layers:
+            xt = x.permute(0, 2, 1, 3).reshape(b * bands, t_frames, -1)
+            xt = time_tr(xt)
+            x = xt.reshape(b, bands, t_frames, -1).permute(0, 2, 1, 3)
+            xf = x.reshape(b * t_frames, bands, -1)
+            xf = freq_tr(xf)
+            x = xf.reshape(b, t_frames, bands, -1)
+        x = self.final_norm(x)
+
+        f_bins = cfg["n_fft"] // 2 + 1
+        outs = []
+        for est in self.mask_estimators:
+            # scatter-add per-band masks into bins, average overlaps
+            summed = torch.zeros(b, t_frames, f_bins, s, 2,
+                                 dtype=audio.dtype)
+            for bi, (bins, fn) in enumerate(zip(self.band_bins,
+                                                est.to_freqs)):
+                mband = fn(x[..., bi, :])
+                mband = mband.reshape(b, t_frames, len(bins), s, 2)
+                summed[:, :, bins] += mband
+            mask = summed / self.bin_counts.clamp(min=1.0)[None, None, :,
+                                                           None, None]
+            mc = torch.view_as_complex(mask.reshape(
+                b, t_frames, f_bins * s, 2).contiguous())
+            sc = torch.view_as_complex(
+                fs.reshape(b, -1, t_frames, 2).contiguous())
+            masked = sc * mc.permute(0, 2, 1)
+            masked = masked.reshape(b, f_bins, s, -1).permute(0, 2, 1, 3)
+            wav = torch.istft(masked.reshape(b * s, f_bins, -1),
+                              n_fft=cfg["n_fft"], hop_length=cfg["hop"],
+                              window=win, length=n)
+            outs.append(wav.reshape(b, s, n))
+        return torch.stack(outs, dim=1)
