@@ -59,18 +59,18 @@ class ResidualBlock(nn.Module):
     cross: bool = False
 
     def setup(self):
-        self.attn_ln = nn.LayerNorm(name="attn_ln")
+        self.attn_ln = nn.LayerNorm(epsilon=1e-5, name="attn_ln")
         self.wq = nn.Dense(self.dim, name="wq")
         self.wk = nn.Dense(self.dim, use_bias=False, name="wk")
         self.wv = nn.Dense(self.dim, name="wv")
         self.wo = nn.Dense(self.dim, name="wo")
         if self.cross:
-            self.cross_ln = nn.LayerNorm(name="cross_ln")
+            self.cross_ln = nn.LayerNorm(epsilon=1e-5, name="cross_ln")
             self.cq = nn.Dense(self.dim, name="cq")
             self.ck = nn.Dense(self.dim, use_bias=False, name="ck")
             self.cv = nn.Dense(self.dim, name="cv")
             self.co = nn.Dense(self.dim, name="co")
-        self.mlp_ln = nn.LayerNorm(name="mlp_ln")
+        self.mlp_ln = nn.LayerNorm(epsilon=1e-5, name="mlp_ln")
         self.fc1 = nn.Dense(self.dim * 4, name="fc1")
         self.fc2 = nn.Dense(self.dim, name="fc2")
 
@@ -105,7 +105,7 @@ class ResidualBlock(nn.Module):
         if self.cross and xa is not None:
             h = self.cross_ln(x)
             x = x + self.co(self._attn(self.cq(h), self.ck(xa), self.cv(xa)))
-        x = x + self.fc2(nn.gelu(self.fc1(self.mlp_ln(x))))
+        x = x + self.fc2(nn.gelu(self.fc1(self.mlp_ln(x)), approximate=False))
         return x, new_cache
 
     def _attn_raw(self, q, k, v, mask):
@@ -126,13 +126,17 @@ class AudioEncoder(nn.Module):
     def __call__(self, mel):
         """(b, t_mel, n_mels) -> (b, t_mel//2, dim)."""
         c = self.cfg
-        h = nn.gelu(nn.Conv(c.dim, (3,), padding="SAME", name="conv1")(mel))
-        h = nn.gelu(nn.Conv(c.dim, (3,), strides=(2,), padding="SAME",
-                            name="conv2")(h))
+        # exact (erf) gelu and explicit stride-2 padding: torch's Conv1d
+        # p=1 taps (2i-1, 2i, 2i+1) while flax SAME at stride 2 pads only
+        # the right edge — off-by-one on every output frame
+        h = nn.gelu(nn.Conv(c.dim, (3,), padding="SAME", name="conv1")(mel),
+                    approximate=False)
+        h = nn.gelu(nn.Conv(c.dim, (3,), strides=(2,), padding=((1, 1),),
+                            name="conv2")(h), approximate=False)
         h = h + jnp.asarray(sinusoids(c.n_audio_ctx, c.dim))[: h.shape[1]]
         for i in range(c.n_audio_layers):
             h, _ = ResidualBlock(c.dim, c.n_heads, name=f"block_{i}")(h)
-        return nn.LayerNorm(name="ln_post")(h)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_post")(h)
 
 
 class TextDecoder(nn.Module):
@@ -146,7 +150,7 @@ class TextDecoder(nn.Module):
         self.blocks = [ResidualBlock(c.dim, c.n_heads, cross=True,
                                      name=f"block_{i}")
                        for i in range(c.n_text_layers)]
-        self.ln = nn.LayerNorm(name="ln")
+        self.ln = nn.LayerNorm(epsilon=1e-5, name="ln")
 
     def __call__(self, tokens, xa, caches=None, pos0=0):
         """tokens (b, t); xa encoder output. Returns (logits, caches)."""

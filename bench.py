@@ -57,7 +57,9 @@ def build_separator(cpu, dev):
 
     cfg = RoformerConfig(dim=384, depth=12, heads=8)  # upstream BS-RoFormer scale
     model = BSRoformer(cfg)
-    chunk_s, batch = 8.0, 8
+    # batch 12: a 4-min track yields 34 chunks -> 36 padded (5% waste, 3
+    # dispatches) vs 40 at batch 8 (17% waste, 5 dispatches)
+    chunk_s, batch = 8.0, 12
     with jax.default_device(cpu):
         base = model.init(
             jax.random.PRNGKey(1), jnp.zeros((1, 2, int(chunk_s * SEP_SR)))
@@ -134,12 +136,18 @@ def build_rvc(cpu, dev):
     )
 
 
+def sync(x) -> float:
+    """True device sync: block_until_ready can return early through the
+    tunneled runtime; a scalar D2H readback cannot."""
+    return float(jnp.sum(x[..., :16]))
+
+
 def run_chain(sep, vc, audio_dev, resample):
     """separate -> mono vocals -> 16 kHz -> RVC (warmup compile pass)."""
     stems = sep.separate(audio_dev, as_numpy=False)
     vocals16k = resample(stems["vocals"])
     out = vc.convert(vocals16k, sid=0)
-    jax.block_until_ready(out)
+    sync(out)
     del stems, vocals16k, out
 
 
@@ -171,13 +179,13 @@ def main() -> None:
     for _i in range(3):
         t0 = time.perf_counter()
         stems = sep.separate(audio_dev, as_numpy=False)
-        jax.block_until_ready(stems["vocals"])
+        sync(stems["vocals"])
         t_sep = time.perf_counter() - t0
 
         t1 = time.perf_counter()
         vocals16k = to_rvc_input(stems["vocals"])
         out = vc.convert(vocals16k, sid=0)
-        jax.block_until_ready(out)
+        sync(out)
         t_rvc = time.perf_counter() - t1
         # free the pass's device buffers before the next one — stems are
         # ~170 MB each and three live copies fragment v5e HBM into OOM

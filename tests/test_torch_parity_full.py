@@ -706,3 +706,51 @@ def test_mel_band_bins_layout():
     for b in bands:
         covered.update(b)
     assert covered == set(range(1025))  # every bin belongs to a band
+
+
+# ---------------------------------------------------------------- Whisper
+
+def test_whisper_full_parity():
+    """OpenAI-whisper-named torch replica -> convert_whisper -> flax:
+    teacher-forced logits parity in fp64 (tied-embedding head, stride-2
+    conv front-end alignment, sinusoidal encoder positions)."""
+    from tests.torch_ref_models import WhisperTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.whisper import WhisperConfig, WhisperModel
+    from audiolab_tpu.utils.convert import convert_whisper
+
+    torch.manual_seed(121)
+    t_model = WhisperTorch(n_mels=20, dim=64, heads=4, enc_layers=2,
+                           dec_layers=2, vocab=100, n_text_ctx=32,
+                           n_audio_ctx=50).double().eval()
+    cfg = WhisperConfig(n_mels=20, dim=64, n_heads=4, n_audio_layers=2,
+                        n_text_layers=2, vocab_size=100, n_text_ctx=32,
+                        n_audio_ctx=50, sot=90, eot=89, no_timestamps=91,
+                        timestamp_base=92)
+    f_model = WhisperModel(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(122)
+        mel = rng.standard_normal((2, 100, 20)) * 0.5
+        toks = rng.integers(0, 100, (2, 7))
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 100, 20), jnp.float64),
+                                 jnp.zeros((1, 4), jnp.int32)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_whisper(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mel),
+                          torch.from_numpy(toks)).numpy()
+        xa = f_model.apply({"params": params}, jnp.asarray(mel),
+                           method=WhisperModel.encode)
+        out, _ = f_model.apply({"params": params}, jnp.asarray(toks), xa,
+                               method=WhisperModel.decode)
+        out = np.asarray(out)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

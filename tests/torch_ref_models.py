@@ -1515,3 +1515,99 @@ class MelBandRoformerTorch(BSRoformerTorch):
                               window=win, length=n)
             outs.append(wav.reshape(b, s, n))
         return torch.stack(outs, dim=1)
+
+
+# ---------------------------------------------------------------- Whisper
+
+
+class _WhisperAttention(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.query = nn.Linear(dim, dim)
+        self.key = nn.Linear(dim, dim, bias=False)
+        self.value = nn.Linear(dim, dim)
+        self.out = nn.Linear(dim, dim)
+        self.heads = heads
+
+    def forward(self, x, xa=None, causal=False):
+        b, t, d = x.shape
+        src = x if xa is None else xa
+        s = src.shape[1]
+        hd = d // self.heads
+        scale = hd ** -0.25
+        q = (self.query(x) * scale).view(b, t, self.heads, hd).transpose(1, 2)
+        k = (self.key(src) * scale).view(b, s, self.heads, hd).transpose(1, 2)
+        v = self.value(src).view(b, s, self.heads, hd).transpose(1, 2)
+        w = q @ k.transpose(-2, -1)
+        if causal:
+            mask = torch.full((t, s), float("-inf")).triu_(1)
+            w = w + mask
+        o = (w.softmax(dim=-1) @ v).transpose(1, 2).reshape(b, t, d)
+        return self.out(o)
+
+
+class _WhisperBlock(nn.Module):
+    def __init__(self, dim, heads, cross=False):
+        super().__init__()
+        self.attn = _WhisperAttention(dim, heads)
+        self.attn_ln = nn.LayerNorm(dim)
+        if cross:
+            self.cross_attn = _WhisperAttention(dim, heads)
+            self.cross_attn_ln = nn.LayerNorm(dim)
+        self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(),
+                                 nn.Linear(4 * dim, dim))
+        self.mlp_ln = nn.LayerNorm(dim)
+
+    def forward(self, x, xa=None, causal=False):
+        x = x + self.attn(self.attn_ln(x), causal=causal)
+        if hasattr(self, "cross_attn") and xa is not None:
+            x = x + self.cross_attn(self.cross_attn_ln(x), xa=xa)
+        return x + self.mlp[2](F.gelu(self.mlp[0](self.mlp_ln(x))))
+
+
+def _whisper_sinusoids(length, dim):
+    inc = np.log(10000.0) / (dim // 2 - 1)
+    inv = torch.exp(-inc * torch.arange(dim // 2))
+    pos = torch.arange(length)[:, None] * inv[None, :]
+    return torch.cat([pos.sin(), pos.cos()], dim=1)
+
+
+class WhisperTorch(nn.Module):
+    """OpenAI whisper replica (encoder./decoder. checkpoint key names,
+    tied token-embedding logits)."""
+
+    def __init__(self, n_mels=80, dim=64, heads=4, enc_layers=2,
+                 dec_layers=2, vocab=100, n_text_ctx=32, n_audio_ctx=50):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.conv1 = nn.Conv1d(n_mels, dim, 3, padding=1)
+        self.encoder.conv2 = nn.Conv1d(dim, dim, 3, stride=2, padding=1)
+        self.encoder.blocks = nn.ModuleList(
+            [_WhisperBlock(dim, heads) for _ in range(enc_layers)])
+        self.encoder.ln_post = nn.LayerNorm(dim)
+        self.decoder = nn.Module()
+        self.decoder.token_embedding = nn.Embedding(vocab, dim)
+        self.decoder.positional_embedding = nn.Parameter(
+            torch.randn(n_text_ctx, dim) * 0.01)
+        self.decoder.blocks = nn.ModuleList(
+            [_WhisperBlock(dim, heads, cross=True)
+             for _ in range(dec_layers)])
+        self.decoder.ln = nn.LayerNorm(dim)
+        self.n_audio_ctx = n_audio_ctx
+
+    def forward(self, mel, tokens):
+        # mel (b, t_mel, n_mels), tokens (b, t)
+        x = F.gelu(self.encoder.conv1(mel.transpose(1, 2)))
+        x = F.gelu(self.encoder.conv2(x)).transpose(1, 2)
+        x = x + _whisper_sinusoids(self.n_audio_ctx,
+                                   x.shape[-1])[: x.shape[1]].to(x.dtype)
+        for blk in self.encoder.blocks:
+            x = blk(x)
+        xa = self.encoder.ln_post(x)
+
+        y = (self.decoder.token_embedding(tokens)
+             + self.decoder.positional_embedding[: tokens.shape[1]])
+        for blk in self.decoder.blocks:
+            y = blk(y, xa=xa, causal=True)
+        y = self.decoder.ln(y)
+        return y @ self.decoder.token_embedding.weight.T
