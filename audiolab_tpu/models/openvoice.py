@@ -63,24 +63,33 @@ class ToneColorConfig:
 
 
 class ReferenceEncoder(nn.Module):
-    """Mel -> speaker embedding g (openvoice ReferenceEncoder: conv stack +
-    GRU; the GRU is replaced by masked mean+max pooling — order-free,
-    TPU-friendly, converter maps the GRU state through a dense)."""
+    """Linear spectrogram -> speaker embedding g, structured EXACTLY like
+    openvoice ReferenceEncoder (openvoice_cli models.py:302-366) so the
+    published converter.pth fills it: LayerNorm over spec bins, six
+    weight-norm-able Conv2d(3x3, stride 2, pad 1) + relu, channel-major
+    flatten, a one-layer GRU whose FINAL hidden state feeds proj."""
 
     gin_channels: int = 256
+    spec_channels: int = 513
 
     @nn.compact
-    def __call__(self, mel):
-        h = mel[..., None]  # (b, t, n_mels, 1) 2-D conv stack
+    def __call__(self, spec):
+        # spec (b, t, spec_channels)
+        h = nn.LayerNorm(epsilon=1e-5, name="layernorm")(spec)[..., None]
         for i, ch in enumerate((32, 32, 64, 64, 128, 128)):
-            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
-                        name=f"conv_{i}")(h)
-            h = nn.relu(nn.LayerNorm(name=f"ln_{i}")(h))
+            # torch Conv2d p=1 s=2: explicit padding (flax SAME at stride 2
+            # is off by one on every output)
+            h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), name=f"conv_{i}")(h)
+            h = nn.relu(h)
         b, t, f, ch = h.shape
-        h = h.reshape(b, t, f * ch)
-        pooled = jnp.concatenate([h.mean(axis=1), h.max(axis=1)], axis=-1)
-        g = nn.Dense(self.gin_channels, name="proj")(pooled)
-        return g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-8)
+        # torch transposes to (N, T, CH, F) then flattens channel-major
+        h = h.transpose(0, 1, 3, 2).reshape(b, t, ch * f)
+        cell = nn.GRUCell(128, param_dtype=h.dtype)
+        final_state = nn.RNN(cell, return_carry=True, name="gru")(h)[0]
+        # upstream returns the raw projection (api.py extract_se averages
+        # raw embeddings over reference files; no L2 normalization)
+        return nn.Dense(self.gin_channels, name="proj")(final_state)
 
 
 class HiFiGANGenerator(nn.Module):
@@ -105,7 +114,7 @@ class HiFiGANGenerator(nn.Module):
                                              c.resblock_dilation_sizes)):
                 xs = xs + ResBlock1(ch, rk, tuple(rd), name=f"res_{i}_{j}")(x)
             x = xs / len(c.resblock_kernel_sizes)
-        x = lrelu(x)
+        x = lrelu(x, 0.01)  # upstream Generator uses torch's default slope
         x = Conv1d(1, 7, use_bias=False, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
 
@@ -118,11 +127,14 @@ class ToneColorConverter(nn.Module):
         self.enc_q = PosteriorEncoder(sc, name="enc_q")
         self.flow = ResidualCouplingBlock(sc, name="flow")
         self.dec = HiFiGANGenerator(self.cfg, name="dec")
-        self.ref_enc = ReferenceEncoder(self.cfg.gin_channels, name="ref_enc")
+        self.ref_enc = ReferenceEncoder(self.cfg.gin_channels,
+                                        self.cfg.spec_channels,
+                                        name="ref_enc")
 
-    def extract_se(self, mel):
-        """Reference mel -> speaker embedding (b, gin)."""
-        return self.ref_enc(mel)
+    def extract_se(self, spec):
+        """Reference linear spectrogram (b, t, bins) -> embedding (b, gin)
+        (openvoice extracts SE from the spectrogram, not mel)."""
+        return self.ref_enc(spec)
 
     def convert(self, spec, spec_lengths, g_src, g_tgt, rng=None):
         """Linear spec (b, t, bins) -> converted waveform (b, t*hop)."""
@@ -133,7 +145,8 @@ class ToneColorConverter(nn.Module):
         z_hat = self.flow(z_p, y_mask, g=g_t, reverse=True)
         return self.dec(z_hat * y_mask, g=g_tgt)
 
-    def __call__(self, spec, spec_lengths, mel_src, mel_tgt, rng=None):
-        g_src = self.extract_se(mel_src)
-        g_tgt = self.extract_se(mel_tgt)
+    def __call__(self, spec, spec_lengths, ref_spec_src, ref_spec_tgt,
+                 rng=None):
+        g_src = self.extract_se(ref_spec_src)
+        g_tgt = self.extract_se(ref_spec_tgt)
         return self.convert(spec, spec_lengths, g_src, g_tgt, rng)

@@ -42,16 +42,20 @@ class OpenVoiceCloner:
         self.params = params
         self.ccfg = ccfg or OpenVoiceCloneConfig()
 
-    def _mel(self, wav: jnp.ndarray) -> jnp.ndarray:
-        return log_mel(mel_spectrogram(
-            wav, sr=self.cfg.sr, n_fft=self.cfg.n_fft, hop=self.cfg.hop,
-            n_mels=self.cfg.n_mels_ref, power=1.0, center=True))
+    def _ref_spec(self, wav: jnp.ndarray) -> jnp.ndarray:
+        # openvoice extracts speaker embeddings from the LINEAR spectrogram
+        # (se_extractor/api), not mel
+        from audiolab_tpu.kernels.stft import spectrogram
+
+        # center=False matches upstream extract_se (api.py:65-67)
+        return spectrogram(wav, n_fft=self.cfg.n_fft, hop=self.cfg.hop,
+                           power=1.0, center=False)
 
     def extract_se(self, wav: np.ndarray, sr: int) -> np.ndarray:
         x = np.asarray(wav, np.float32)
         if sr != self.cfg.sr:
             x = resample_poly_np(x, sr, self.cfg.sr)
-        g = self.model.apply({"params": self.params}, self._mel(jnp.asarray(x)[None]),
+        g = self.model.apply({"params": self.params}, self._ref_spec(jnp.asarray(x)[None]),
                              method=ToneColorConverter.extract_se)
         return np.asarray(g[0])
 

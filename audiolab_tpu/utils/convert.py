@@ -147,6 +147,14 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "logits_q":
         tk, q = key.rsplit("|", 1)
         return np.asarray(sd[tk + ".weight"])[:, int(q), :]
+    if kind == "convwn2d_w":
+        # weight-normed Conv2d (out,in,kh,kw) -> flax (kh,kw,in,out)
+        if key + ".weight" in sd:
+            w = np.asarray(sd[key + ".weight"])
+        else:
+            w = fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
+                                 np.asarray(sd[key + ".weight_v"]), dim=0)
+        return np.transpose(w, (2, 3, 1, 0))
     if kind == "wslice":
         # key "torchkey|i|n": slice i of n equal row-blocks of .weight,
         # transposed to a flax Dense kernel (fused qkv / gated-mlp splits)
@@ -256,6 +264,12 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         # so fabricate per-slice via a dict of columns is avoided: tests
         # use the torch replica for logits coverage instead
         pass
+    elif kind == "convwn2d_w":
+        v = rng.standard_normal(
+            (flax_shape[3], flax_shape[2], flax_shape[0], flax_shape[1]))
+        put(key + ".weight_v", v)
+        put(key + ".weight_g",
+            np.abs(rng.standard_normal((v.shape[0], 1, 1, 1))) + 0.5)
     elif kind == "wslice":
         tk, _i, n = key.rsplit("|", 2)
         put(tk + ".weight",
@@ -1384,3 +1398,115 @@ def convert_zonos(state_dict: dict, template: dict, cfg) -> dict:
         except KeyError as e:
             raise KeyError(f"{path}: missing torch key {e}") from e
     return fill_tree(template, mapping, sd, strict=False)
+
+
+# -------------------------------------------------------------- OpenVoice
+
+def openvoice_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax ToneColorConverter tree -> OpenVoice converter checkpoint names
+    (openvoice_cli models.py: SynthesizerTrn with n_speakers=0 — ref_enc +
+    enc_q + flow + plain-HiFiGAN dec)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    # ---- ref_enc (models.py:302-366)
+    m["ref_enc/layernorm/scale"] = ("w", "ref_enc.layernorm")
+    m["ref_enc/layernorm/bias"] = ("b", "ref_enc.layernorm")
+    for i in range(6):
+        m[f"ref_enc/conv_{i}/kernel"] = ("convwn2d_w", f"ref_enc.convs.{i}")
+        m[f"ref_enc/conv_{i}/bias"] = ("bias", f"ref_enc.convs.{i}")
+    _rmvpe_gru(m, "ref_enc/GRUCell_0", "ref_enc.gru", "l0")
+    dense("ref_enc/proj", "ref_enc.proj")
+
+    # ---- enc_q (PosteriorEncoder, same layout as RVC's)
+    conv("enc_q/pre/Conv_0", "enc_q.pre")
+    conv("enc_q/proj/Conv_0", "enc_q.proj")
+    enc_q = template["enc_q"]["enc"]
+    for j in range(sum(1 for k in enc_q if k.startswith("in_layer_"))):
+        wn(f"enc_q/enc/in_layer_{j}/Conv_0", f"enc_q.enc.in_layers.{j}")
+        wn(f"enc_q/enc/res_skip_{j}/Conv_0", f"enc_q.enc.res_skip_layers.{j}")
+    if "cond_layer" in enc_q:
+        wn("enc_q/enc/cond_layer/Conv_0", "enc_q.enc.cond_layer")
+
+    # ---- flow (mean-only coupling; odd torch indices are Flips)
+    for fi in range(sum(1 for k in template["flow"] if k.startswith("flow_"))):
+        t = 2 * fi
+        conv(f"flow/flow_{fi}/pre/Conv_0", f"flow.flows.{t}.pre")
+        conv(f"flow/flow_{fi}/post/Conv_0", f"flow.flows.{t}.post")
+        enc_f = template["flow"][f"flow_{fi}"]["enc"]
+        for j in range(sum(1 for k in enc_f if k.startswith("in_layer_"))):
+            wn(f"flow/flow_{fi}/enc/in_layer_{j}/Conv_0",
+               f"flow.flows.{t}.enc.in_layers.{j}")
+            wn(f"flow/flow_{fi}/enc/res_skip_{j}/Conv_0",
+               f"flow.flows.{t}.enc.res_skip_layers.{j}")
+        if "cond_layer" in enc_f:
+            wn(f"flow/flow_{fi}/enc/cond_layer/Conv_0",
+               f"flow.flows.{t}.enc.cond_layer")
+
+    # ---- dec (plain HiFiGAN Generator, models.py:225-300)
+    conv("dec/conv_pre/Conv_0", "dec.conv_pre")
+    m["dec/cond/kernel"] = ("dense1x1_w", "dec.cond")
+    m["dec/cond/bias"] = ("bias", "dec.cond")
+    m["dec/conv_post/Conv_0/kernel"] = ("convwn_w", "dec.conv_post")
+    dec_t = template["dec"]
+    n_kernels = 3
+    for key in dec_t:
+        if key.startswith("up_"):
+            i = int(key.split("_")[1])
+            m[f"dec/{key}/ConvTranspose_0/kernel"] = ("convTwn_w", f"dec.ups.{i}")
+            m[f"dec/{key}/ConvTranspose_0/bias"] = ("bias", f"dec.ups.{i}")
+        elif key.startswith("res_"):
+            _, i, j = key.split("_")
+            flat = int(i) * n_kernels + int(j)
+            for cj in range(3):
+                for ours, theirs in (("conv1", "convs1"), ("conv2", "convs2")):
+                    wn(f"dec/{key}/{ours}_{cj}/Conv_0",
+                       f"dec.resblocks.{flat}.{theirs}.{cj}")
+    return m
+
+
+def convert_openvoice(state_dict: dict, template: dict,
+                      strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):
+            k = k[len("model."):]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, openvoice_mapping(template), sd, strict)
+
+
+def load_openvoice_checkpoint(path: str, cfg=None) -> dict:
+    """OpenVoice converter.pth ({'model': state_dict}) -> flax params."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.openvoice import (
+        ToneColorConfig,
+        ToneColorConverter,
+    )
+
+    ckpt = torch_load_weights(path)
+    sd = ckpt.get("model", ckpt)
+    sd = {k: (v.float().numpy() if hasattr(v, "float") else np.asarray(v))
+          for k, v in sd.items()}
+    cfg = cfg or ToneColorConfig()
+    model = ToneColorConverter(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, cfg.spec_channels), jnp.float32),
+            jnp.full((1,), 8, jnp.int32),
+            jnp.zeros((1, 8, cfg.spec_channels), jnp.float32),
+            jnp.zeros((1, 8, cfg.spec_channels), jnp.float32)))["params"]
+    return convert_openvoice(sd, template)

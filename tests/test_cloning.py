@@ -31,9 +31,9 @@ def cloner():
     cfg = tiny_tc_cfg()
     model = ToneColorConverter(cfg)
     spec = jnp.zeros((1, 8, cfg.spec_channels))
-    mel = jnp.zeros((1, 10, cfg.n_mels_ref))
-    params = model.init(jax.random.PRNGKey(0), spec,
-                        jnp.full((1,), 8, jnp.int32), mel, mel)["params"]
+    ref = jnp.zeros((1, 10, cfg.spec_channels))  # SE comes from the linear
+    params = model.init(jax.random.PRNGKey(0), spec,                # spec
+                        jnp.full((1,), 8, jnp.int32), ref, ref)["params"]
     return OpenVoiceCloner(cfg, params, OpenVoiceCloneConfig(
         chunk_seconds=0.5, overlap_seconds=0.1))
 
@@ -47,10 +47,11 @@ def test_convert_chunked(cloner):
     assert np.isfinite(y).all()
 
 
-def test_speaker_embedding_unit_norm(cloner):
-    e = cloner.extract_se(np.random.default_rng(1).standard_normal(4000)
-                          .astype(np.float32), 8000)
-    np.testing.assert_allclose(np.linalg.norm(e), 1.0, rtol=1e-3)
+def test_speaker_embedding_deterministic(cloner):
+    x = np.random.default_rng(1).standard_normal(4000).astype(np.float32)
+    e1 = cloner.extract_se(x, 8000)
+    e2 = cloner.extract_se(x, 8000)
+    assert np.isfinite(e1).all() and np.allclose(e1, e2)
 
 
 @pytest.fixture(scope="module")

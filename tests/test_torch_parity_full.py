@@ -754,3 +754,62 @@ def test_whisper_full_parity():
         np.testing.assert_allclose(out, ref, atol=1e-5)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+# -------------------------------------------------------------- OpenVoice
+
+def test_openvoice_full_parity():
+    """OpenVoice tone-color converter (converter.pth key names:
+    ref_enc/enc_q/flow/dec) -> convert_openvoice -> flax: full
+    voice-conversion path (spec -> converted waveform) in fp64."""
+    from tests.torch_ref_models import OpenVoiceTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.openvoice import (
+        ToneColorConfig,
+        ToneColorConverter,
+    )
+    from audiolab_tpu.utils.convert import convert_openvoice
+
+    torch.manual_seed(131)
+    t_model = OpenVoiceTorch(spec_channels=129, inter=8, hidden=16,
+                             gin=16).double().eval()
+    cfg = ToneColorConfig(sr=8000, n_fft=256, hop=64, spec_channels=129,
+                          inter_channels=8, hidden_channels=16,
+                          gin_channels=16, upsample_rates=(4, 4, 2, 2),
+                          upsample_kernel_sizes=(8, 8, 4, 4),
+                          upsample_initial_channel=32)
+    f_model = ToneColorConverter(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(132)
+        spec = np.abs(rng.standard_normal((1, 12, 129))) * 0.5
+        ref_a = np.abs(rng.standard_normal((1, 70, 129))) * 0.5
+        ref_b = np.abs(rng.standard_normal((1, 70, 129))) * 0.5
+        lengths = np.array([12], np.int64)
+        template = _jax.eval_shape(
+            lambda: f_model.init(
+                _jax.random.PRNGKey(0),
+                jnp.zeros((1, 8, 129), jnp.float64),
+                jnp.full((1,), 8, jnp.int32),
+                jnp.zeros((1, 9, 129), jnp.float64),
+                jnp.zeros((1, 9, 129), jnp.float64)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_openvoice(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+
+        with torch.no_grad():
+            ref = t_model.voice_conversion(
+                torch.from_numpy(spec.transpose(0, 2, 1)),
+                torch.from_numpy(lengths),
+                torch.from_numpy(ref_a),
+                torch.from_numpy(ref_b)).numpy()[:, 0]
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(spec),
+            jnp.asarray(lengths, jnp.int32), jnp.asarray(ref_a),
+            jnp.asarray(ref_b)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

@@ -1611,3 +1611,102 @@ class WhisperTorch(nn.Module):
             y = blk(y, xa=xa, causal=True)
         y = self.decoder.ln(y)
         return y @ self.decoder.token_embedding.weight.T
+
+
+# -------------------------------------------------------------- OpenVoice
+
+
+class _OVRefEnc(nn.Module):
+    """openvoice ReferenceEncoder (models.py:302-366): layernorm, six
+    weight-normed Conv2d(3x3,s2,p1)+relu, channel-major flatten, GRU final
+    state, proj."""
+
+    def __init__(self, spec_channels, gin_channels):
+        super().__init__()
+        filters = [1, 32, 32, 64, 64, 128, 128]
+        self.convs = nn.ModuleList([
+            weight_norm(nn.Conv2d(filters[i], filters[i + 1], (3, 3),
+                                  stride=(2, 2), padding=(1, 1)))
+            for i in range(6)])
+        out_ch = spec_channels
+        for _ in range(6):
+            out_ch = (out_ch - 3 + 2) // 2 + 1
+        self.gru = nn.GRU(input_size=128 * out_ch, hidden_size=128,
+                          batch_first=True)
+        self.proj = nn.Linear(128, gin_channels)
+        self.layernorm = nn.LayerNorm(spec_channels)
+
+    def forward(self, spec):  # (b, t, spec_channels)
+        n = spec.shape[0]
+        out = self.layernorm(spec).view(n, 1, -1, spec.shape[-1])
+        for conv in self.convs:
+            out = F.relu(conv(out))
+        out = out.transpose(1, 2)           # (N, T', 128, F')
+        out = out.contiguous().view(n, out.shape[1], -1)
+        _, h_n = self.gru(out)
+        return self.proj(h_n.squeeze(0))
+
+
+class _OVGenerator(nn.Module):
+    """openvoice Generator (plain HiFiGAN, models.py:225-300)."""
+
+    def __init__(self, initial, rates, kernels, init_ch, res_k, res_d,
+                 gin):
+        super().__init__()
+        self.conv_pre = nn.Conv1d(initial, init_ch, 7, 1, padding=3)
+        self.ups = nn.ModuleList()
+        ch = init_ch
+        for u, k in zip(rates, kernels):
+            self.ups.append(weight_norm(
+                nn.ConvTranspose1d(ch, ch // 2, k, u, padding=(k - u) // 2)))
+            ch //= 2
+        self.resblocks = nn.ModuleList()
+        chs = init_ch
+        for i in range(len(rates)):
+            chs //= 2
+            for k, d in zip(res_k, res_d):
+                self.resblocks.append(ResBlock1(chs, k, tuple(d)))
+        self.conv_post = nn.Conv1d(ch, 1, 7, 1, padding=3, bias=False)
+        self.cond = nn.Conv1d(gin, init_ch, 1)
+        self.num_kernels = len(res_k)
+
+    def forward(self, x, g):
+        x = self.conv_pre(x) + self.cond(g)
+        for i, up in enumerate(self.ups):
+            x = F.leaky_relu(x, LRELU_SLOPE)
+            x = up(x)
+            xs = 0.0
+            for j in range(self.num_kernels):
+                xs = xs + self.resblocks[i * self.num_kernels + j](x)
+            x = xs / self.num_kernels
+        x = F.leaky_relu(x)  # torch default slope, like the reference
+        return torch.tanh(self.conv_post(x))
+
+
+class OpenVoiceTorch(nn.Module):
+    """OpenVoice converter replica (n_speakers=0 tone-color mode):
+    ref_enc + enc_q + mean-only flow + plain-HiFiGAN dec; state-dict keys
+    match converter.pth['model']."""
+
+    def __init__(self, spec_channels=129, inter=8, hidden=16, gin=16,
+                 rates=(4, 4, 2, 2), kernels=(8, 8, 4, 4), init_ch=32,
+                 res_k=(3, 7, 11),
+                 res_d=((1, 3, 5), (1, 3, 5), (1, 3, 5))):
+        super().__init__()
+        self.dec = _OVGenerator(inter, rates, kernels, init_ch, res_k,
+                                res_d, gin)
+        self.enc_q = PosteriorEncoder(spec_channels, inter, hidden, 5, 1,
+                                      16, gin_channels=gin)
+        self.flow = ResidualCouplingBlock(inter, hidden, 5, 1, 3,
+                                          n_flows=4, gin_channels=gin)
+        self.ref_enc = _OVRefEnc(spec_channels, gin)
+
+    @torch.no_grad()
+    def voice_conversion(self, spec, lengths, ref_src, ref_tgt):
+        g_src = self.ref_enc(ref_src).unsqueeze(-1)
+        g_tgt = self.ref_enc(ref_tgt).unsqueeze(-1)
+        m_q, logs_q, y_mask = self.enc_q(spec, lengths, g=g_src)[1:]
+        z = m_q  # tau=0 (deterministic)
+        z_p = self.flow(z, y_mask, g=g_src)
+        z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
+        return self.dec(z_hat * y_mask, g_tgt)
