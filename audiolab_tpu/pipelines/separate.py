@@ -32,12 +32,20 @@ logger = logging.getLogger(__name__)
 @dataclass
 class EnsembleMember:
     """One separation model + its ensemble blend weights
-    (stem_separator.py:379-386 pairs weights per model)."""
+    (stem_separator.py:379-386 pairs weights per model).
+
+    Two calling conventions: ``apply_fn(batch)`` with params closed over
+    (legacy), or ``apply_fn(params, batch)`` with ``params`` set — the
+    latter lets the separator fuse chunking + all batch calls + stitching
+    into ONE jitted graph per member without baking weights in as
+    constants (each eager jnp op is a full RPC round trip on tunneled
+    TPUs; a 4-min track used to spend ~3 s on those)."""
 
     name: str
-    apply_fn: Callable[[jnp.ndarray], dict]  # (b, ch, n) -> {stem: (b, ch, n)}
+    apply_fn: Callable[..., dict]  # (b, ch, n) -> {stem: (b, ch, n)}
     weight_vocals: float = 1.0
     weight_inst: float = 1.0
+    params: dict | None = None
 
 
 def blend_tracks(tracks: list, weights: list[float]):
@@ -92,6 +100,7 @@ class StemSeparator:
             device_batch = max(device_batch, dp)
             device_batch += (-device_batch) % dp
         self.device_batch = device_batch
+        self._fused_cache: dict = {}
         # model matmuls ride the MXU in bf16 (~6x fp32 on v5e); the STFT /
         # iSTFT kernels pin HIGHEST internally so the spectral front-end
         # keeps full precision (same policy as RVCPipelineConfig)
@@ -102,17 +111,24 @@ class StemSeparator:
 
         Chunk count is padded to device_batch multiples so long tracks
         reuse ONE compiled shape with bounded HBM (same policy as the RVC
-        pipeline)."""
+        pipeline).  When the member carries explicit ``params``, the whole
+        path (chunk gather, every batch call, crossfade stitch) runs as a
+        single jitted graph — one dispatch per member per track."""
         ch, n = audio.shape
         chunk = int(self.chunk_seconds * self.sr)
         overlap = int(self.overlap_seconds * self.sr)
         plan = plan_chunks(n, chunk, overlap)
-        chunks = extract_chunks(jnp.asarray(audio), plan)  # (count, ch, chunk)
         db = max(1, min(self.device_batch, plan.count))
         if self.mesh is not None:  # keep shards equal across the dp axis
             dp = self.mesh.shape["dp"]
             db += (-db) % dp
         pad = (-plan.count) % db
+
+        if member.params is not None and self.mesh is None:
+            fn = self._fused_member_fn(member, ch, n, plan, db, pad)
+            return fn(member.params, jnp.asarray(audio))
+
+        chunks = extract_chunks(jnp.asarray(audio), plan)  # (count, ch, chunk)
         if pad:
             chunks = jnp.concatenate(
                 [chunks, jnp.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
@@ -123,12 +139,38 @@ class StemSeparator:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 batch = jax.device_put(batch, NamedSharding(self.mesh, P("dp")))
-            groups.append(member.apply_fn(batch))
+            groups.append(member.apply_fn(member.params, batch)
+                          if member.params is not None
+                          else member.apply_fn(batch))
         out = {stem: jnp.concatenate([gr[stem] for gr in groups])[: plan.count]
                for stem in groups[0]}
         # stays ON DEVICE: stitched stems feed the blend/de-bleed and the
         # downstream pipeline without a tunnel round trip
         return {stem: stitch_chunks(v, plan) for stem, v in out.items()}
+
+    def _fused_member_fn(self, member: EnsembleMember, ch, n, plan, db, pad):
+        key = (id(member.apply_fn), ch, n, db)
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+
+        n_groups = (plan.count + pad) // db
+
+        def graph(params, audio):
+            chunks = extract_chunks(audio, plan)
+            if pad:
+                chunks = jnp.concatenate(
+                    [chunks,
+                     jnp.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
+            groups = [member.apply_fn(params, chunks[g * db:(g + 1) * db])
+                      for g in range(n_groups)]
+            out = {s: jnp.concatenate([gr[s] for gr in groups])[: plan.count]
+                   for s in groups[0]}
+            return {s: stitch_chunks(v, plan) for s, v in out.items()}
+
+        fn = jax.jit(graph)
+        self._fused_cache[key] = fn
+        return fn
 
     def separate(
         self,
@@ -161,10 +203,23 @@ class StemSeparator:
                     inst_tracks.append(inst)
                     wi.append(m.weight_inst)
 
-            vocals = blend_tracks(vocals_tracks, wv)
-            inst = blend_tracks(inst_tracks, wi)
-            vocals = debleed(vocals, inst)
-            inst = debleed(inst, vocals)
+            # blend + de-bleed as ONE jitted dispatch (each eager op is a
+            # full RPC round trip on tunneled TPUs)
+            key = ("combine", tuple(wv), tuple(wi), len(vocals_tracks),
+                   vocals_tracks[0].shape)
+            fn = self._fused_cache.get(key)
+            if fn is None:
+                wv_t, wi_t = tuple(wv), tuple(wi)
+
+                def combine(vs, is_):
+                    vb = blend_tracks(list(vs), list(wv_t))
+                    ib = blend_tracks(list(is_), list(wi_t))
+                    return debleed(vb, ib), debleed(ib, vb)
+
+                fn = jax.jit(combine)
+                self._fused_cache[key] = fn
+            vocals, inst = fn(jnp.stack(vocals_tracks),
+                              jnp.stack(inst_tracks))
             del vocals_tracks, inst_tracks
         if as_numpy:
             return {"vocals": np.asarray(vocals, np.float32),

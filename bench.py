@@ -28,7 +28,6 @@ Per-stage numbers go to stderr.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -76,6 +75,7 @@ def build_separator(cpu, dev):
     weights = [(8.6, 16.0), (8.4, 16.0), (8.5, 16.0), (7.2, 14.9),
                (6.9, 14.9), (6.9, 14.9), (6.8, 14.9)][:strength]
     members = []
+    raw_apply = lambda p, x: model.apply({"params": p}, x)  # noqa: E731
     for i, (wv, wi) in enumerate(weights):
         # cheap param variation: scale a copy so members differ numerically
         p = jax.device_put(
@@ -84,9 +84,10 @@ def build_separator(cpu, dev):
         members.append(
             EnsembleMember(
                 name=f"bs_roformer_{i}",
-                apply_fn=functools.partial(apply, p),
+                apply_fn=raw_apply,  # shared -> ONE fused graph, params arg
                 weight_vocals=wv,
                 weight_inst=wi,
+                params=p,
             )
         )
     return StemSeparator(members, sr=SEP_SR, chunk_seconds=chunk_s,

@@ -266,3 +266,34 @@ def test_mesh_sharded_separation():
     b = sharded.separate(audio)
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=1e-5)
+
+
+def test_fused_member_matches_unfused(song):
+    """params-mode members (fused one-dispatch graph) produce the same
+    stems as the legacy closed-over-params path."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.separation.roformer import BSRoformer, RoformerConfig
+    from audiolab_tpu.pipelines.separate import EnsembleMember, StemSeparator
+
+    cfg = RoformerConfig(dim=16, depth=1, heads=2, dim_head=8, n_fft=64,
+                         hop=32, freqs_per_bands=(8, 25), dtype="float32")
+    model = BSRoformer(cfg)
+    sr = 8000
+    from audiolab_tpu.core.audio_io import read_audio
+
+    x = np.asarray(read_audio(song).samples, np.float32)[:, : sr * 2]
+    if x.shape[0] == 1:
+        x = np.tile(x, (2, 1))
+    p = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, sr)))["params"]
+
+    legacy = EnsembleMember("m", lambda b: model.apply({"params": p}, b))
+    fused = EnsembleMember("m", lambda q, b: model.apply({"params": q}, b),
+                           params=p)
+    kw = dict(sr=sr, chunk_seconds=0.5, overlap_seconds=0.1, device_batch=2)
+    s1 = StemSeparator([legacy], **kw).separate(x)
+    s2 = StemSeparator([fused], **kw).separate(x)
+    np.testing.assert_allclose(s1["vocals"], s2["vocals"], atol=2e-3)
+    np.testing.assert_allclose(s1["instrumental"], s2["instrumental"],
+                               atol=2e-3)
