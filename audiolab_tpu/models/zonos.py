@@ -56,6 +56,8 @@ class ZonosConfig:
     vocab_text: int = 256      # char-level phoneme fallback
     spk_dim: int = 256
     cond_dim: int = 64
+    mixer: str = "mamba1"      # "mamba2" = upstream Zonos hybrid mixer
+    headdim: int = 64          # mamba2 head width (d_inner/headdim heads)
     head_size: int | None = None   # logits width; upstream Zonos heads are
                                    # Linear(dim, 1025) while embeddings are
                                    # 1026-wide (model.py:36-37). None keeps
@@ -127,10 +129,138 @@ class MambaBlock(nn.Module):
         h, y = ssm_step(h, xc, delta, a, b, cc, self.d_skip)
         return self.out_proj(y * nn.silu(z)), (conv_cache, h)
 
+    def prefill(self, h):
+        """Full-sequence forward that also returns the decode state
+        (conv tail + h_T) — the scan exposes per-step states."""
+        xz = self.in_proj(h)
+        xi, z = jnp.split(xz, 2, axis=-1)
+        xc = nn.silu(causal_conv1d(xi, self.conv_w, self.conv_b))
+        delta, bb, cc = self._gates(xc)
+        a = -jnp.exp(self.a_log)
+        da = jnp.exp(delta[..., None] * a[None, None])
+        dbu = (delta * xc)[..., None] * bb[:, :, None, :]
+
+        def combine(p, q2):
+            a1, s1 = p
+            a2, s2 = q2
+            return a1 * a2, s1 * a2 + s2
+
+        _, hs = jax.lax.associative_scan(combine, (da, dbu), axis=1)
+        y = jnp.einsum("btdn,btn->btd", hs, cc) + xc * self.d_skip
+        conv_tail = jnp.pad(
+            xi, ((0, 0), (self.cfg.d_conv - 1, 0), (0, 0))
+        )[:, -(self.cfg.d_conv - 1):, :]
+        return self.out_proj(y * nn.silu(z)), (conv_tail, hs[:, -1])
+
     def init_state(self, batch: int):
         c = self.cfg
         return (
             jnp.zeros((batch, c.d_conv - 1, c.d_inner)),
+            jnp.zeros((batch, c.d_inner, c.d_state)),
+        )
+
+
+class Mamba2Block(nn.Module):
+    """mamba_ssm Mamba2 mixer, checkpoint-layout faithful (the upstream
+    Zonos hybrid backbone): fused in_proj -> [z | xBC | dt], depthwise
+    causal conv over (x,B,C), per-HEAD scalar decay A and skip D,
+    softplus(dt + dt_bias), gated RMSNorm before out_proj.
+
+    The SSD recurrence is exactly our selective_scan with the per-head
+    scalar A broadcast over headdim and B/C shared across heads
+    (ngroups=1): h' = h*exp(dt*A) + dt*x⊗B, y = C·h + D*x."""
+
+    cfg: ZonosConfig
+
+    def setup(self):
+        c = self.cfg
+        di = c.d_inner
+        self.nheads = di // c.headdim
+        self.conv_dim = di + 2 * c.d_state
+        d_in_proj = 2 * di + 2 * c.d_state + self.nheads
+        self.in_proj = nn.Dense(d_in_proj, use_bias=False, name="in_proj")
+        self.conv_w = self.param("conv_w", nn.initializers.lecun_normal(),
+                                 (c.d_conv, self.conv_dim))
+        self.conv_b = self.param("conv_b", nn.initializers.zeros,
+                                 (self.conv_dim,))
+        self.dt_bias = self.param("dt_bias", nn.initializers.zeros,
+                                  (self.nheads,))
+        self.a_log = self.param(
+            "a_log", lambda k, s: jnp.log(jnp.arange(1, s[0] + 1.0)),
+            (self.nheads,))
+        self.d_skip = self.param("d_skip", nn.initializers.ones,
+                                 (self.nheads,))
+        self.norm_w = self.param("norm_w", nn.initializers.ones, (di,))
+        self.out_proj = nn.Dense(c.dim, use_bias=False, name="out_proj")
+
+    def _pieces(self, zxbcdt):
+        c = self.cfg
+        di = c.d_inner
+        z, xbc, dt = jnp.split(zxbcdt, [di, di + self.conv_dim], axis=-1)
+        return z, xbc, dt
+
+    def _ssm_params(self, xbc, dt):
+        c = self.cfg
+        di = c.d_inner
+        xx, bb, cc = jnp.split(xbc, [di, di + c.d_state], axis=-1)
+        dt = jax.nn.softplus(dt + self.dt_bias)
+        delta = jnp.repeat(dt, c.headdim, axis=-1)       # heads -> channels
+        a = -jnp.exp(self.a_log)                          # (nheads,)
+        a_full = jnp.repeat(a, c.headdim)[:, None] * jnp.ones((1, c.d_state))
+        d_full = jnp.repeat(self.d_skip, c.headdim)
+        return xx, bb, cc, delta, a_full, d_full
+
+    def _gated_norm(self, y, z):
+        g = y * nn.silu(z)
+        gf = g.astype(jnp.float32)
+        r = gf * jax.lax.rsqrt(jnp.mean(gf * gf, axis=-1, keepdims=True)
+                               + 1e-5)
+        return (r * self.norm_w).astype(y.dtype)
+
+    def __call__(self, x):
+        zxbcdt = self.in_proj(x)
+        z, xbc, dt = self._pieces(zxbcdt)
+        xbc = nn.silu(causal_conv1d(xbc, self.conv_w, self.conv_b))
+        xx, bb, cc, delta, a_full, d_full = self._ssm_params(xbc, dt)
+        y = selective_scan(xx, delta, a_full, bb, cc, d_full)
+        return self.out_proj(self._gated_norm(y, z))
+
+    def step(self, x_t, state):
+        conv_cache, h = state
+        zxbcdt = self.in_proj(x_t)
+        z, xbc, dt = self._pieces(zxbcdt)
+        conv_cache, xbc = causal_conv1d_step(conv_cache, xbc, self.conv_w,
+                                             self.conv_b)
+        xbc = nn.silu(xbc)
+        xx, bb, cc, delta, a_full, d_full = self._ssm_params(xbc, dt)
+        h, y = ssm_step(h, xx, delta, a_full, bb, cc, d_full)
+        return self.out_proj(self._gated_norm(y, z)), (conv_cache, h)
+
+    def prefill(self, h):
+        zxbcdt = self.in_proj(h)
+        z, xbc_raw, dt = self._pieces(zxbcdt)
+        xbc = nn.silu(causal_conv1d(xbc_raw, self.conv_w, self.conv_b))
+        xx, bb, cc, delta, a_full, d_full = self._ssm_params(xbc, dt)
+        da = jnp.exp(delta[..., None] * a_full[None, None])
+        dbu = (delta * xx)[..., None] * bb[:, :, None, :]
+
+        def combine(p, q2):
+            a1, s1 = p
+            a2, s2 = q2
+            return a1 * a2, s1 * a2 + s2
+
+        _, hs = jax.lax.associative_scan(combine, (da, dbu), axis=1)
+        y = jnp.einsum("btdn,btn->btd", hs, cc) + xx * d_full
+        conv_tail = jnp.pad(
+            xbc_raw, ((0, 0), (self.cfg.d_conv - 1, 0), (0, 0))
+        )[:, -(self.cfg.d_conv - 1):, :]
+        out = self.out_proj(self._gated_norm(y, z))
+        return out, (conv_tail, hs[:, -1])
+
+    def init_state(self, batch: int):
+        c = self.cfg
+        return (
+            jnp.zeros((batch, c.d_conv - 1, self.conv_dim)),
             jnp.zeros((batch, c.d_inner, c.d_state)),
         )
 
@@ -210,10 +340,11 @@ class ZonosBackbone(nn.Module):
 
     def setup(self):
         c = self.cfg
+        mamba_cls = Mamba2Block if c.mixer == "mamba2" else MambaBlock
         self.blocks = [
             AttnBlock(c, name=f"attn_{i}")
             if (i + 1) % c.attn_every == 0
-            else MambaBlock(c, name=f"mamba_{i}")
+            else mamba_cls(c, name=f"mamba_{i}")
             for i in range(c.n_layers)
         ]
         self.norms = [RMSNorm(name=f"norm_{i}") for i in range(c.n_layers)]
@@ -255,28 +386,9 @@ class ZonosBackbone(nn.Module):
                 x = x + blk.wo(jnp.swapaxes(o, 1, 2).reshape(b, t, -1))
                 states.append(st)
             else:
-                # run scan and capture final state: rebuild via step-scan to
-                # keep state exact (full scan doesn't expose h_T)
-                xz = blk.in_proj(h)
-                xi, z = jnp.split(xz, 2, axis=-1)
-                xc = nn.silu(causal_conv1d(xi, blk.conv_w, blk.conv_b))
-                delta, bb, cc = blk._gates(xc)
-                a = -jnp.exp(blk.a_log)
-                da = jnp.exp(delta[..., None] * a[None, None])
-                dbu = (delta * xc)[..., None] * bb[:, :, None, :]
-
-                def combine(p, q2):
-                    a1, s1 = p
-                    a2, s2 = q2
-                    return a1 * a2, s1 * a2 + s2
-
-                _, hs = jax.lax.associative_scan(combine, (da, dbu), axis=1)
-                y = jnp.einsum("btdn,btn->btd", hs, cc) + xc * blk.d_skip
-                x = x + blk.out_proj(y * nn.silu(z))
-                conv_tail = jnp.pad(xi, ((0, 0), (blk.cfg.d_conv - 1, 0), (0, 0)))[
-                    :, -(blk.cfg.d_conv - 1) :, :
-                ]
-                states.append((conv_tail, hs[:, -1]))
+                o, st = blk.prefill(h)
+                x = x + o
+                states.append(st)
             x = x + self.mlps[i](self.mlp_norms[i](x))
         return self.final_norm(x), states
 

@@ -147,6 +147,9 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "logits_q":
         tk, q = key.rsplit("|", 1)
         return np.asarray(sd[tk + ".weight"])[:, int(q), :]
+    if kind == "dwconv_w":
+        # depthwise Conv1d (channels, 1, k) -> our (k, channels) param
+        return np.asarray(sd[key + ".weight"])[:, 0, :].T
     if kind == "convwn2d_w":
         # weight-normed Conv2d (out,in,kh,kw) -> flax (kh,kw,in,out)
         if key + ".weight" in sd:
@@ -264,6 +267,9 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         # so fabricate per-slice via a dict of columns is avoided: tests
         # use the torch replica for logits coverage instead
         pass
+    elif kind == "dwconv_w":
+        put(key + ".weight",
+            rng.standard_normal((flax_shape[1], 1, flax_shape[0])))
     elif kind == "convwn2d_w":
         v = rng.standard_normal(
             (flax_shape[3], flax_shape[2], flax_shape[0], flax_shape[1]))
@@ -1362,11 +1368,32 @@ def zonos_mapping(template: dict, cfg) -> dict[str, tuple[str, str]]:
     n_layers = sum(1 for k in bk if k.startswith("attn_")
                    or k.startswith("mamba_"))
     for i in range(n_layers):
-        if f"mamba_{i}" in bk:
-            raise ValueError(
-                f"layer {i} is a Mamba block — zonos_mapping covers the "
-                "transformer variant (use ZonosConfig(attn_every=1))")
         b = f"backbone.layers.{i}"
+        if f"mamba_{i}" in bk:
+            mb = bk[f"mamba_{i}"]
+            if "norm_w" not in mb:
+                raise ValueError(
+                    f"layer {i} is a Mamba1-style block; upstream hybrid "
+                    "checkpoints need ZonosConfig(mixer='mamba2')")
+            m[f"backbone/mamba_{i}/in_proj/kernel"] = (
+                "dense_w", f"{b}.mixer.in_proj")
+            m[f"backbone/mamba_{i}/conv_w"] = ("dwconv_w", f"{b}.mixer.conv1d")
+            m[f"backbone/mamba_{i}/conv_b"] = ("bias", f"{b}.mixer.conv1d")
+            m[f"backbone/mamba_{i}/dt_bias"] = ("direct",
+                                                f"{b}.mixer.dt_bias")
+            m[f"backbone/mamba_{i}/a_log"] = ("direct", f"{b}.mixer.A_log")
+            m[f"backbone/mamba_{i}/d_skip"] = ("direct", f"{b}.mixer.D")
+            m[f"backbone/mamba_{i}/norm_w"] = ("direct",
+                                               f"{b}.mixer.norm.weight")
+            m[f"backbone/mamba_{i}/out_proj/kernel"] = (
+                "dense_w", f"{b}.mixer.out_proj")
+            m[f"backbone/norm_{i}/weight"] = ("direct", f"{b}.norm.weight")
+            m[f"backbone/mlp_norm_{i}/weight"] = ("direct",
+                                                  f"{b}.norm2.weight")
+            m[f"backbone/mlp_{i}/w3/kernel"] = ("wslice", f"{b}.mlp.fc1|0|2")
+            m[f"backbone/mlp_{i}/w1/kernel"] = ("wslice", f"{b}.mlp.fc1|1|2")
+            m[f"backbone/mlp_{i}/w2/kernel"] = ("dense_w", f"{b}.mlp.fc2")
+            continue
         for j, w in enumerate(("wq", "wk", "wv")):
             m[f"backbone/attn_{i}/{w}/kernel"] = (
                 "wslice", f"{b}.mixer.in_proj|{j}|3")

@@ -813,3 +813,54 @@ def test_openvoice_full_parity():
         np.testing.assert_allclose(out, ref, atol=1e-5)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+def test_zonos_hybrid_mamba2_full_parity():
+    """Zonos HYBRID backbone (Mamba2 mixers + attention every 3rd layer)
+    -> convert_zonos -> flax, full-seq logits in fp64.  Validates the SSD
+    recurrence (per-head decay, gated RMSNorm) against a naive torch
+    implementation with mamba_ssm key names."""
+    from tests.torch_ref_models import ZonosHybridTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.zonos import ZonosConfig, ZonosModel
+    from audiolab_tpu.utils.convert import convert_zonos
+
+    torch.manual_seed(141)
+    t_model = ZonosHybridTorch(dim=32, heads=4, layers=3, attn_every=3,
+                               n_codebooks=3, emb_size=20, head_size=19,
+                               hidden=128, d_state=16, headdim=8
+                               ).double().eval()
+    cfg = ZonosConfig(dim=32, n_layers=3, attn_every=3, n_heads=4,
+                      d_state=16, headdim=8, mixer="mamba2", n_codebooks=3,
+                      codebook_size=20, head_size=19, max_seq_len=64,
+                      spk_dim=8)
+    f_model = ZonosModel(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        codes = np.random.default_rng(142).integers(0, 20, (2, 3, 10))
+        variables = f_model.init(
+            {"params": _jax.random.PRNGKey(0)},
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, cfg.spk_dim)),
+            jnp.zeros((1, 8)), jnp.zeros((1, 1)), jnp.zeros((1, 1)),
+            jnp.zeros((1, 3, 1), jnp.int32), method=ZonosModel.prefill)
+        template = variables["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_zonos(sd, template, cfg)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(codes)).numpy()
+
+        def fwd(m, c):
+            x = m.embed_codes(c)
+            h = m.backbone(x, jnp.arange(c.shape[2]))
+            return jnp.stack([head(h) for head in m.heads], axis=1)
+
+        out = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(codes), method=fwd))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

@@ -1710,3 +1710,98 @@ class OpenVoiceTorch(nn.Module):
         z_p = self.flow(z, y_mask, g=g_src)
         z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
         return self.dec(z_hat * y_mask, g_tgt)
+
+
+class _ZonosMamba2(nn.Module):
+    """mamba_ssm Mamba2 mixer replica (naive sequential SSD recurrence):
+    in_proj -> [z|xBC|dt], depthwise causal conv, per-head A/D,
+    softplus(dt+dt_bias), gated RMSNorm, out_proj."""
+
+    def __init__(self, dim, d_state=16, d_conv=4, expand=2, headdim=8):
+        super().__init__()
+        di = expand * dim
+        self.nheads = di // headdim
+        self.headdim, self.d_state, self.d_conv, self.di = (headdim, d_state,
+                                                            d_conv, di)
+        conv_dim = di + 2 * d_state
+        self.in_proj = nn.Linear(dim, 2 * di + 2 * d_state + self.nheads,
+                                 bias=False)
+        self.conv1d = nn.Conv1d(conv_dim, conv_dim, d_conv, groups=conv_dim,
+                                padding=d_conv - 1)
+        self.dt_bias = nn.Parameter(torch.randn(self.nheads) * 0.1)
+        self.A_log = nn.Parameter(torch.log(torch.arange(1.0, self.nheads + 1)))
+        self.D = nn.Parameter(torch.ones(self.nheads))
+        self.norm = nn.Module()
+        self.norm.weight = nn.Parameter(torch.ones(di))
+        self.out_proj = nn.Linear(di, dim, bias=False)
+
+    def forward(self, u):
+        b, t, _ = u.shape
+        di, ds, hd = self.di, self.d_state, self.headdim
+        zxbcdt = self.in_proj(u)
+        z = zxbcdt[..., :di]
+        xbc = zxbcdt[..., di:di + di + 2 * ds]
+        dt = zxbcdt[..., di + di + 2 * ds:]
+        xbc = F.silu(self.conv1d(xbc.transpose(1, 2))[..., :t].transpose(1, 2))
+        x = xbc[..., :di].reshape(b, t, self.nheads, hd)
+        B = xbc[..., di:di + ds]
+        C = xbc[..., di + ds:]
+        dt = F.softplus(dt + self.dt_bias)           # (b, t, nheads)
+        A = -torch.exp(self.A_log)                   # (nheads,)
+        h = torch.zeros(b, self.nheads, hd, ds, dtype=u.dtype)
+        ys = []
+        for i in range(t):
+            da = torch.exp(dt[:, i] * A[None, :])    # (b, nheads)
+            h = h * da[..., None, None] + (
+                dt[:, i, :, None, None] * x[:, i, :, :, None]
+                * B[:, i, None, None, :])
+            y = (h * C[:, i, None, None, :]).sum(-1) + self.D[None, :, None] * x[:, i]
+            ys.append(y.reshape(b, di))
+        y = torch.stack(ys, dim=1)
+        g = y * F.silu(z)
+        g = g * torch.rsqrt(g.pow(2).mean(-1, keepdim=True) + 1e-5)
+        return self.out_proj(g * self.norm.weight)
+
+
+class _ZonosHybridBlock(nn.Module):
+    def __init__(self, dim, heads, hidden, kind, **mkw):
+        super().__init__()
+        self.norm = _LlamaRMSNorm(dim)
+        self.mixer = (_ZonosMHA(dim, heads) if kind == "attn"
+                      else _ZonosMamba2(dim, **mkw))
+        self.norm2 = _LlamaRMSNorm(dim)
+        self.mlp = _ZonosGatedMLP(dim, hidden)
+
+    def forward(self, x):
+        x = x + self.mixer(self.norm(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class ZonosHybridTorch(nn.Module):
+    """Zonos HYBRID backbone replica: Mamba2 mixers with attention every
+    k-th layer (backbone.py create_block attn_layer_idx)."""
+
+    def __init__(self, dim=32, heads=4, layers=3, attn_every=3,
+                 n_codebooks=3, emb_size=20, head_size=19, hidden=128,
+                 d_state=16, headdim=8):
+        super().__init__()
+        self.embeddings = nn.ModuleList(
+            [nn.Embedding(emb_size, dim) for _ in range(n_codebooks)])
+        self.backbone = nn.Module()
+        self.backbone.layers = nn.ModuleList([
+            _ZonosHybridBlock(
+                dim, heads, hidden,
+                "attn" if (i + 1) % attn_every == 0 else "mamba2",
+                d_state=d_state, headdim=headdim)
+            for i in range(layers)])
+        self.backbone.norm_f = _LlamaRMSNorm(dim)
+        self.heads = nn.ModuleList(
+            [nn.Linear(dim, head_size, bias=False)
+             for _ in range(n_codebooks)])
+
+    def forward(self, codes):
+        x = sum(emb(codes[:, i]) for i, emb in enumerate(self.embeddings))
+        for layer in self.backbone.layers:
+            x = layer(x)
+        x = self.backbone.norm_f(x)
+        return torch.stack([h(x) for h in self.heads], dim=1)
