@@ -99,13 +99,21 @@ def sat_oobleck(sat):
 
     if "torchaudio" not in sys.modules:
         ta = types.ModuleType("torchaudio")
-        ta.transforms = types.ModuleType("torchaudio.transforms")
+        tt = types.ModuleType("torchaudio.transforms")
+        tt.__getattr__ = lambda a: type(a, (), {})  # e.g. T.Resample
+        ta.transforms = tt
         sys.modules["torchaudio"] = ta
-        sys.modules["torchaudio.transforms"] = ta.transforms
+        sys.modules["torchaudio.transforms"] = tt
     if "alias_free_torch" not in sys.modules:
         aft = types.ModuleType("alias_free_torch")
         aft.Activation1d = object  # only used when antialias=True
         sys.modules["alias_free_torch"] = aft
+    # transitive imports OobleckDecoder never touches (sampling/diffusion)
+    for name in ("k_diffusion", "k_diffusion.sampling", "einops_exts"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.__getattr__ = lambda a: type(a, (), {})
+            sys.modules[name] = stub
     try:
         from stable_audio_tools.models.autoencoders import OobleckDecoder
     except Exception as e:
