@@ -1537,3 +1537,81 @@ def load_openvoice_checkpoint(path: str, cfg=None) -> dict:
             jnp.zeros((1, 8, cfg.spec_channels), jnp.float32),
             jnp.zeros((1, 8, cfg.spec_channels), jnp.float32)))["params"]
     return convert_openvoice(sd, template)
+
+
+# ----------------------------------------------------------- ADaMoS vocoder
+
+def adamos_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax AdamosVocoder tree -> ACE-Step music_vocoder state-dict names
+    (vendored modules/acestep/acestep/music_dcae/music_vocoder.py)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    bk = template["backbone"]
+    conv("backbone/stem_conv", "backbone.channel_layers.0.0")
+    norm("backbone/stem_norm", "backbone.channel_layers.0.1")
+    n_stages = 1 + sum(1 for k in bk if k.startswith("mid_norm_"))
+    for i in range(n_stages):
+        if i > 0:
+            norm(f"backbone/mid_norm_{i}", f"backbone.channel_layers.{i}.0")
+            m[f"backbone/mid_proj_{i}/kernel"] = (
+                "dense1x1_w", f"backbone.channel_layers.{i}.1")
+            m[f"backbone/mid_proj_{i}/bias"] = (
+                "bias", f"backbone.channel_layers.{i}.1")
+        j = 0
+        while f"stage_{i}_{j}" in bk:
+            b = f"backbone.stages.{i}.{j}"
+            p = f"backbone/stage_{i}_{j}"
+            conv(f"{p}/dwconv", f"{b}.dwconv")
+            norm(f"{p}/norm", f"{b}.norm")
+            dense(f"{p}/pwconv1", f"{b}.pwconv1")
+            dense(f"{p}/pwconv2", f"{b}.pwconv2")
+            m[f"{p}/gamma"] = ("direct", f"{b}.gamma")
+            j += 1
+    norm("backbone/final_norm", "backbone.norm")
+
+    hd = template["head"]
+    wn("head/conv_pre", "head.conv_pre")
+    n_ups = sum(1 for k in hd if k.startswith("up_"))
+    n_kernels = sum(1 for k in hd if k.startswith("res_0_"))
+    for i in range(n_ups):
+        m[f"head/up_{i}/kernel"] = ("convTwn_w", f"head.ups.{i}")
+        m[f"head/up_{i}/bias"] = ("bias", f"head.ups.{i}")
+        for j in range(n_kernels):
+            flat = i * n_kernels + j
+            res = template["head"][f"res_{i}_{j}"]
+            n_dil = sum(1 for k in res if k.startswith("c1_"))
+            for dj in range(n_dil):
+                wn(f"head/res_{i}_{j}/c1_{dj}",
+                   f"head.resblocks.{flat}.convs1.{dj}")
+                wn(f"head/res_{i}_{j}/c2_{dj}",
+                   f"head.resblocks.{flat}.convs2.{dj}")
+    wn("head/conv_post", "head.conv_post")
+    return m
+
+
+def convert_adamos(state_dict: dict, template: dict,
+                   strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("vocoder.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, adamos_mapping(template), sd, strict)

@@ -864,3 +864,44 @@ def test_zonos_hybrid_mamba2_full_parity():
         np.testing.assert_allclose(out, ref, atol=1e-5)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+# ----------------------------------------------------------- ADaMoS vocoder
+
+def test_adamos_vocoder_full_parity():
+    """ACE-Step's ADaMoS HiFiGAN vocoder (ConvNeXt backbone + SiLU
+    HiFiGAN head) -> convert_adamos -> flax, mel in / audio out, fp64."""
+    from tests.torch_ref_models import AdamosTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.adamos_vocoder import AdamosConfig, AdamosVocoder
+    from audiolab_tpu.utils.convert import convert_adamos
+
+    torch.manual_seed(151)
+    t_model = AdamosTorch(input_channels=8, depths=(1, 1), dims=(8, 16),
+                          rates=(4, 2), kernels=(8, 4), res_k=(3, 7),
+                          init_ch=16).double().eval()
+    cfg = AdamosConfig(input_channels=8, depths=(1, 1), dims=(8, 16),
+                       upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                       resblock_kernel_sizes=(3, 7),
+                       resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+                       num_mels=16, upsample_initial_channel=16)
+    f_model = AdamosVocoder(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        mel = np.random.default_rng(152).standard_normal((2, 12, 8)) * 0.5
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 6, 8), jnp.float64)))["params"]
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_adamos(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mel.transpose(0, 2, 1))
+                          ).numpy()[:, 0]
+        out = np.asarray(f_model.apply({"params": params}, jnp.asarray(mel)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

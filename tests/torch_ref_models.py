@@ -1805,3 +1805,110 @@ class ZonosHybridTorch(nn.Module):
             x = layer(x)
         x = self.backbone.norm_f(x)
         return torch.stack([h(x) for h in self.heads], dim=1)
+
+
+# ----------------------------------------------------------- ADaMoS vocoder
+
+
+class _AdCNBlock(nn.Module):
+    def __init__(self, dim, kernel=7):
+        super().__init__()
+        self.dwconv = nn.Conv1d(dim, dim, kernel, padding=kernel // 2,
+                                groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, 4 * dim)
+        self.pwconv2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):  # (b, c, t)
+        h = self.dwconv(x).transpose(1, 2)
+        h = self.pwconv2(F.gelu(self.pwconv1(self.norm(h))))
+        return x + (self.gamma * h).transpose(1, 2)
+
+
+class _AdLNcf(nn.Module):
+    """channels-first LayerNorm (music_vocoder.py LayerNorm)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(dim))
+        self.bias = nn.Parameter(torch.zeros(dim))
+
+    def forward(self, x):  # (b, c, t)
+        h = x.transpose(1, 2)
+        h = F.layer_norm(h, h.shape[-1:], self.weight, self.bias, 1e-6)
+        return h.transpose(1, 2)
+
+
+class _AdSiLURes(nn.Module):
+    def __init__(self, ch, k, dil):
+        super().__init__()
+        self.convs1 = nn.ModuleList(
+            [_dac_wn(nn.Conv1d(ch, ch, k, dilation=d,
+                               padding=(k * d - d) // 2)) for d in dil])
+        self.convs2 = nn.ModuleList(
+            [_dac_wn(nn.Conv1d(ch, ch, k, padding=(k - 1) // 2))
+             for _ in dil])
+
+    def forward(self, x):
+        for c1, c2 in zip(self.convs1, self.convs2):
+            x = x + c2(F.silu(c1(F.silu(x))))
+        return x
+
+
+class AdamosTorch(nn.Module):
+    """ADaMoS HiFiGAN V1 replica (backbone./head. key names,
+    music_vocoder.py:103-575)."""
+
+    def __init__(self, input_channels=8, depths=(1, 1), dims=(8, 16),
+                 rates=(4, 2), kernels=(8, 4), res_k=(3, 7),
+                 res_d=((1, 3, 5), (1, 3, 5)), init_ch=16, pre_k=13,
+                 post_k=13):
+        super().__init__()
+        self.backbone = nn.Module()
+        stem = nn.Sequential(
+            nn.Conv1d(input_channels, dims[0], 7, padding=3,
+                      padding_mode="replicate"),
+            _AdLNcf(dims[0]))
+        layers = [stem]
+        for i in range(len(depths) - 1):
+            layers.append(nn.Sequential(_AdLNcf(dims[i]),
+                                        nn.Conv1d(dims[i], dims[i + 1], 1)))
+        self.backbone.channel_layers = nn.ModuleList(layers)
+        self.backbone.stages = nn.ModuleList([
+            nn.Sequential(*[_AdCNBlock(dims[i]) for _ in range(depths[i])])
+            for i in range(len(depths))])
+        self.backbone.norm = _AdLNcf(dims[-1])
+
+        self.head = nn.Module()
+        self.head.conv_pre = _dac_wn(
+            nn.Conv1d(dims[-1], init_ch, pre_k, padding=pre_k // 2))
+        self.head.ups = nn.ModuleList()
+        ch = init_ch
+        for u, k in zip(rates, kernels):
+            self.head.ups.append(_dac_wn(
+                nn.ConvTranspose1d(ch, ch // 2, k, u, padding=(k - u) // 2)))
+            ch //= 2
+        self.head.resblocks = nn.ModuleList()
+        chs = init_ch
+        for i in range(len(rates)):
+            chs //= 2
+            for k, d in zip(res_k, res_d):
+                self.head.resblocks.append(_AdSiLURes(chs, k, d))
+        self.head.conv_post = _dac_wn(
+            nn.Conv1d(ch, 1, post_k, padding=post_k // 2))
+        self.nk = len(res_k)
+
+    def forward(self, mel):  # (b, c, t)
+        x = mel
+        for cl, st in zip(self.backbone.channel_layers, self.backbone.stages):
+            x = st(cl(x))
+        x = self.backbone.norm(x)
+        x = self.head.conv_pre(x)
+        for i, up in enumerate(self.head.ups):
+            x = up(F.silu(x))
+            xs = 0.0
+            for j in range(self.nk):
+                xs = xs + self.head.resblocks[i * self.nk + j](x)
+            x = xs / self.nk
+        return torch.tanh(self.head.conv_post(F.silu(x)))
