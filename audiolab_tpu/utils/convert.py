@@ -172,6 +172,15 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "densewn1x1_w":
         # weight-normed 1x1 Conv1d as a Dense: fold then (out,in,1)->(in,out)
         return _get_wn(sd, key)[:, :, 0].T
+    if kind == "patch_w":
+        # key "torchkey|kh": Conv2d k=(kh,1) stride=(kh,1) over height==kh
+        # == Dense over flattened (c, h) C-order: (O,I,kh,1) -> (I*kh, O)
+        tk, kh = key.rsplit("|", 1)
+        w = np.asarray(sd[tk + ".weight"])[:, :, :, 0]
+        return w.reshape(w.shape[0], -1).T
+    if kind == "conv2d1x1_w":
+        # Conv2d 1x1 as a Dense: (O, I, 1, 1) -> (I, O)
+        return np.asarray(sd[key + ".weight"])[:, :, 0, 0].T
     if kind.startswith("gru_"):
         # key format "{torch_gru_prefix}.{l0|l0_reverse}|{r|z|n}"
         base_sfx, gate = key.split("|")
@@ -282,6 +291,14 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
             rng.standard_normal((int(n) * flax_shape[1], flax_shape[0])))
     elif kind == "snake_a":
         put(key + ".alpha", rng.standard_normal((1, flax_shape[0], 1)) * 0.1 + 1.0)
+    elif kind == "patch_w":
+        tk, kh = key.rsplit("|", 1)
+        kh = int(kh)
+        put(tk + ".weight", rng.standard_normal(
+            (flax_shape[1], flax_shape[0] // kh, kh, 1)))
+    elif kind == "conv2d1x1_w":
+        put(key + ".weight", rng.standard_normal(
+            (flax_shape[1], flax_shape[0], 1, 1)))
     elif kind == "densewn1x1_w":
         v = rng.standard_normal((flax_shape[1], flax_shape[0], 1))
         put(key + ".weight_v", v)
@@ -1615,3 +1632,97 @@ def convert_adamos(state_dict: dict, template: dict,
                 break
         sd[k] = np.asarray(v)
     return fill_tree(template, adamos_mapping(template), sd, strict)
+
+
+# ------------------------------------------------------------------ ACE-Step DiT
+
+def acestep_dit_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/acestep_dit.ACEStepDiT tree -> the published ACE-Step
+    transformer state-dict names (vendored
+    modules/acestep/acestep/models/ace_step_transformer.py:206-330).  The
+    lyric ConformerEncoder keys are not consumed (documented cut)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def conv(path, key, bias=True):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    dense("speaker_embedder", "speaker_embedder")
+    dense("genre_embedder", "genre_embedder")
+    m["lyric_embs/embedding"] = ("w", "lyric_embs")
+    dense("lyric_proj", "lyric_proj")
+    dense("timestep_embedder_linear_1", "timestep_embedder.linear_1")
+    dense("timestep_embedder_linear_2", "timestep_embedder.linear_2")
+    dense("t_block", "t_block.1")
+
+    kh = template["proj_in"]["early0"]["kernel"].shape[0] \
+        // (template["proj_in"]["early0"]["kernel"].shape[1] // 256)
+    m["proj_in/early0/kernel"] = (
+        "patch_w", f"proj_in.early_conv_layers.0|{kh}")
+    m["proj_in/early0/bias"] = ("bias", "proj_in.early_conv_layers.0")
+    m["proj_in/gn/scale"] = ("w", "proj_in.early_conv_layers.1")
+    m["proj_in/gn/bias"] = ("b", "proj_in.early_conv_layers.1")
+    m["proj_in/early2/kernel"] = ("conv2d1x1_w", "proj_in.early_conv_layers.2")
+    m["proj_in/early2/bias"] = ("bias", "proj_in.early_conv_layers.2")
+
+    i = 0
+    while f"block_{i}" in template:
+        p, b = f"block_{i}", f"transformer_blocks.{i}"
+        m[f"{p}/scale_shift_table"] = ("direct", f"{b}.scale_shift_table")
+        for a in ("attn", "cross_attn"):
+            for proj in ("to_q", "to_k", "to_v"):
+                dense(f"{p}/{a}/{proj}", f"{b}.{a}.{proj}")
+            dense(f"{p}/{a}/to_out", f"{b}.{a}.to_out.0")
+        conv(f"{p}/ff/inverted_conv", f"{b}.ff.inverted_conv.conv")
+        conv(f"{p}/ff/depth_conv", f"{b}.ff.depth_conv.conv")
+        conv(f"{p}/ff/point_conv", f"{b}.ff.point_conv.conv", bias=False)
+        i += 1
+
+    m["final_layer/scale_shift_table"] = (
+        "direct", "final_layer.scale_shift_table")
+    dense("final_layer/linear", "final_layer.linear")
+    for i in range(8):
+        for j in range(3):
+            if f"projector_{i}_{j}" in template:
+                # torch Sequential(Linear, SiLU, Linear, SiLU, Linear)
+                dense(f"projector_{i}_{j}", f"projectors.{i}.{2 * j}")
+    return m
+
+
+def convert_acestep_dit(state_dict: dict, template: dict,
+                        strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k[6:] if k.startswith("model.") else k] = np.asarray(v)
+    return fill_tree(template, acestep_dit_mapping(template), sd, strict)
+
+
+def load_acestep_dit_checkpoint(path: str, cfg=None) -> dict:
+    """ace_step_transformer checkpoint -> flax params for
+    models/acestep_dit.ACEStepDiT (template via eval_shape — no compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.acestep_dit import ACEStepDiT, ACEStepDiTConfig
+
+    cfg = cfg or ACEStepDiTConfig()
+    model = ACEStepDiT(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.in_channels, cfg.patch_height, 4)),
+            jnp.ones((1, 4)),
+            jnp.zeros((1, 2, cfg.text_embedding_dim)), jnp.ones((1, 2)),
+            jnp.zeros((1, cfg.speaker_embedding_dim)), jnp.full((1,), 0.5),
+            jnp.zeros((1, 3, cfg.lyric_hidden_size)), jnp.ones((1, 3)),
+            return_hidden=True)["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_acestep_dit(sd, template)

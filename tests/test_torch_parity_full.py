@@ -905,3 +905,100 @@ def test_adamos_vocoder_full_parity():
         np.testing.assert_allclose(out, ref, atol=1e-6)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+# ------------------------------------------------------------ ACE-Step DiT
+
+def test_acestep_dit_full_parity():
+    """torch ACE-Step transformer replica (published key names) ->
+    convert_acestep_dit -> flax ACEStepDiT: velocity + SSL projections,
+    fp64, with a partially-masked conditioning sequence."""
+    from tests.torch_ref_models import ACEStepDiTTorch
+
+    import jax as _jax
+
+    torch.manual_seed(41)
+    t_model = ACEStepDiTTorch().double().eval()
+
+    from audiolab_tpu.models.acestep_dit import ACEStepDiT, ACEStepDiTConfig
+    from audiolab_tpu.utils.convert import convert_acestep_dit
+
+    cfg = ACEStepDiTConfig(
+        in_channels=2, num_layers=2, num_attention_heads=2,
+        attention_head_dim=4, out_channels=2, patch_height=4,
+        speaker_embedding_dim=6, text_embedding_dim=5, lyric_vocab_size=20,
+        lyric_hidden_size=12, ssl_latent_dims=(7, 9), ssl_encoder_depths=(0, 1),
+        dtype="float64")
+    f_model = ACEStepDiT(cfg)
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(42)
+        b, t, tl, tx = 2, 6, 5, 3
+        latent = rng.standard_normal((b, 2, 4, t))
+        mask = np.ones((b, t))
+        text = rng.standard_normal((b, tx, 5))
+        text_mask = np.ones((b, tx))
+        spk = rng.standard_normal((b, 6))
+        lyr = rng.standard_normal((b, tl, 12))
+        lyr_mask = np.ones((b, tl))
+        lyr_mask[:, -2:] = 0.0  # exercise the additive cross-attn mask
+        tt = rng.uniform(0.1, 0.9, (b,))
+
+        def init_fn():
+            return f_model.init(
+                _jax.random.PRNGKey(0), jnp.asarray(latent),
+                jnp.asarray(mask), jnp.asarray(text), jnp.asarray(text_mask),
+                jnp.asarray(spk), jnp.asarray(tt), jnp.asarray(lyr),
+                jnp.asarray(lyr_mask), return_hidden=True)["params"]
+
+        template = _jax.eval_shape(init_fn)
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_acestep_dit(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+
+        with torch.no_grad():
+            ref, ref_proj = t_model(
+                torch.from_numpy(latent), torch.from_numpy(mask),
+                torch.from_numpy(text), torch.from_numpy(text_mask),
+                torch.from_numpy(spk), torch.from_numpy(tt),
+                torch.from_numpy(lyr), torch.from_numpy(lyr_mask))
+        out, proj = f_model.apply(
+            {"params": params}, jnp.asarray(latent), jnp.asarray(mask),
+            jnp.asarray(text), jnp.asarray(text_mask), jnp.asarray(spk),
+            jnp.asarray(tt), jnp.asarray(lyr), jnp.asarray(lyr_mask),
+            return_hidden=True)
+        out = np.asarray(out)
+        assert out.shape == tuple(ref.shape), (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref.numpy(), atol=1e-10)
+        assert len(proj) == len(ref_proj) == 2
+        for p, rp in zip(proj, ref_proj):
+            np.testing.assert_allclose(np.asarray(p), rp.numpy(), atol=1e-10)
+    finally:
+        _jax.config.update("jax_enable_x64", False)
+
+
+def test_acestep_dit_mapping_covers_published_shape():
+    """Mapping completeness at the published geometry (patch (16,1),
+    in_ch 8, 2048-wide patch conv) on a 3-layer slice: every template leaf
+    fills from a fabricated checkpoint-shaped state dict."""
+    from audiolab_tpu.models.acestep_dit import ACEStepDiT, ACEStepDiTConfig
+    from audiolab_tpu.utils.convert import (
+        acestep_dit_mapping,
+        convert_acestep_dit,
+        synth_state_dict,
+    )
+
+    cfg = ACEStepDiTConfig(num_layers=3, num_attention_heads=4,
+                           attention_head_dim=8, ssl_latent_dims=(16, 24),
+                           ssl_encoder_depths=(1, 2))
+    f_model = ACEStepDiT(cfg)
+    template = jax.eval_shape(
+        lambda: f_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 4)),
+            jnp.ones((1, 4)), jnp.zeros((1, 2, 768)), jnp.ones((1, 2)),
+            jnp.zeros((1, 512)), jnp.full((1,), 0.5),
+            jnp.zeros((1, 3, 1024)), jnp.ones((1, 3)),
+            return_hidden=True)["params"])
+    sd = synth_state_dict(template, acestep_dit_mapping(template), seed=5)
+    conv = convert_acestep_dit(sd, template, strict=True)
+    assert len(jax.tree.leaves(conv)) == len(jax.tree.leaves(template))

@@ -1912,3 +1912,208 @@ class AdamosTorch(nn.Module):
                 xs = xs + self.head.resblocks[i * self.nk + j](x)
             x = xs / self.nk
         return torch.tanh(self.head.conv_post(F.silu(x)))
+
+
+# ------------------------------------------------------------ ACE-Step DiT
+
+def _ace_rope_tables(seq, dim, theta):
+    inv = 1.0 / theta ** (torch.arange(0, dim, 2).double() / dim)
+    freqs = torch.outer(torch.arange(seq).double(), inv)
+    emb = torch.cat([freqs, freqs], dim=-1)
+    return emb.cos(), emb.sin()
+
+
+def _ace_rope(x, cos, sin):
+    # interleaved pairs against half-duplicated tables (the upstream quirk,
+    # customer_attention_processor.py:34-62)
+    xr, xi = x[..., 0::2], x[..., 1::2]
+    rot = torch.stack([-xi, xr], dim=-1).flatten(3)
+    return x * cos[None, None] + rot * sin[None, None]
+
+
+class _AceRMS(nn.Module):
+    def __init__(self, eps=1e-6):
+        super().__init__()
+        self.eps = eps
+
+    def forward(self, x):
+        return x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + self.eps)
+
+
+class _AceAttn(nn.Module):
+    """diffusers-Attention key layout: to_q/k/v + to_out.0."""
+
+    def __init__(self, dim, heads, head_dim, cross_dim=None):
+        super().__init__()
+        inner = heads * head_dim
+        self.heads, self.head_dim = heads, head_dim
+        self.to_q = nn.Linear(dim, inner)
+        self.to_k = nn.Linear(cross_dim or dim, inner)
+        self.to_v = nn.Linear(cross_dim or dim, inner)
+        self.to_out = nn.ModuleList([nn.Linear(inner, dim)])
+
+
+def _ace_lite_la(attn, x, mask, cos, sin):
+    b, s, _ = x.shape
+    h, d = attn.heads, attn.head_dim
+    q = attn.to_q(x).transpose(-1, -2).reshape(b, h, d, s)
+    k = attn.to_k(x).transpose(-1, -2).reshape(b, h, d, s).transpose(-1, -2)
+    v = attn.to_v(x).transpose(-1, -2).reshape(b, h, d, s)
+    q = _ace_rope(q.permute(0, 1, 3, 2), cos, sin).permute(0, 1, 3, 2)
+    k = _ace_rope(k, cos, sin)
+    if mask is not None:
+        m = mask[:, None, :, None].to(k.dtype)
+        q = q * m.permute(0, 1, 3, 2)
+        k = k * m
+        v = v * m.permute(0, 1, 3, 2)
+    q, k = F.relu(q), F.relu(k)
+    v = F.pad(v, (0, 0, 0, 1), value=1.0)
+    out = (v @ k) @ q                         # (b, h, d+1, s)
+    out = out[:, :, :-1] / (out[:, :, -1:] + 1e-15)
+    out = out.reshape(b, h * d, s).permute(0, 2, 1)
+    return attn.to_out[0](out)
+
+
+def _ace_cross(attn, x, enc, mask, enc_mask, cos, sin, cos_c, sin_c):
+    b, s, _ = x.shape
+    h, d = attn.heads, attn.head_dim
+    q = attn.to_q(x).view(b, -1, h, d).transpose(1, 2)
+    k = attn.to_k(enc).view(b, -1, h, d).transpose(1, 2)
+    v = attn.to_v(enc).view(b, -1, h, d).transpose(1, 2)
+    q = _ace_rope(q, cos, sin)
+    k = _ace_rope(k, cos_c, sin_c)
+    am = None
+    if mask is not None and enc_mask is not None:
+        comb = mask[:, :, None] * enc_mask[:, None, :]
+        am = torch.where(comb == 1, 0.0, -torch.inf)[:, None].double()
+    out = F.scaled_dot_product_attention(q, k, v, attn_mask=am)
+    out = out.transpose(1, 2).reshape(b, -1, h * d)
+    return attn.to_out[0](out)
+
+
+class _AceConvLayer(nn.Module):
+    def __init__(self, i, o, k, groups=1, bias=True):
+        super().__init__()
+        self.conv = nn.Conv1d(i, o, k, padding=k // 2, groups=groups,
+                              bias=bias)
+
+
+class _AceGLUMB(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.inverted_conv = _AceConvLayer(dim, hidden * 2, 1)
+        self.depth_conv = _AceConvLayer(hidden * 2, hidden * 2, 3,
+                                        groups=hidden * 2)
+        self.point_conv = _AceConvLayer(hidden, dim, 1, bias=False)
+
+    def forward(self, x):
+        x = F.silu(self.inverted_conv.conv(x.transpose(1, 2)))
+        x = self.depth_conv.conv(x)
+        x, gate = torch.chunk(x, 2, dim=1)
+        x = self.point_conv.conv(x * F.silu(gate))
+        return x.transpose(1, 2)
+
+
+class _AceBlock(nn.Module):
+    def __init__(self, dim, heads, head_dim, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = _AceRMS()
+        self.attn = _AceAttn(dim, heads, head_dim)
+        self.cross_attn = _AceAttn(dim, heads, head_dim, cross_dim=dim)
+        self.norm2 = _AceRMS()
+        self.ff = _AceGLUMB(dim, int(dim * mlp_ratio))
+        self.scale_shift_table = nn.Parameter(torch.randn(6, dim) / dim**0.5)
+
+    def forward(self, x, enc, mask, enc_mask, cos, sin, cos_c, sin_c, temb):
+        n = x.shape[0]
+        s_msa, sc_msa, g_msa, s_mlp, sc_mlp, g_mlp = (
+            self.scale_shift_table[None] + temb.reshape(n, 6, -1)
+        ).chunk(6, dim=1)
+        h = self.norm1(x) * (1 + sc_msa) + s_msa
+        x = x + g_msa * _ace_lite_la(self.attn, h, mask, cos, sin)
+        x = x + _ace_cross(self.cross_attn, x, enc, mask, enc_mask,
+                           cos, sin, cos_c, sin_c)
+        h = self.norm2(x) * (1 + sc_mlp) + s_mlp
+        return x + g_mlp * self.ff(h)
+
+
+class ACEStepDiTTorch(nn.Module):
+    """Seeded stand-in for ACEStepTransformer2DModel (diffusers absent in
+    this image) with the real checkpoint's key names; lyric conformer
+    replaced by an external hidden-state input, matching the flax cut."""
+
+    def __init__(self, in_ch=2, layers=2, heads=2, head_dim=4, patch_h=4,
+                 spk_dim=6, text_dim=5, lyric_vocab=20, lyric_hidden=12,
+                 ssl_dims=(7, 9), ssl_depths=(0, 1), theta=1e6):
+        super().__init__()
+        dim = heads * head_dim
+        self.dim, self.heads, self.head_dim = dim, heads, head_dim
+        self.patch_h, self.out_ch, self.theta = patch_h, in_ch, theta
+        self.ssl_depths = ssl_depths
+        self.transformer_blocks = nn.ModuleList(
+            [_AceBlock(dim, heads, head_dim) for _ in range(layers)])
+        self.timestep_embedder = nn.Module()
+        self.timestep_embedder.linear_1 = nn.Linear(256, dim)
+        self.timestep_embedder.linear_2 = nn.Linear(dim, dim)
+        self.t_block = nn.Sequential(nn.SiLU(), nn.Linear(dim, 6 * dim))
+        self.speaker_embedder = nn.Linear(spk_dim, dim)
+        self.genre_embedder = nn.Linear(text_dim, dim)
+        self.lyric_embs = nn.Embedding(lyric_vocab, lyric_hidden)
+        self.lyric_proj = nn.Linear(lyric_hidden, dim)
+        self.proj_in = nn.Module()
+        self.proj_in.early_conv_layers = nn.Sequential(
+            nn.Conv2d(in_ch, in_ch * 256, (patch_h, 1), (patch_h, 1)),
+            nn.GroupNorm(32, in_ch * 256, eps=1e-6),
+            nn.Conv2d(in_ch * 256, dim, 1),
+        )
+        self.final_layer = nn.Module()
+        self.final_layer.scale_shift_table = nn.Parameter(
+            torch.randn(2, dim) / dim**0.5)
+        self.final_layer.linear = nn.Linear(dim, patch_h * in_ch)
+        self.projectors = nn.ModuleList([
+            nn.Sequential(nn.Linear(dim, 2 * dim), nn.SiLU(),
+                          nn.Linear(2 * dim, 2 * dim), nn.SiLU(),
+                          nn.Linear(2 * dim, sd))
+            for sd in ssl_dims
+        ])
+
+    def _time_embed(self, t):
+        half = 128
+        freqs = torch.exp(
+            -torch.log(torch.tensor(10000.0)).double()
+            * torch.arange(half).double() / half)
+        ang = t.double()[:, None] * freqs[None]
+        emb = torch.cat([ang.cos(), ang.sin()], dim=-1)
+        return self.timestep_embedder.linear_2(
+            F.silu(self.timestep_embedder.linear_1(emb)))
+
+    def forward(self, latent, mask, text_hidden, text_mask, speaker,
+                timestep, lyric_hidden, lyric_mask):
+        spk = self.speaker_embedder(speaker).unsqueeze(1)
+        enc = torch.cat([spk, self.genre_embedder(text_hidden),
+                         self.lyric_proj(lyric_hidden)], dim=1)
+        enc_mask = torch.cat(
+            [torch.ones(latent.shape[0], 1).double(), text_mask, lyric_mask],
+            dim=1)
+
+        emb_t = self._time_embed(timestep)
+        temb = self.t_block(emb_t)
+        x = self.proj_in.early_conv_layers(latent)
+        x = x.flatten(2).transpose(1, 2)
+        cos, sin = _ace_rope_tables(x.shape[1], self.head_dim, self.theta)
+        cos_c, sin_c = _ace_rope_tables(enc.shape[1], self.head_dim,
+                                        self.theta)
+        inner = []
+        for i, blk in enumerate(self.transformer_blocks):
+            x = blk(x, enc, mask, enc_mask, cos, sin, cos_c, sin_c, temb)
+            for d in self.ssl_depths:
+                if i == d:
+                    inner.append(x)
+        shift, scale = (self.final_layer.scale_shift_table[None]
+                        + emb_t[:, None]).chunk(2, dim=1)
+        y = _AceRMS()(x) * (1 + scale) + shift
+        y = self.final_layer.linear(y)
+        b, t, _ = y.shape
+        y = y.reshape(b, t, self.patch_h, self.out_ch).permute(0, 3, 2, 1)
+        proj = [p(h) for p, h in zip(self.projectors, inner)]
+        return y, proj
