@@ -21,9 +21,11 @@ RoPE follows the upstream quirk exactly: Qwen2-style *half-duplicated*
 cos/sin tables combined with *interleaved-pair* rotation
 (customer_attention_processor.py:34-62).
 
-The lyric ConformerEncoder (lyrics_utils/lyric_encoder.py) is NOT
-replicated here — ``encode`` takes pre-encoded lyric hidden states (or use
-``embed_lyrics`` + an external encoder).  Flow-matching sampling, APG
+``LyricConformerEncoder`` (below) is the lyric encoder at its
+instantiated defaults; ``ACEStepDiT.encode`` takes its output as
+``lyric_hidden`` (compose via ``embed_lyrics`` -> conformer -> encode,
+keeping the DiT graph free of the token-length-dependent conformer
+shapes).  Flow-matching sampling, APG
 guidance and retake/repaint live in pipelines/acestep.py; the
 speed-oriented (non-checkpoint) DiT used for benching is models/acestep.py.
 """
@@ -387,3 +389,95 @@ class ACEStepDiT(nn.Module):
                                     lyric_hidden, lyric_mask)
         return self.decode(latent, attention_mask, enc, enc_mask, timestep,
                            return_hidden=return_hidden)
+
+
+# ----------------------------------------------------------- lyric conformer
+
+def espnet_rel_pe(seq_len: int, dim: int) -> jnp.ndarray:
+    """Espnet relative positional table (lyric_encoder.py:715-810): rows for
+    relative positions t-1 … -(t-1), sin/cos interleaved — (2t-1, dim)."""
+    ft = jnp.result_type(0.0)
+    rels = (seq_len - 1) - jnp.arange(2 * seq_len - 1, dtype=ft)
+    div = jnp.exp(jnp.arange(0, dim, 2, dtype=ft)
+                  * (-math.log(10000.0) / dim))
+    ang = rels[:, None] * div[None]
+    return jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=-1).reshape(
+        2 * seq_len - 1, dim)
+
+
+class RelPosSelfAttention(nn.Module):
+    """Transformer-XL attention with espnet tables
+    (lyric_encoder.py:325-440).  The upstream zero-pad/reshape rel-shift is
+    replaced by a direct gather — bd_shifted[i, j] = bd[i, t-1-i+j] —
+    which XLA lowers to one take_along_axis (validated against the
+    pad-trick replica in tests/test_torch_parity_full)."""
+
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, pos):
+        d_model = x.shape[-1]
+        h = self.heads
+        dk = d_model // h
+        b, t, _ = x.shape
+        q = nn.Dense(d_model, dtype=self.dtype, name="linear_q")(x)
+        k = nn.Dense(d_model, dtype=self.dtype, name="linear_k")(x)
+        v = nn.Dense(d_model, dtype=self.dtype, name="linear_v")(x)
+        p = nn.Dense(d_model, use_bias=False, dtype=self.dtype,
+                     name="linear_pos")(pos)  # (2t-1, d_model)
+        u = self.param("pos_bias_u", nn.initializers.xavier_uniform(),
+                       (h, dk))
+        w = self.param("pos_bias_v", nn.initializers.xavier_uniform(),
+                       (h, dk))
+        q, k, v = (_split_heads(a, h) for a in (q, k, v))   # (b, h, t, dk)
+        p = p.reshape(-1, h, dk).transpose(1, 0, 2)          # (h, 2t-1, dk)
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        ac = jnp.einsum("bhtd,bhsd->bhts", (q + u[None, :, None]).astype(acc),
+                        k.astype(acc))
+        bd = jnp.einsum("bhtd,hmd->bhtm", (q + w[None, :, None]).astype(acc),
+                        p.astype(acc))                        # (b, h, t, 2t-1)
+        idx = (t - 1) - jnp.arange(t)[:, None] + jnp.arange(t)[None]
+        bd = jnp.take_along_axis(bd, idx[None, None], axis=-1)
+        scores = (ac + bd) / math.sqrt(dk)
+        if mask is not None:
+            m = mask[:, None, None, :] > 0
+            scores = jnp.where(m, scores, -jnp.inf)
+            attn = jnp.where(m, jax.nn.softmax(scores, axis=-1), 0.0)
+        else:
+            attn = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn, v.astype(acc))
+        out = _merge_heads(out).astype(x.dtype)
+        return nn.Dense(d_model, dtype=self.dtype, name="linear_out")(out)
+
+
+class LyricConformerEncoder(nn.Module):
+    """ACE-Step's lyric encoder at its instantiated defaults
+    (ace_step_transformer.py:295-298 -> lyric_encoder.py:902-1010:
+    macaron_style=False, use_cnn_module=False, static_chunk_size=0) — a
+    pre-norm rel-pos transformer: LinearEmbed (Linear + LayerNorm, then
+    x·sqrt(d)), 6 blocks of [LN -> rel-pos MHA -> +res, LN -> SiLU FF ->
+    +res], final LayerNorm."""
+
+    dim: int = 1024
+    heads: int = 16
+    ffn_dim: int = 4096
+    num_blocks: int = 6
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, mask=None):  # x (b, t, in_dim), mask (b, t)
+        dt = jnp.dtype(self.dtype)
+        x = nn.Dense(self.dim, dtype=dt, name="embed_lin")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="embed_norm")(x)
+        x = x * math.sqrt(self.dim)
+        pos = espnet_rel_pe(x.shape[1], self.dim).astype(dt)
+        for i in range(self.num_blocks):
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm_mha_{i}")(x)
+            x = x + RelPosSelfAttention(self.heads, dt,
+                                        name=f"attn_{i}")(h, mask, pos)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm_ff_{i}")(x)
+            h = nn.Dense(self.ffn_dim, dtype=dt, name=f"ff_w1_{i}")(h)
+            h = nn.Dense(self.dim, dtype=dt, name=f"ff_w2_{i}")(nn.silu(h))
+            x = x + h
+        return nn.LayerNorm(epsilon=1e-5, name="after_norm")(x)

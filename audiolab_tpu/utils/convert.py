@@ -1722,7 +1722,79 @@ def load_acestep_dit_checkpoint(path: str, cfg=None) -> dict:
             jnp.zeros((1, cfg.speaker_embedding_dim)), jnp.full((1,), 0.5),
             jnp.zeros((1, 3, cfg.lyric_hidden_size)), jnp.ones((1, 3)),
             return_hidden=True)["params"])
+    # lyric_embs only materializes through embed_lyrics — merge its template
+    template = dict(template) | dict(jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3), jnp.int32),
+                           method=ACEStepDiT.embed_lyrics)["params"]))
     sd = torch_load_weights(path)
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_acestep_dit(sd, template)
+
+
+def acestep_lyric_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax LyricConformerEncoder tree -> the checkpoint's lyric_encoder
+    keys (prefix already stripped; lyric_encoder.py:902-1010 layout)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    dense("embed_lin", "embed.out.0")
+    norm("embed_norm", "embed.out.1")
+    i = 0
+    while f"attn_{i}" in template:
+        b = f"encoders.{i}"
+        for lin in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            dense(f"attn_{i}/{lin}", f"{b}.self_attn.{lin}")
+        dense(f"attn_{i}/linear_pos", f"{b}.self_attn.linear_pos",
+              bias=False)
+        m[f"attn_{i}/pos_bias_u"] = ("direct", f"{b}.self_attn.pos_bias_u")
+        m[f"attn_{i}/pos_bias_v"] = ("direct", f"{b}.self_attn.pos_bias_v")
+        norm(f"norm_mha_{i}", f"{b}.norm_mha")
+        norm(f"norm_ff_{i}", f"{b}.norm_ff")
+        dense(f"ff_w1_{i}", f"{b}.feed_forward.w_1")
+        dense(f"ff_w2_{i}", f"{b}.feed_forward.w_2")
+        i += 1
+    norm("after_norm", "after_norm")
+    return m
+
+
+def convert_acestep_lyric(state_dict: dict, template: dict,
+                          strict: bool = True) -> dict:
+    """Accepts either bare lyric-encoder keys or the full transformer
+    state dict (keys under ``lyric_encoder.``)."""
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.lyric_encoder.", "lyric_encoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, acestep_lyric_mapping(template), sd, strict)
+
+
+def load_acestep_lyric_checkpoint(path: str, **kw) -> dict:
+    """ace_step_transformer checkpoint -> flax params for
+    models/acestep_dit.LyricConformerEncoder (published defaults)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.acestep_dit import LyricConformerEncoder
+
+    model = LyricConformerEncoder(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, model.dim), jnp.float32),
+                           jnp.ones((1, 4)))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_acestep_lyric(sd, template)

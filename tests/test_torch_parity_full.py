@@ -999,6 +999,55 @@ def test_acestep_dit_mapping_covers_published_shape():
             jnp.zeros((1, 512)), jnp.full((1,), 0.5),
             jnp.zeros((1, 3, 1024)), jnp.ones((1, 3)),
             return_hidden=True)["params"])
+    # embed_lyrics is a separate entry point; its table must convert too
+    template = dict(template) | dict(jax.eval_shape(
+        lambda: f_model.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 3), jnp.int32),
+                             method=ACEStepDiT.embed_lyrics)["params"]))
+    assert "lyric_embs" in template
     sd = synth_state_dict(template, acestep_dit_mapping(template), seed=5)
     conv = convert_acestep_dit(sd, template, strict=True)
     assert len(jax.tree.leaves(conv)) == len(jax.tree.leaves(template))
+
+
+def test_acestep_lyric_conformer_parity():
+    """torch wenet-style replica (pad-trick rel-shift) ->
+    convert_acestep_lyric -> flax LyricConformerEncoder (gather rel-shift):
+    fp64 with a padded batch."""
+    from tests.torch_ref_models import LyricConformerTorch
+
+    import jax as _jax
+
+    torch.manual_seed(51)
+    t_model = LyricConformerTorch().double().eval()
+
+    from audiolab_tpu.models.acestep_dit import LyricConformerEncoder
+    from audiolab_tpu.utils.convert import convert_acestep_lyric
+
+    f_model = LyricConformerEncoder(dim=16, heads=2, ffn_dim=24,
+                                    num_blocks=2, dtype="float64")
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(52)
+        x = rng.standard_normal((2, 7, 12))
+        mask = np.ones((2, 7))
+        mask[1, -3:] = 0.0
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 7, 12), jnp.float64),
+                                 jnp.ones((1, 7)))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_acestep_lyric(sd, template, strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(x), torch.from_numpy(mask)).numpy()
+        out = np.asarray(f_model.apply({"params": params}, jnp.asarray(x),
+                                       jnp.asarray(mask)))
+        assert out.shape == ref.shape
+        # padded rows diverge (softmax over zeroed cols feeds them) — they
+        # are masked out downstream by the concatenated encoder mask
+        valid = mask[..., None].astype(bool) & np.ones_like(ref, bool)
+        np.testing.assert_allclose(out[valid[..., 0]], ref[valid[..., 0]],
+                                   atol=1e-10)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

@@ -2117,3 +2117,89 @@ class ACEStepDiTTorch(nn.Module):
         y = y.reshape(b, t, self.patch_h, self.out_ch).permute(0, 3, 2, 1)
         proj = [p(h) for p, h in zip(self.projectors, inner)]
         return y, proj
+
+
+class _LyrRelAttn(nn.Module):
+    """wenet RelPositionMultiHeadedAttention with the pad/reshape rel-shift
+    (independent check of the flax gather formulation)."""
+
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.h, self.d_k = heads, dim // heads
+        self.linear_q = nn.Linear(dim, dim)
+        self.linear_k = nn.Linear(dim, dim)
+        self.linear_v = nn.Linear(dim, dim)
+        self.linear_out = nn.Linear(dim, dim)
+        self.linear_pos = nn.Linear(dim, dim, bias=False)
+        self.pos_bias_u = nn.Parameter(torch.randn(self.h, self.d_k))
+        self.pos_bias_v = nn.Parameter(torch.randn(self.h, self.d_k))
+
+    def _rel_shift(self, x):
+        b, h, t, _ = x.shape
+        x = F.pad(x, (1, 0))
+        x = x.view(b, h, x.size(3), t)[:, :, 1:].view(b, h, t, -1)
+        return x[..., : x.size(-1) // 2 + 1]
+
+    def forward(self, x, mask, pos):
+        b, t, _ = x.shape
+        q = self.linear_q(x).view(b, t, self.h, self.d_k)
+        k = self.linear_k(x).view(b, t, self.h, self.d_k).transpose(1, 2)
+        v = self.linear_v(x).view(b, t, self.h, self.d_k).transpose(1, 2)
+        p = self.linear_pos(pos).view(1, -1, self.h, self.d_k).transpose(1, 2)
+        ac = (q + self.pos_bias_u).transpose(1, 2) @ k.transpose(-2, -1)
+        bd = (q + self.pos_bias_v).transpose(1, 2) @ p.transpose(-2, -1)
+        bd = self._rel_shift(bd)
+        scores = (ac + bd) / math.sqrt(self.d_k)
+        m = mask[:, None, None, :].eq(0)
+        scores = scores.masked_fill(m, -float("inf"))
+        attn = torch.softmax(scores, dim=-1).masked_fill(m, 0.0)
+        out = (attn @ v).transpose(1, 2).reshape(b, t, -1)
+        return self.linear_out(out)
+
+
+class _LyrBlock(nn.Module):
+    def __init__(self, dim, heads, ffn):
+        super().__init__()
+        self.self_attn = _LyrRelAttn(dim, heads)
+        self.feed_forward = nn.Module()
+        self.feed_forward.w_1 = nn.Linear(dim, ffn)
+        self.feed_forward.w_2 = nn.Linear(ffn, dim)
+        self.norm_mha = nn.LayerNorm(dim, eps=1e-5)
+        self.norm_ff = nn.LayerNorm(dim, eps=1e-5)
+
+    def forward(self, x, mask, pos):
+        x = x + self.self_attn(self.norm_mha(x), mask, pos)
+        h = self.norm_ff(x)
+        return x + self.feed_forward.w_2(F.silu(self.feed_forward.w_1(h)))
+
+
+class LyricConformerTorch(nn.Module):
+    """ACE-Step lyric encoder replica at its instantiated defaults (no
+    macaron / no conv module), published key names under the model's
+    ``lyric_encoder.`` prefix."""
+
+    def __init__(self, in_dim=12, dim=16, heads=2, ffn=24, blocks=2):
+        super().__init__()
+        self.dim = dim
+        self.embed = nn.Module()
+        self.embed.out = nn.Sequential(nn.Linear(in_dim, dim),
+                                       nn.LayerNorm(dim, eps=1e-5))
+        self.encoders = nn.ModuleList(
+            [_LyrBlock(dim, heads, ffn) for _ in range(blocks)])
+        self.after_norm = nn.LayerNorm(dim, eps=1e-5)
+
+    def _pos(self, t):
+        pos = torch.arange(t - 1, -t, -1).double()[:, None]
+        div = torch.exp(torch.arange(0, self.dim, 2).double()
+                        * (-math.log(10000.0) / self.dim))
+        pe = torch.zeros(2 * t - 1, self.dim).double()
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        return pe[None]
+
+    def forward(self, x, mask):
+        x = self.embed.out(x) * math.sqrt(self.dim)
+        pos = self._pos(x.size(1))
+        for blk in self.encoders:
+            x = blk(x, mask, pos)
+        return self.after_norm(x)
