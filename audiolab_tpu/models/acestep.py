@@ -227,24 +227,34 @@ def fm_sample(
     t_start: float = 1.0,
     repaint_mask: jnp.ndarray | None = None,   # (b, t, 1): 1 = regenerate
     z_ref: jnp.ndarray | None = None,          # kept where mask==0
+    velocity2_fn=None,   # optional (z2, t2) -> v2 override (2b doubled batch)
 ) -> jnp.ndarray:
     """Flow-matching ODE solve z_1 (noise) -> z_0 (data), CFG double batch.
 
     velocity convention: v = dz/dt pointing from data to noise
-    (z_t = (1-t) z0 + t eps  =>  v = eps - z0)."""
-    c = model.cfg
+    (z_t = (1-t) z0 + t eps  =>  v = eps - z0).
+
+    ``velocity2_fn`` lets another backbone (e.g. the checkpoint-faithful
+    models/acestep_dit.ACEStepDiT via pipelines.acestep.CheckpointACEStep)
+    reuse this scan; ``model``/``params``/``context2`` then only size the
+    batch (pass z_init explicitly)."""
     b = context2.shape[0] // 2
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    z = (z_init if z_init is not None
-         else jax.random.normal(rng, (b, t_latent, c.dcae.latent_dim)))
+    if z_init is not None:
+        z = z_init
+    else:
+        z = jax.random.normal(rng, (b, t_latent, model.cfg.dcae.latent_dim))
     ts = jnp.linspace(t_start, 0.0, steps + 1)
     momentum0 = jnp.zeros_like(z)
 
     def vel(z, t):
         z2 = jnp.concatenate([z, z], axis=0)
         tb = jnp.full((2 * b,), t)
-        v = model.apply({"params": params}, z2, tb, context2,
-                        method=ACEStepModel.velocity)
+        if velocity2_fn is not None:
+            v = velocity2_fn(z2, tb)
+        else:
+            v = model.apply({"params": params}, z2, tb, context2,
+                            method=ACEStepModel.velocity)
         return jnp.split(v, 2, axis=0)
 
     def guide(vc, vu, z, mom):

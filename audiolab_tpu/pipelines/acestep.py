@@ -182,3 +182,130 @@ def random_acestep(cfg: ACEStepConfig | None = None, seed: int = 0
     vp = voc.init(jax.random.PRNGKey(seed + 1),
                   jnp.zeros((1, 8, cfg.dcae.n_mels)))["params"]
     return ACEStepPipeline(cfg, params, vcfg, vp)
+
+
+# ---------------------------------------------------- checkpoint-faithful
+
+class CheckpointACEStep:
+    """Generation with the checkpoint-faithful lite-LA transformer
+    (models/acestep_dit.ACEStepDiT, filled from the published weights via
+    utils/convert.load_acestep_dit_checkpoint) through the SAME fm_sample
+    scan as the speed pipeline — latents (b, 8, 16, t) are flattened to
+    the sampler's (b, t, 128) layout.
+
+    Conditioning mirrors upstream pipeline_ace_step.py:562-765: external
+    768-d text hidden states (umT5 upstream), a 512-d speaker embedding,
+    and lyric tokens through the converted LyricConformerEncoder.  The
+    diffusers DCAE that maps latents <-> mel is the one documented cut, so
+    ``generate`` returns latents unless a ``decode_fn`` (DCAE decoder +
+    ADaMoS vocoder) is supplied."""
+
+    def __init__(self, cfg, params, lyric_params=None,
+                 pcfg: ACEStepPipelineConfig | None = None,
+                 decode_fn=None, latent_rate: float = 44100 / 512 / 8):
+        from audiolab_tpu.models.acestep_dit import (
+            ACEStepDiT,
+            LyricConformerEncoder,
+        )
+
+        self.cfg = cfg
+        self.model = ACEStepDiT(cfg)
+        self.params = params
+        self.lyric_enc = LyricConformerEncoder(
+            dim=cfg.lyric_hidden_size) if lyric_params is not None else None
+        self.lyric_params = lyric_params
+        self.pcfg = pcfg or ACEStepPipelineConfig()
+        self.decode_fn = decode_fn
+        self.latent_rate = latent_rate
+
+    def encode_cond(self, text_hidden, text_mask, speaker,
+                    lyric_tokens=None, lyric_mask=None):
+        lyric_hidden = None
+        if lyric_tokens is not None and self.lyric_enc is not None:
+            emb = self.model.apply({"params": self.params}, lyric_tokens,
+                                   method=type(self.model).embed_lyrics)
+            lyric_hidden = self.lyric_enc.apply(
+                {"params": self.lyric_params}, emb, lyric_mask)
+        enc, mask = self.model.apply(
+            {"params": self.params}, text_hidden, text_mask, speaker,
+            lyric_hidden, lyric_mask, method=type(self.model).encode)
+        return enc, mask
+
+    def _velocity2(self, enc2, enc_mask2):
+        c = self.cfg
+
+        def fn(z2, t2):
+            b2, t, _ = z2.shape
+            lat = z2.reshape(b2, t, c.in_channels,
+                             c.patch_height).transpose(0, 2, 3, 1)
+            v = self.model.apply(
+                {"params": self.params}, lat, jnp.ones((b2, t)), enc2,
+                enc_mask2, t2, method=type(self.model).decode)
+            return v.transpose(0, 3, 1, 2).reshape(b2, t, -1)
+
+        return fn
+
+    def generate(self, text_hidden, text_mask, speaker, lyric_tokens=None,
+                 lyric_mask=None, duration: float = 30.0, seed: int = 0,
+                 **kw):
+        """Returns latents (b, 8, 16, t) — or decoded audio if decode_fn
+        was supplied."""
+        from audiolab_tpu.models.acestep import fm_sample
+
+        c = self.cfg
+        enc_c, m_c = self.encode_cond(text_hidden, text_mask, speaker,
+                                      lyric_tokens, lyric_mask)
+        enc_u, m_u = self.encode_cond(
+            jnp.zeros_like(text_hidden), text_mask,
+            jnp.zeros_like(speaker),
+            None if lyric_tokens is None else jnp.zeros_like(lyric_tokens),
+            lyric_mask)
+        enc2 = jnp.concatenate([enc_c, enc_u], axis=0)
+        mask2 = jnp.concatenate([m_c, m_u], axis=0)
+        b = text_hidden.shape[0]
+        frames = max(1, int(round(duration * self.latent_rate)))
+        z0 = jax.random.normal(
+            jax.random.PRNGKey(seed),
+            (b, frames, c.in_channels * c.patch_height))
+        z = fm_sample(
+            None, None, enc2, frames, steps=self.pcfg.steps,
+            scheduler=self.pcfg.scheduler,
+            guidance_scale=self.pcfg.guidance_scale,
+            use_apg=self.pcfg.use_apg, rng=jax.random.PRNGKey(seed),
+            z_init=z0, velocity2_fn=self._velocity2(enc2, mask2), **kw)
+        lat = z.reshape(b, frames, c.in_channels,
+                        c.patch_height).transpose(0, 2, 3, 1)
+        if self.decode_fn is not None:
+            return self.decode_fn(lat)
+        return lat
+
+
+def random_checkpoint_acestep(seed: int = 0):
+    """Tiny random-weight CheckpointACEStep (smoke tests / serving)."""
+    from audiolab_tpu.models.acestep_dit import (
+        ACEStepDiT,
+        ACEStepDiTConfig,
+        LyricConformerEncoder,
+    )
+
+    cfg = ACEStepDiTConfig(
+        num_layers=2, num_attention_heads=2, attention_head_dim=8,
+        in_channels=2, out_channels=2, patch_height=4,
+        speaker_embedding_dim=8, text_embedding_dim=8, lyric_vocab_size=32,
+        lyric_hidden_size=16, ssl_latent_dims=(8,), ssl_encoder_depths=(0,))
+    model = ACEStepDiT(cfg)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    b, t = 1, 4
+    params = model.init(
+        k1, jnp.zeros((b, 2, 4, t)), jnp.ones((b, t)),
+        jnp.zeros((b, 2, 8)), jnp.ones((b, 2)), jnp.zeros((b, 8)),
+        jnp.full((b,), 0.5), jnp.zeros((b, 3, 16)), jnp.ones((b, 3)))["params"]
+    params = dict(params) | dict(model.init(
+        k2, jnp.zeros((b, 3), jnp.int32),
+        method=ACEStepDiT.embed_lyrics)["params"])
+    lyr = LyricConformerEncoder(dim=16, heads=2, ffn_dim=32, num_blocks=1)
+    lyr_params = lyr.init(k3, jnp.zeros((b, 3, 16)), jnp.ones((b, 3)))["params"]
+    pipe = CheckpointACEStep(cfg, params, lyr_params,
+                             latent_rate=2.0)
+    pipe.lyric_enc = lyr
+    return pipe

@@ -121,3 +121,29 @@ def test_lora_train_with_ssl_loss():
     assert np.isfinite(out["loss"])
     assert "proj" in out
     assert np.abs(np.asarray(out["proj"]["kernel"])).sum() > 0
+
+
+def test_checkpoint_acestep_generate_smoke():
+    """CheckpointACEStep: faithful DiT + lyric conformer through fm_sample
+    -> finite latents at the right shape; deterministic per seed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.pipelines.acestep import random_checkpoint_acestep
+
+    pipe = random_checkpoint_acestep(seed=3)
+    b = 1
+    text = jnp.asarray(np.random.default_rng(0).standard_normal((b, 2, 8)),
+                       jnp.float32) * 0.3
+    tmask = jnp.ones((b, 2))
+    spk = jnp.zeros((b, 8))
+    toks = jnp.asarray([[1, 2, 3]])
+    lmask = jnp.ones((b, 3))
+    lat = pipe.generate(text, tmask, spk, lyric_tokens=toks,
+                        lyric_mask=lmask, duration=3.0, seed=5)
+    assert lat.shape == (b, 2, 4, 6), lat.shape
+    assert bool(jnp.all(jnp.isfinite(lat)))
+    lat2 = pipe.generate(text, tmask, spk, lyric_tokens=toks,
+                         lyric_mask=lmask, duration=3.0, seed=5)
+    assert bool(jnp.all(lat == lat2))
