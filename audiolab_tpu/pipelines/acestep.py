@@ -197,8 +197,10 @@ class CheckpointACEStep:
     768-d text hidden states (umT5 upstream), a 512-d speaker embedding,
     and lyric tokens through the converted LyricConformerEncoder.  The
     diffusers DCAE that maps latents <-> mel is the one documented cut, so
-    ``generate`` returns latents unless a ``decode_fn`` (DCAE decoder +
-    ADaMoS vocoder) is supplied."""
+    ``generate`` returns latents unless a ``decode_fn`` is supplied —
+    models/music_dcae.MusicDCAE.decode is the upstream-exact one (scale /
+    shift / mel denorm / converted ADaMoS vocoder) around any latent->mel
+    decoder."""
 
     def __init__(self, cfg, params, lyric_params=None,
                  pcfg: ACEStepPipelineConfig | None = None,

@@ -147,3 +147,60 @@ def test_checkpoint_acestep_generate_smoke():
     lat2 = pipe.generate(text, tmask, spk, lyric_tokens=toks,
                          lyric_mask=lmask, duration=3.0, seed=5)
     assert bool(jnp.all(lat == lat2))
+
+
+def test_music_dcae_boundary():
+    """MusicDCAE normalization chain: exact constants, mel geometry
+    (frames = t/512), encode->decode inverse with an identity codec, and
+    vocoder hookup producing frames*512 samples."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.adamos_vocoder import AdamosConfig, AdamosVocoder
+    from audiolab_tpu.models.music_dcae import (
+        MusicDCAE,
+        denormalize_mel,
+        log_mel_44k,
+        normalize_mel,
+    )
+
+    # normalization round trip + endpoints
+    m = jnp.asarray([-11.0, 3.0, -4.0])
+    n = normalize_mel(m)
+    np.testing.assert_allclose(np.asarray(n[:2]), [-1.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(denormalize_mel(n)),
+                               np.asarray(m), atol=1e-5)
+
+    # mel geometry: center=False + (win-hop)//2 pads -> exactly t/512 frames
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((1, 2, 8 * 512 * 2)) * 0.1,
+                        jnp.float32)
+    mel = log_mel_44k(audio)
+    assert mel.shape == (1, 2, 16, 128), mel.shape
+    assert bool(jnp.all(jnp.isfinite(mel)))
+
+    # tiny vocoder so the decode path runs quickly
+    vcfg = AdamosConfig(depths=(1, 1), dims=(8, 8), upsample_rates=(8, 8, 8),
+                        upsample_kernel_sizes=(16, 16, 16),
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1,),),
+                        num_mels=8, upsample_initial_channel=16)
+    voc = AdamosVocoder(vcfg)
+    vparams = voc.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 4, 128)))["params"]
+
+    codec = MusicDCAE(encoder_fn=lambda mel: mel,
+                      decoder_fn=lambda z: z,
+                      vocoder=voc, vocoder_params=vparams)
+    z = codec.encode(audio)
+    assert z.shape == mel.shape
+    # identity codec => decode undoes the latent+mel normalizations: the
+    # vocoder input equals the raw log-mel; check via the scaling inverse
+    z_back = z / 0.1786 + -1.9091
+    np.testing.assert_allclose(np.asarray(denormalize_mel(z_back)),
+                               np.asarray(mel), atol=1e-4)
+    out = codec.decode(z)
+    assert out.shape == (1, 2, 16 * 512), out.shape
+    assert np.isfinite(out).all()
+    assert codec.latent_frames(audio.shape[-1]) == 2
