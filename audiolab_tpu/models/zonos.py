@@ -22,6 +22,8 @@ TPU redesign:
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -631,3 +633,127 @@ def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
         return jnp.moveaxis(frames, 0, 2)  # (b, n_q, total)
 
     return core
+
+
+# ------------------------------------------------- checkpoint prefix bank
+
+# Phoneme symbol inventory (DATA, required for checkpoint compatibility —
+# the published phoneme_embedder rows are indexed by this exact table;
+# reference modules/zonos/conditioning.py:25-35).  espeak itself (which
+# produces the IPA string) is not in this image: plug any phonemizer in and
+# tokenize with ``tokenize_phonemes_np``.
+ZONOS_PAD_ID, ZONOS_UNK_ID, ZONOS_BOS_ID, ZONOS_EOS_ID = 0, 1, 2, 3
+_ZONOS_SYMBOLS = (
+    ';:,.!?¡¿—…"«»“”() *~-/\\&'
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    "ɑɐɒæɓʙβɔɕçɗɖðʤəɘɚɛɜɝɞɟʄɡɠɢʛɦɧħɥʜɨɪʝɭɬɫɮʟɱɯɰŋɳɲɴøɵɸθœɶʘɹɺɾɻʀʁɽʂʃʈʧʉʊʋⱱʌɣɤʍχʎʏʑʐʒʔʡʕʢǀǁǂǃˈˌːˑʼʴʰʱʲʷˠˤ˞↓↑→↗↘'̩'ᵻ"
+)
+_ZONOS_SYMBOL_TO_ID = {s: i + 4 for i, s in enumerate(_ZONOS_SYMBOLS)}
+ZONOS_PHONEME_VOCAB = 4 + len(_ZONOS_SYMBOLS)
+
+
+def tokenize_phonemes_np(phonemes: list[str]) -> np.ndarray:
+    """IPA strings -> LEFT-padded id batch [PAD..., BOS, chars, EOS]
+    (conditioning.py:148-158; unknown chars -> UNK)."""
+    ids = [[ZONOS_BOS_ID,
+            *(_ZONOS_SYMBOL_TO_ID.get(c, ZONOS_UNK_ID) for c in p),
+            ZONOS_EOS_ID] for p in phonemes]
+    longest = max(map(len, ids))
+    return np.asarray([[ZONOS_PAD_ID] * (longest - len(r)) + r for r in ids],
+                      np.int32)
+
+
+@dataclass(frozen=True)
+class CondSpec:
+    """One entry of the model config's prefix_conditioner.conditioners
+    list (conditioning.py:38-285)."""
+    type: str                 # Espeak|Fourier|Integer|Passthrough Conditioner
+    name: str
+    cond_dim: int | None = None
+    projection: str = "none"  # none | linear | mlp
+    uncond_type: str = "none"
+    input_dim: int = 1
+    min_val: float = 0.0
+    max_val: float = 1.0
+
+
+# Published Zonos-v0.1 conditioner bank shape (overridden by the model
+# config.json at load time — the list is data-driven end to end).
+DEFAULT_ZONOS_CONDITIONERS = (
+    CondSpec("EspeakPhonemeConditioner", "espeak"),
+    CondSpec("PassthroughConditioner", "speaker", cond_dim=128,
+             projection="linear", uncond_type="learned"),
+    CondSpec("FourierConditioner", "emotion", input_dim=8,
+             uncond_type="learned"),
+    CondSpec("FourierConditioner", "fmax", min_val=0.0, max_val=24000.0,
+             uncond_type="learned"),
+    CondSpec("FourierConditioner", "pitch_std", min_val=0.0, max_val=400.0,
+             uncond_type="learned"),
+    CondSpec("FourierConditioner", "speaking_rate", min_val=0.0,
+             max_val=40.0, uncond_type="learned"),
+    CondSpec("IntegerConditioner", "language_id", min_val=-1.0,
+             max_val=126.0, uncond_type="learned"),
+)
+
+
+class ZonosPrefixConditioner(nn.Module):
+    """Checkpoint-layout-faithful prefix conditioner bank
+    (conditioning.py:287-303): each spec'd conditioner embeds its slot of
+    the cond dict (or its learned uncond vector when the slot is absent),
+    sequences are concatenated along time, then the bank-level projection +
+    LayerNorm.  Conversion: utils/convert.convert_zonos_prefix."""
+
+    dim: int
+    specs: tuple = DEFAULT_ZONOS_CONDITIONERS
+    projection: str = "none"
+
+    def _project(self, x, kind, nm):
+        if kind == "linear":
+            return nn.Dense(self.dim, name=f"{nm}_proj")(x)
+        if kind == "mlp":
+            h = nn.Dense(self.dim, name=f"{nm}_proj0")(x)
+            return nn.Dense(self.dim, name=f"{nm}_proj1")(nn.silu(h))
+        return x
+
+    @nn.compact
+    def __call__(self, cond: dict):
+        outs = []
+        for s in self.specs:
+            nm = f"c_{s.name}"
+            x = cond.get(s.name)
+            # create every param regardless of which slots are present so
+            # ONE init covers the full checkpoint
+            uv = (self.param(f"{nm}_uncond", nn.initializers.zeros,
+                             (self.dim,))
+                  if s.uncond_type == "learned" else None)
+            if s.type == "EspeakPhonemeConditioner":
+                emb = nn.Embed(ZONOS_PHONEME_VOCAB, self.dim,
+                               name=f"{nm}_emb")
+                h = emb(x) if x is not None else None
+            elif s.type == "FourierConditioner":
+                w = self.param(f"{nm}_weight", nn.initializers.normal(1.0),
+                               (self.dim // 2, s.input_dim))
+                if x is not None:
+                    xn = (x - s.min_val) / (s.max_val - s.min_val)
+                    f = 2.0 * math.pi * xn @ w.T
+                    h = jnp.concatenate([jnp.cos(f), jnp.sin(f)], axis=-1)
+                else:
+                    h = None
+            elif s.type == "IntegerConditioner":
+                emb = nn.Embed(int(s.max_val - s.min_val) + 1, self.dim,
+                               name=f"{nm}_emb")
+                h = (emb(x[..., 0].astype(jnp.int32) - int(s.min_val))
+                     if x is not None else None)
+            elif s.type == "PassthroughConditioner":
+                h = x
+            else:
+                raise ValueError(s.type)
+            if h is None:
+                outs.append(uv[None, None])
+                continue
+            outs.append(self._project(h, s.projection, nm))
+        b = max(o.shape[0] for o in outs)
+        outs = [jnp.broadcast_to(o, (b,) + o.shape[1:]) for o in outs]
+        h = jnp.concatenate(outs, axis=1)
+        h = self._project(h, self.projection, "prefix")
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(h)

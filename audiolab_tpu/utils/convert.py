@@ -1798,3 +1798,73 @@ def load_acestep_lyric_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_acestep_lyric(sd, template)
+
+
+def zonos_prefix_mapping(template: dict, specs,
+                         projection: str = "none") -> dict:
+    """flax models/zonos.ZonosPrefixConditioner -> the checkpoint's
+    prefix_conditioner keys (modules/zonos/conditioning.py:38-303)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def proj(nm, base, kind):
+        if kind == "linear":
+            dense(f"{nm}_proj", f"{base}.project")
+        elif kind == "mlp":
+            dense(f"{nm}_proj0", f"{base}.project.0")
+            dense(f"{nm}_proj1", f"{base}.project.2")
+
+    for i, s in enumerate(specs):
+        b = f"conditioners.{i}"
+        nm = f"c_{s.name}"
+        if s.uncond_type == "learned":
+            m[f"{nm}_uncond"] = ("direct", f"{b}.uncond_vector")
+        if s.type == "EspeakPhonemeConditioner":
+            m[f"{nm}_emb/embedding"] = ("w", f"{b}.phoneme_embedder")
+        elif s.type == "FourierConditioner":
+            m[f"{nm}_weight"] = ("direct", f"{b}.weight")
+        elif s.type == "IntegerConditioner":
+            m[f"{nm}_emb/embedding"] = ("w", f"{b}.int_embedder")
+        proj(nm, b, s.projection)
+    proj("prefix", "", projection)
+    if projection != "none":  # strip the leading "." from the bank keys
+        m = {k: (kind, key.lstrip(".")) for k, (kind, key) in m.items()}
+    m["norm/scale"] = ("w", "norm")
+    m["norm/bias"] = ("b", "norm")
+    return m
+
+
+def convert_zonos_prefix(state_dict: dict, template: dict, specs,
+                         projection: str = "none",
+                         strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.prefix_conditioner.", "prefix_conditioner."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, zonos_prefix_mapping(template, specs,
+                                                    projection), sd, strict)
+
+
+def zonos_prefix_specs_from_config(conditioners: list) -> tuple:
+    """Model config.json ``prefix_conditioner.conditioners`` list ->
+    CondSpec tuple (data-driven: whatever the published config says is
+    what gets built and mapped)."""
+    from audiolab_tpu.models.zonos import CondSpec
+
+    return tuple(
+        CondSpec(
+            type=d["type"], name=d["name"], cond_dim=d.get("cond_dim"),
+            projection=d.get("projection", "none"),
+            uncond_type=d.get("uncond_type", "none"),
+            input_dim=d.get("input_dim", 1),
+            min_val=float(d.get("min_val", 0.0)),
+            max_val=float(d.get("max_val", 1.0)),
+        )
+        for d in conditioners
+    )

@@ -1051,3 +1051,83 @@ def test_acestep_lyric_conformer_parity():
                                    atol=1e-10)
     finally:
         _jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------- Zonos prefix bank
+
+def test_zonos_prefix_conditioner_parity():
+    """torch prefix-bank replica (published key names) ->
+    convert_zonos_prefix -> flax ZonosPrefixConditioner, fp64; both with a
+    full cond dict and with absent slots (learned uncond vectors)."""
+    from tests.torch_ref_models import ZonosPrefixTorch
+
+    import jax as _jax
+
+    from audiolab_tpu.models.zonos import CondSpec, ZonosPrefixConditioner
+    from audiolab_tpu.utils.convert import convert_zonos_prefix
+
+    dim = 12
+    specs = (
+        CondSpec("EspeakPhonemeConditioner", "espeak"),
+        CondSpec("PassthroughConditioner", "speaker", cond_dim=6,
+                 projection="mlp", uncond_type="learned"),
+        CondSpec("FourierConditioner", "emotion", input_dim=4,
+                 uncond_type="learned"),
+        CondSpec("FourierConditioner", "pitch_std", min_val=0.0,
+                 max_val=400.0, projection="linear", uncond_type="learned"),
+        CondSpec("IntegerConditioner", "language_id", min_val=-1.0,
+                 max_val=10.0, uncond_type="learned"),
+    )
+    torch.manual_seed(61)
+    t_model = ZonosPrefixTorch(dim, specs, projection="mlp").double().eval()
+    with torch.no_grad():  # make uncond vectors non-zero so a swap shows
+        for c in t_model.conditioners:
+            if hasattr(c, "uncond_vector"):
+                c.uncond_vector.normal_(0, 0.5)
+                # keep f32-representable: the flax template is f32, so
+                # fill_tree rounds through f32 before the f64 upcast
+                c.uncond_vector.copy_(c.uncond_vector.float().double())
+
+    f_model = ZonosPrefixConditioner(dim, specs, projection="mlp")
+    _jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(62)
+        full = {
+            "espeak": np.asarray([[2, 30, 40, 3]]),
+            "speaker": rng.standard_normal((1, 1, 6)),
+            "emotion": rng.random((1, 1, 4)),
+            "pitch_std": rng.random((1, 1, 1)) * 300,
+            "language_id": np.asarray([[[3]]]),
+        }
+        fj = {"espeak": jnp.asarray(full["espeak"]),
+              "speaker": jnp.asarray(full["speaker"]),
+              "emotion": jnp.asarray(full["emotion"]),
+              "pitch_std": jnp.asarray(full["pitch_std"]),
+              "language_id": jnp.asarray(full["language_id"])}
+        template = _jax.eval_shape(
+            lambda: f_model.init(_jax.random.PRNGKey(0), fj)["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_zonos_prefix(sd, template, specs, projection="mlp",
+                                      strict=True)
+        params = _jax.tree.map(lambda a: a.astype(np.float64), params)
+
+        ft = {"espeak": torch.from_numpy(full["espeak"]),
+              "speaker": torch.from_numpy(full["speaker"]),
+              "emotion": torch.from_numpy(full["emotion"]),
+              "pitch_std": torch.from_numpy(full["pitch_std"]),
+              "language_id": torch.from_numpy(full["language_id"])}
+        with torch.no_grad():
+            ref = t_model(ft).numpy()
+        out = np.asarray(f_model.apply({"params": params}, fj))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+
+        # absent slots -> learned uncond vectors
+        part_t = {"espeak": ft["espeak"], "pitch_std": ft["pitch_std"]}
+        part_f = {"espeak": fj["espeak"], "pitch_std": fj["pitch_std"]}
+        with torch.no_grad():
+            ref2 = t_model(part_t).numpy()
+        out2 = np.asarray(f_model.apply({"params": params}, part_f))
+        np.testing.assert_allclose(out2, ref2, atol=1e-10)
+    finally:
+        _jax.config.update("jax_enable_x64", False)

@@ -2203,3 +2203,68 @@ class LyricConformerTorch(nn.Module):
         for blk in self.encoders:
             x = blk(x, mask, pos)
         return self.after_norm(x)
+
+
+# ------------------------------------------------------- Zonos prefix bank
+
+class _ZpCond(nn.Module):
+    def __init__(self, dim, spec):
+        super().__init__()
+        self.spec = spec
+        cond_dim = spec.cond_dim or dim
+        if spec.projection == "linear":
+            self.project = nn.Linear(cond_dim, dim)
+        elif spec.projection == "mlp":
+            self.project = nn.Sequential(nn.Linear(cond_dim, dim), nn.SiLU(),
+                                         nn.Linear(dim, dim))
+        else:
+            self.project = nn.Identity()
+        if spec.uncond_type == "learned":
+            self.uncond_vector = nn.Parameter(torch.zeros(dim))
+        if spec.type == "EspeakPhonemeConditioner":
+            self.phoneme_embedder = nn.Embedding(189, dim)
+        elif spec.type == "FourierConditioner":
+            self.register_buffer(
+                "weight", torch.randn(dim // 2, spec.input_dim))
+        elif spec.type == "IntegerConditioner":
+            self.int_embedder = nn.Embedding(
+                int(spec.max_val - spec.min_val) + 1, dim)
+
+    def forward(self, x):
+        s = self.spec
+        if x is None:
+            return self.uncond_vector.view(1, 1, -1)
+        if s.type == "EspeakPhonemeConditioner":
+            h = self.phoneme_embedder(x)
+        elif s.type == "FourierConditioner":
+            xn = (x - s.min_val) / (s.max_val - s.min_val)
+            f = 2 * math.pi * xn.to(self.weight.dtype) @ self.weight.T
+            h = torch.cat([f.cos(), f.sin()], dim=-1)
+        elif s.type == "IntegerConditioner":
+            h = self.int_embedder(x.squeeze(-1).long() - int(s.min_val))
+        else:
+            h = x
+        return self.project(h)
+
+
+class ZonosPrefixTorch(nn.Module):
+    """Replica of conditioning.py PrefixConditioner with checkpoint key
+    names (conditioners.{i}.*, project, norm)."""
+
+    def __init__(self, dim, specs, projection="none"):
+        super().__init__()
+        self.conditioners = nn.ModuleList(_ZpCond(dim, s) for s in specs)
+        if projection == "linear":
+            self.project = nn.Linear(dim, dim)
+        elif projection == "mlp":
+            self.project = nn.Sequential(nn.Linear(dim, dim), nn.SiLU(),
+                                         nn.Linear(dim, dim))
+        else:
+            self.project = nn.Identity()
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
+
+    def forward(self, cond: dict):
+        outs = [c(cond.get(c.spec.name)) for c in self.conditioners]
+        b = max(o.shape[0] for o in outs)
+        outs = [o.expand(b, -1, -1) for o in outs]
+        return self.norm(self.project(torch.cat(outs, dim=-2)))
