@@ -512,6 +512,17 @@ class ZonosModel(nn.Module):
         h, states = self.backbone.prefill_states(x, pos, cache_len)
         return self.logits9(h[:, -1]), states, x.shape[1]
 
+    def prefill_embedded(self, x_prefix, bos_codes,
+                         cache_len: int | None = None):
+        """prefill from a PRE-EMBEDDED prefix (b, t, dim) — the path for
+        the checkpoint prefix bank (ZonosPrefixConditioner below), which
+        embeds the upstream cond dict outside the AR graph."""
+        x_bos = self.embed_codes(bos_codes)
+        x = jnp.concatenate([x_prefix, x_bos], axis=1)
+        pos = jnp.arange(x.shape[1])
+        h, states = self.backbone.prefill_states(x, pos, cache_len)
+        return self.logits9(h[:, -1]), states, x.shape[1]
+
     def decode_step(self, codes_t, pos, states):
         """codes_t (b, n_q) -> (logits9, states)."""
         x_t = self.embed_codes(codes_t[:, :, None])[:, 0]
@@ -582,14 +593,10 @@ def generate(
 from functools import lru_cache
 
 
-@lru_cache(maxsize=32)
-def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
-                   cfg_scale: float, temperature: float, top_k: int):
-    """ONE jitted graph for prefill + the whole decode scan, cached per
-    (model, shape) — the un-jitted prefill otherwise runs op-by-op with a
-    network round trip per op on tunneled TPUs."""
+def _make_sample9(model: ZonosModel, max_frames: int, cfg_scale: float,
+                  temperature: float, top_k: int):
+    """CFG-merged 9-codebook sampler shared by both decode cores."""
     c = model.cfg
-    total = max_frames + c.n_codebooks
 
     def sample9(logits2, key, step):
         lc, lu = jnp.split(logits2, 2, axis=0)  # (b, n_q, V)
@@ -608,6 +615,19 @@ def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
         toks = jnp.where(step >= q_idx, toks, c.masked_id)
         toks = jnp.where(step >= max_frames + q_idx, c.eos_id, toks)
         return toks  # (b, n_q)
+
+    return sample9
+
+
+@lru_cache(maxsize=32)
+def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
+                   cfg_scale: float, temperature: float, top_k: int):
+    """ONE jitted graph for prefill + the whole decode scan, cached per
+    (model, shape) — the un-jitted prefill otherwise runs op-by-op with a
+    network round trip per op on tunneled TPUs."""
+    c = model.cfg
+    total = max_frames + c.n_codebooks
+    sample9 = _make_sample9(model, max_frames, cfg_scale, temperature, top_k)
 
     @jax.jit
     def core(params, text2, spk2, em2, ra2, pi2, bos, rng):
@@ -631,6 +651,69 @@ def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
         (_, _, _), frames = jax.lax.scan(body, (logits, states, rng),
                                          jnp.arange(total))
         return jnp.moveaxis(frames, 0, 2)  # (b, n_q, total)
+
+    return core
+
+
+def generate_embedded(
+    model: ZonosModel,
+    params,
+    x_prefix2: jnp.ndarray,      # (2b, t_prefix, dim) [cond; uncond]
+    max_frames: int = 600,
+    cfg_scale: float = 2.0,
+    temperature: float = 1.0,
+    top_k: int = 64,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """AR generation from a pre-embedded CFG prefix pair — build it with
+    the converted ZonosPrefixConditioner over upstream cond dicts (cond
+    and uncond variants), matching model.py:190-278's conditioning flow.
+
+    Returns codes (b, n_q, max_frames) (undelayed; EOS-padded)."""
+    c = model.cfg
+    b2 = x_prefix2.shape[0]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    bos = jnp.full((b2, c.n_codebooks, 1), c.masked_id, jnp.int32)
+    total = max_frames + c.n_codebooks
+    cache_len = x_prefix2.shape[1] + 1 + total + 2
+    core = _generate_core_embedded(model, max_frames, cache_len, cfg_scale,
+                                   temperature, top_k)
+    delayed = core(params, x_prefix2, bos, rng)
+    return undelay_pattern(delayed, c.n_codebooks)
+
+
+@lru_cache(maxsize=32)
+def _generate_core_embedded(model: ZonosModel, max_frames: int,
+                            cache_len: int, cfg_scale: float,
+                            temperature: float, top_k: int):
+    """ONE jitted prefill+decode graph over an embedded prefix (same scan
+    as _generate_core; prefix embedding happens outside)."""
+    c = model.cfg
+    total = max_frames + c.n_codebooks
+    sample9 = _make_sample9(model, max_frames, cfg_scale, temperature, top_k)
+
+    @jax.jit
+    def core(params, x_prefix2, bos, rng):
+        logits, states, plen = model.apply(
+            {"params": params}, x_prefix2, bos, cache_len,
+            method=ZonosModel.prefill_embedded,
+        )
+
+        def body(carry, i):
+            logits, states, rng = carry
+            rng, key = jax.random.split(rng)
+            toks = sample9(logits, key, i)
+            toks2 = jnp.concatenate([toks, toks], axis=0)
+            pos = jnp.asarray([0], jnp.int32) + plen + i
+            logits, states = model.apply(
+                {"params": params}, toks2, pos, states,
+                method=ZonosModel.decode_step,
+            )
+            return (logits, states, rng), toks
+
+        (_, _, _), frames = jax.lax.scan(body, (logits, states, rng),
+                                         jnp.arange(total))
+        return jnp.moveaxis(frames, 0, 2)
 
     return core
 

@@ -117,3 +117,51 @@ def test_speaker_encoder_normalized():
     p = se.init(jax.random.PRNGKey(5), mel)["params"]
     e = se.apply({"params": p}, mel)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(e), axis=-1), 1.0, rtol=1e-4)
+
+
+def test_generate_embedded_prefix_bank():
+    """Checkpoint prefix bank -> generate_embedded: deterministic codes,
+    sensitive to the conditioning prefix."""
+    import numpy as np
+
+    from audiolab_tpu.models.zonos import (
+        CondSpec,
+        ZonosConfig,
+        ZonosModel,
+        ZonosPrefixConditioner,
+        generate_embedded,
+        tokenize_phonemes_np,
+    )
+
+    cfg = ZonosConfig(dim=32, n_layers=2, n_heads=2, n_codebooks=9,
+                      codebook_size=64, spk_dim=8)
+    model = ZonosModel(cfg)
+    b = 1
+    text = jnp.asarray(np.random.default_rng(0).integers(1, 50, (b, 6)))
+    params = model.init(
+        jax.random.PRNGKey(0), text, jnp.zeros((b, 8)),
+        jnp.full((b, 8), 0.125), jnp.full((b, 1), 15.0),
+        jnp.full((b, 1), 20.0),
+        jnp.full((b, 9, 1), cfg.masked_id, jnp.int32), None,
+        method=ZonosModel.prefill)["params"]
+    specs = (CondSpec("EspeakPhonemeConditioner", "espeak"),
+             CondSpec("FourierConditioner", "pitch_std", min_val=0.0,
+                      max_val=400.0, uncond_type="learned"))
+    bank = ZonosPrefixConditioner(cfg.dim, specs)
+    toks = jnp.asarray(tokenize_phonemes_np(["həlˈoʊ"]))
+    cond = {"espeak": toks, "pitch_std": jnp.full((1, 1, 1), 20.0)}
+    bparams = bank.init(jax.random.PRNGKey(1), cond)["params"]
+    p_c = bank.apply({"params": bparams}, cond)
+    p_u = bank.apply({"params": bparams}, {"espeak": jnp.zeros_like(toks)})
+    x2 = jnp.concatenate([p_c, p_u], axis=0)
+    codes = generate_embedded(model, params, x2, max_frames=6)
+    assert codes.shape == (b, 9, 6)
+    assert int(codes.max()) < cfg.codebook_size and int(codes.min()) >= 0
+    codes_b = generate_embedded(model, params, x2, max_frames=6)
+    assert bool(jnp.all(codes == codes_b))
+    p_c2 = bank.apply({"params": bparams},
+                      {"espeak": toks,
+                       "pitch_std": jnp.full((1, 1, 1), 350.0)})
+    codes_c = generate_embedded(
+        model, params, jnp.concatenate([p_c2, p_u], axis=0), max_frames=6)
+    assert not bool(jnp.all(codes_c == codes))
