@@ -204,3 +204,33 @@ def test_music_dcae_boundary():
     assert out.shape == (1, 2, 16 * 512), out.shape
     assert np.isfinite(out).all()
     assert codec.latent_frames(audio.shape[-1]) == 2
+
+
+def test_lora_apply_on_checkpoint_dit():
+    """Generic LoRA merge adapts the checkpoint-faithful DiT's attention
+    kernels (upstream trains LoRA on these projections, trainer.py:76-83)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.acestep import lora_apply
+    from audiolab_tpu.pipelines.acestep import random_checkpoint_acestep
+
+    pipe = random_checkpoint_acestep(seed=3)
+    k = pipe.params["block_0"]["attn"]["to_q"]["kernel"]
+    rng = jax.random.PRNGKey(9)
+    lora = {("block_0", "attn", "to_q"): {
+        "a": jax.random.normal(rng, (k.shape[0], 2)) * 0.1,
+        "b": jax.random.normal(rng, (2, k.shape[1])) * 0.1}}
+    merged = lora_apply(pipe.params, lora, alpha=1.0)
+    assert not np.allclose(np.asarray(merged["block_0"]["attn"]["to_q"]["kernel"]),
+                           np.asarray(k))
+    b = 1
+    text = jnp.asarray(np.random.default_rng(0).standard_normal((b, 2, 8)),
+                       jnp.float32) * 0.3
+    args = (text, jnp.ones((b, 2)), jnp.zeros((b, 8)))
+    base = pipe.generate(*args, duration=2.0, seed=5)
+    pipe.params = merged
+    adapted = pipe.generate(*args, duration=2.0, seed=5)
+    assert base.shape == adapted.shape
+    assert not bool(jnp.all(base == adapted)), "LoRA had no effect"
