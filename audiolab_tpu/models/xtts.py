@@ -208,3 +208,71 @@ class XTTS:
         wav = self.vocoder.apply({"params": self.params["vocoder"]},
                                  codes, spk)
         return np.asarray(wav[0]), c.sr
+
+
+# ------------------------------------------- checkpoint HiFi-GAN decoder
+
+class _LReLUResBlock(nn.Module):
+    """coqui ResBlock1 (vocoder/models/hifigan_generator.py:21-101):
+    [lrelu(0.1) -> dilated conv -> lrelu(0.1) -> conv] x3 with residuals."""
+
+    ch: int
+    kernel: int
+    dilations: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        for j, d in enumerate(self.dilations):
+            h = nn.leaky_relu(x, 0.1)
+            h = nn.Conv(self.ch, (self.kernel,), kernel_dilation=(d,),
+                        padding="SAME", name=f"c1_{j}")(h)
+            h = nn.leaky_relu(h, 0.1)
+            h = nn.Conv(self.ch, (self.kernel,), padding="SAME",
+                        name=f"c2_{j}")(h)
+            x = x + h
+        return x
+
+
+class XttsHifiganDecoder(nn.Module):
+    """Checkpoint-layout-faithful XTTS-v2 waveform decoder
+    (TTS/tts/layers/xtts/hifigan_decoder.py:12-66 -> vocoder HifiganGenerator
+    :165-289): GPT latents (b, t, 1024) + speaker d-vector (b, 512) ->
+    24 kHz waveform.  Quirks reproduced exactly: conv_pre/conv_post carry
+    NO weight norm (stripped at init), conv_post has no bias, the global
+    d-vector enters both through cond_layer at the stem AND through a 1x1
+    conds[i] at every upsample stage, and the final leaky_relu uses the
+    torch DEFAULT slope 0.01 (not 0.1).  Fill from the published model.pth
+    via utils/convert.convert_xtts_hifigan."""
+
+    input_dim: int = 1024
+    cond_dim: int = 512
+    upsample_rates: tuple = (8, 8, 2, 2)
+    upsample_kernels: tuple = (16, 16, 4, 4)
+    resblock_kernels: tuple = (3, 7, 11)
+    resblock_dilations: tuple = ((1, 3, 5),) * 3
+    initial_channel: int = 512
+
+    @nn.compact
+    def __call__(self, latents, g):  # (b, t, input_dim), (b, cond_dim)
+        x = nn.Conv(self.initial_channel, (7,), padding="SAME",
+                    name="conv_pre")(latents)
+        x = x + nn.Dense(self.initial_channel, name="cond_layer")(g)[:, None]
+        ch = self.initial_channel
+        for i, (u, k) in enumerate(zip(self.upsample_rates,
+                                       self.upsample_kernels)):
+            ch //= 2
+            x = nn.leaky_relu(x, 0.1)
+            # torch ConvT p=(k-u)//2 with k=2u == flax SAME + flipped kernel
+            x = nn.ConvTranspose(ch, (k,), strides=(u,), padding="SAME",
+                                 name=f"up_{i}")(x)
+            x = x + nn.Dense(ch, name=f"cond_{i}")(g)[:, None]
+            xs = 0.0
+            for j, (rk, rd) in enumerate(zip(self.resblock_kernels,
+                                             self.resblock_dilations)):
+                xs = xs + _LReLUResBlock(ch, rk, tuple(rd),
+                                         name=f"res_{i}_{j}")(x)
+            x = xs / len(self.resblock_kernels)
+        x = nn.leaky_relu(x, 0.01)  # F.leaky_relu default, NOT 0.1
+        x = nn.Conv(1, (7,), padding="SAME", use_bias=False,
+                    name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]

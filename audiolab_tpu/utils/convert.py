@@ -76,8 +76,13 @@ def fold_weight_norm(g: np.ndarray, v: np.ndarray, dim: int = 0) -> np.ndarray:
 def _get_wn(sd: dict, key: str) -> np.ndarray:
     if key + ".weight" in sd:
         return np.asarray(sd[key + ".weight"])
-    return fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
-                            np.asarray(sd[key + ".weight_v"]), dim=0)
+    if key + ".weight_g" in sd:
+        return fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
+                                np.asarray(sd[key + ".weight_v"]), dim=0)
+    # torch >= 2 parametrized weight_norm (original0 = g, original1 = v)
+    return fold_weight_norm(
+        np.asarray(sd[key + ".parametrizations.weight.original0"]),
+        np.asarray(sd[key + ".parametrizations.weight.original1"]), dim=0)
 
 
 def _get_wn2(sd: dict, key: str) -> np.ndarray:
@@ -1868,3 +1873,72 @@ def zonos_prefix_specs_from_config(conditioners: list) -> tuple:
         )
         for d in conditioners
     )
+
+
+# -------------------------------------------------------------- XTTS-v2
+
+def xtts_hifigan_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/xtts.XttsHifiganDecoder -> XTTS-v2 model.pth keys under
+    hifigan_decoder.waveform_decoder (coqui hifigan_generator.py:165-250;
+    handles both weight_g/weight_v and torch>=2 parametrizations)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key, bias=True):  # plain conv (no weight norm)
+        m[f"{path}/kernel"] = ("conv_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    conv("conv_pre", "conv_pre")
+    m["cond_layer/kernel"] = ("dense1x1_w", "cond_layer")
+    m["cond_layer/bias"] = ("bias", "cond_layer")
+    n_ups = sum(1 for k in template if k.startswith("up_"))
+    n_kernels = sum(1 for k in template if k.startswith("res_0_"))
+    for i in range(n_ups):
+        m[f"up_{i}/kernel"] = ("convTwn_w", f"ups.{i}")
+        m[f"up_{i}/bias"] = ("bias", f"ups.{i}")
+        m[f"cond_{i}/kernel"] = ("dense1x1_w", f"conds.{i}")
+        m[f"cond_{i}/bias"] = ("bias", f"conds.{i}")
+        for j in range(n_kernels):
+            flat = i * n_kernels + j
+            res = template[f"res_{i}_{j}"]
+            for dj in range(sum(1 for k in res if k.startswith("c1_"))):
+                wn(f"res_{i}_{j}/c1_{dj}", f"resblocks.{flat}.convs1.{dj}")
+                wn(f"res_{i}_{j}/c2_{dj}", f"resblocks.{flat}.convs2.{dj}")
+    conv("conv_post", "conv_post", bias=False)
+    return m
+
+
+def convert_xtts_hifigan(state_dict: dict, template: dict,
+                         strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("hifigan_decoder.waveform_decoder.",
+                    "waveform_decoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, xtts_hifigan_mapping(template), sd, strict)
+
+
+def load_xtts_hifigan_checkpoint(path: str) -> dict:
+    """XTTS-v2 model.pth -> flax params for models/xtts.XttsHifiganDecoder
+    (published geometry: 1024-d latents, 512-d d-vector, 1024x upsample)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.xtts import XttsHifiganDecoder
+
+    model = XttsHifiganDecoder()
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 1024), jnp.float32),
+                           jnp.zeros((1, 512), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_xtts_hifigan(sd, template)
