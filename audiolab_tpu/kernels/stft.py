@@ -39,6 +39,11 @@ def _dft_basis(n_fft: int, win_length: int, window: str) -> tuple[np.ndarray, np
     """
     if window == "hann":
         win = hann_window(win_length)
+    elif window == "hamming":
+        # periodic Hamming, identical to torch.hamming_window default
+        win = (0.54 - 0.46 * np.cos(
+            2.0 * np.pi * np.arange(win_length) / win_length)
+        ).astype(np.float32)
     elif window == "ones":
         win = np.ones(win_length, dtype=np.float32)
     else:

@@ -276,3 +276,115 @@ class XttsHifiganDecoder(nn.Module):
         x = nn.Conv(1, (7,), padding="SAME", use_bias=False,
                     name="conv_post")(x)
         return jnp.tanh(x)[..., 0]
+
+
+# --------------------------------------- checkpoint ResNet speaker encoder
+
+class _SELayer(nn.Module):
+    """Squeeze-excitation (encoder/models/resnet.py:8-23)."""
+
+    ch: int
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (b, h, w, c)
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.relu(nn.Dense(self.ch // self.reduction, name="fc0")(y))
+        y = jax.nn.sigmoid(nn.Dense(self.ch, name="fc1")(y))
+        return x * y[:, None, None]
+
+
+class _SEBasicBlock(nn.Module):
+    """resnet.py:26-56 — NOTE the upstream op order conv1 -> relu -> bn1
+    (bn after relu), reproduced exactly."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        h = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    name="conv1")(x)
+        h = nn.relu(h)
+        h = nn.BatchNorm(use_running_average=True, name="bn1")(h)
+        h = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=True, name="bn2")(h)
+        h = _SELayer(self.planes, name="se")(h)
+        if self.has_downsample:
+            res = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                          use_bias=False, name="down_conv")(x)
+            res = nn.BatchNorm(use_running_average=True, name="down_bn")(res)
+        return nn.relu(h + res)
+
+
+class XttsSpeakerEncoder(nn.Module):
+    """Checkpoint-layout-faithful H/ASP ResNet34-SE d-vector network
+    (TTS/encoder/models/resnet.py:59-200, instantiated by
+    hifigan_decoder.py:60-66 with input_dim=64, proj_dim=512,
+    log_input=True).  Input: mel-power frames (b, t, 64) from
+    ``speaker_mel`` below; output: (b, 512) d-vector (optionally L2).
+    Conversion: utils/convert.convert_xtts_speaker."""
+
+    input_dim: int = 64
+    proj_dim: int = 512
+    layers: tuple = (3, 4, 6, 3)
+    num_filters: tuple = (32, 64, 128, 256)
+
+    @nn.compact
+    def __call__(self, mel, l2_norm: bool = False):
+        x = jnp.log(mel + 1e-6)  # log_input=True in the XTTS instance
+        # InstanceNorm1d over time, per mel channel (no affine, eps 1e-5)
+        mu = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        x = (x - mu) / jnp.sqrt(var + 1e-5)
+        x = x.transpose(0, 2, 1)[..., None]      # (b, mel, t, 1) == NHWC
+        x = nn.Conv(self.num_filters[0], (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(use_running_average=True, name="bn1")(x)
+        inplanes = self.num_filters[0]
+        for li, (planes, blocks) in enumerate(zip(self.num_filters,
+                                                  self.layers)):
+            stride = 1 if li == 0 else 2
+            for j in range(blocks):
+                s = stride if j == 0 else 1
+                down = j == 0 and (s != 1 or inplanes != planes)
+                x = _SEBasicBlock(planes, s, down,
+                                  name=f"layer{li + 1}_{j}")(x)
+                inplanes = planes
+        # (b, h=mel/8, w, c) -> (b, w, c*h) with torch's c-major flatten
+        b, hh, ww, cc = x.shape
+        x = x.transpose(0, 2, 3, 1).reshape(b, ww, cc * hh)
+        # attentive statistics pooling (ASP)
+        w = nn.Dense(128, name="att0")(x)
+        w = nn.BatchNorm(use_running_average=True, name="att_bn")(nn.relu(w))
+        w = jax.nn.softmax(nn.Dense(cc * hh, name="att1")(w), axis=1)
+        mu = jnp.sum(x * w, axis=1)
+        sg = jnp.sqrt(jnp.clip(jnp.sum(x * x * w, axis=1) - mu * mu,
+                               1e-5, None))
+        out = nn.Dense(self.proj_dim, name="fc")(
+            jnp.concatenate([mu, sg], axis=-1))
+        if l2_norm:
+            out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return out
+
+
+def speaker_mel(wav16k: jnp.ndarray) -> jnp.ndarray:
+    """XTTS speaker-encoder front end (base_encoder.py:39-65): reflect-pad
+    preemphasis 0.97, then a torchaudio-default mel POWER spectrogram
+    (fft 512, win 400 hamming, hop 160, 64 htk mels, norm None,
+    center=True).  (b, t) 16 kHz -> (b, frames, 64)."""
+    from audiolab_tpu.kernels.mel import mel_filterbank
+    from audiolab_tpu.kernels.stft import spectrogram
+
+    x = jnp.pad(wav16k, ((0, 0), (1, 0)), mode="reflect")
+    x = x[:, 1:] - 0.97 * x[:, :-1]
+    spec = spectrogram(x, n_fft=512, hop=160, win_length=400,
+                       window="hamming", center=True, power=2.0)
+    fb = jnp.asarray(mel_filterbank(16000, 512, 64, 0.0, 8000.0,
+                                    htk=True, norm=None))
+    return spec @ fb

@@ -1942,3 +1942,101 @@ def load_xtts_hifigan_checkpoint(path: str) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_xtts_hifigan(sd, template)
+
+
+def xtts_speaker_mapping(params: dict) -> dict[str, tuple[str, str]]:
+    """flax models/xtts.XttsSpeakerEncoder params -> XTTS-v2 keys under
+    hifigan_decoder.speaker_encoder (encoder/models/resnet.py:59-150)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def bn_p(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    m["conv1/kernel"] = ("conv2_w", "conv1")
+    m["conv1/bias"] = ("bias", "conv1")
+    bn_p("bn1", "bn1")
+    for name, tpl in params.items():
+        if not name.startswith("layer"):
+            continue
+        li, j = name[5:].split("_")
+        b = f"layer{li}.{j}"
+        m[f"{name}/conv1/kernel"] = ("conv2_w", f"{b}.conv1")
+        bn_p(f"{name}/bn1", f"{b}.bn1")
+        m[f"{name}/conv2/kernel"] = ("conv2_w", f"{b}.conv2")
+        bn_p(f"{name}/bn2", f"{b}.bn2")
+        m[f"{name}/se/fc0/kernel"] = ("dense_w", f"{b}.se.fc.0")
+        m[f"{name}/se/fc0/bias"] = ("bias", f"{b}.se.fc.0")
+        m[f"{name}/se/fc1/kernel"] = ("dense_w", f"{b}.se.fc.2")
+        m[f"{name}/se/fc1/bias"] = ("bias", f"{b}.se.fc.2")
+        if "down_conv" in tpl:
+            m[f"{name}/down_conv/kernel"] = ("conv2_w", f"{b}.downsample.0")
+            bn_p(f"{name}/down_bn", f"{b}.downsample.1")
+    m["att0/kernel"] = ("dense1x1_w", "attention.0")
+    m["att0/bias"] = ("bias", "attention.0")
+    bn_p("att_bn", "attention.2")
+    m["att1/kernel"] = ("dense1x1_w", "attention.3")
+    m["att1/bias"] = ("bias", "attention.3")
+    m["fc/kernel"] = ("dense_w", "fc")
+    m["fc/bias"] = ("bias", "fc")
+    return m
+
+
+def xtts_speaker_stats_mapping(stats: dict) -> dict[str, tuple[str, str]]:
+    m: dict[str, tuple[str, str]] = {}
+
+    def bn(path, key):
+        m[f"{path}/mean"] = ("direct", f"{key}.running_mean")
+        m[f"{path}/var"] = ("direct", f"{key}.running_var")
+
+    bn("bn1", "bn1")
+    for name, tpl in stats.items():
+        if name.startswith("layer"):
+            li, j = name[5:].split("_")
+            b = f"layer{li}.{j}"
+            bn(f"{name}/bn1", f"{b}.bn1")
+            bn(f"{name}/bn2", f"{b}.bn2")
+            if "down_bn" in tpl:
+                bn(f"{name}/down_bn", f"{b}.downsample.1")
+    bn("att_bn", "attention.2")
+    return m
+
+
+def convert_xtts_speaker(state_dict: dict, variables: dict,
+                         strict: bool = True) -> dict:
+    """XTTS-v2 speaker-encoder weights -> {"params", "batch_stats"}."""
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("hifigan_decoder.speaker_encoder.", "speaker_encoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return {
+        "params": fill_tree(variables["params"],
+                            xtts_speaker_mapping(variables["params"]),
+                            sd, strict),
+        "batch_stats": fill_tree(
+            variables["batch_stats"],
+            xtts_speaker_stats_mapping(variables["batch_stats"]),
+            sd, strict),
+    }
+
+
+def load_xtts_speaker_checkpoint(path: str) -> dict:
+    """XTTS-v2 model.pth -> flax variables for XttsSpeakerEncoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.xtts import XttsSpeakerEncoder
+
+    model = XttsSpeakerEncoder()
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 40, 64), jnp.float32)))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_xtts_speaker(sd, variables)

@@ -236,3 +236,101 @@ def test_xtts_hifigan_decoder_parity(coqui_hifigan):
         np.testing.assert_allclose(out, ref, atol=1e-7)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(scope="module")
+def coqui_resnet():
+    """ResNetSpeakerEncoder from the coqui wheel, loaded standalone
+    (importing the TTS package would chain into coqpit etc.)."""
+    import importlib.util
+    import types
+
+    d = "/tmp/coqui_wheel_extract"
+    wheel = "/root/reference/wheels/coqui_tts-0.26.0-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("coqui wheel unavailable")
+    stubs = {}
+    for name, attrs in (
+        ("torchaudio", {}),
+        ("torchaudio.transforms", {"MelSpectrogram": object}),
+        ("coqpit", {"Coqpit": object}),
+        ("trainer", {}),
+        ("trainer.generic_utils", {"set_partial_state_dict": lambda *a: None}),
+        ("trainer.io", {"load_fsspec": lambda *a, **k: None}),
+        ("TTS", {}), ("TTS.encoder", {}), ("TTS.encoder.models", {}),
+        ("TTS.encoder.losses", {"AngleProtoLoss": object, "GE2ELoss": object,
+                                "SoftmaxAngleProtoLoss": object}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+            stubs[name] = mod
+    sys.modules["torchaudio"].transforms = sys.modules["torchaudio.transforms"]
+    try:
+        for mod_name, rel in (
+            ("TTS.encoder.models.base_encoder",
+             "TTS/encoder/models/base_encoder.py"),
+            ("TTS.encoder.models.resnet", "TTS/encoder/models/resnet.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(mod_name,
+                                                          f"{d}/{rel}")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = mod
+            spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"coqui resnet import failed: {e}")
+    return sys.modules["TTS.encoder.models.resnet"].ResNetSpeakerEncoder
+
+
+def test_xtts_speaker_encoder_parity(coqui_resnet):
+    """Upstream H/ASP ResNet-SE (mel input, use_torch_spec=False) ->
+    convert_xtts_speaker -> flax XttsSpeakerEncoder, fp64."""
+    torch.manual_seed(93)
+    t_model = coqui_resnet(input_dim=16, proj_dim=24, layers=[1, 1, 1, 1],
+                           num_filters=[8, 16, 32, 64], log_input=True,
+                           use_torch_spec=False).double().eval()
+    with torch.no_grad():  # randomize BN stats so a misroute shows up
+        gen = torch.Generator().manual_seed(94)
+        for mod in t_model.modules():
+            if isinstance(mod, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                mod.running_mean.normal_(0.0, 0.3, generator=gen)
+                mod.running_var.uniform_(0.5, 1.5, generator=gen)
+                mod.weight.data.copy_(
+                    mod.weight.data.uniform_(0.5, 1.5, generator=gen
+                                             ).float().double())
+                mod.bias.data.copy_(
+                    mod.bias.data.normal_(0.0, 0.3, generator=gen
+                                          ).float().double())
+                mod.running_mean.copy_(mod.running_mean.float().double())
+                mod.running_var.copy_(mod.running_var.float().double())
+
+    from audiolab_tpu.models.xtts import XttsSpeakerEncoder
+    from audiolab_tpu.utils.convert import convert_xtts_speaker
+
+    f_model = XttsSpeakerEncoder(input_dim=16, proj_dim=24,
+                                 layers=(1, 1, 1, 1),
+                                 num_filters=(8, 16, 32, 64))
+    jax.config.update("jax_enable_x64", True)
+    try:
+        mel = np.random.default_rng(95).random((2, 16, 40)) + 0.1
+        variables = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 40, 16), jnp.float64)))
+        variables = {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]}
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        conv = convert_xtts_speaker(sd, variables, strict=True)
+        conv = jax.tree.map(lambda a: a.astype(np.float64), conv)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mel), l2_norm=True).numpy()
+        out = np.asarray(f_model.apply(
+            conv, jnp.asarray(mel.transpose(0, 2, 1)), l2_norm=True))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
