@@ -388,3 +388,76 @@ def speaker_mel(wav16k: jnp.ndarray) -> jnp.ndarray:
     fb = jnp.asarray(mel_filterbank(16000, 512, 64, 0.0, 8000.0,
                                     htk=True, norm=None))
     return spec @ fb
+
+
+# ----------------------------------------------- checkpoint GPT-2 backbone
+
+class _Gpt2Block(nn.Module):
+    """transformers GPT2Block: pre-LN (eps 1e-5) -> fused-qkv causal
+    attention -> residual -> pre-LN -> gelu_new MLP -> residual."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, d = x.shape
+        dk = d // self.heads
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        qkv = nn.Dense(3 * d, name="c_attn")(h)
+        # GPT-2 column layout: [q | k | v] each d wide, THEN head-split
+        q, k, v = (a.reshape(b, t, self.heads, dk)
+                   for a in jnp.split(qkv, 3, axis=-1))
+        logits = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(
+            jnp.asarray(dk, x.dtype))
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        logits = jnp.where(mask, logits, jnp.finfo(x.dtype).min)
+        att = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", att, v).reshape(b, t, d)
+        x = x + nn.Dense(d, name="c_proj_attn")(o)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        h = nn.Dense(4 * d, name="c_fc")(h)
+        h = nn.gelu(h, approximate=True)  # GPT-2 gelu_new
+        return x + nn.Dense(d, name="c_proj_mlp")(h)
+
+
+class XttsGPT(nn.Module):
+    """Checkpoint-layout-faithful XTTS-v2 autoregressive core
+    (TTS/tts/layers/xtts/gpt.py:20-250 around a transformers GPT2Model
+    whose wpe/wte are nulled): text/mel token embeddings + per-stream
+    learned positions -> GPT-2 stack -> final_norm -> text/mel heads.
+    Conversion: utils/convert.convert_xtts_gpt.  The conditioning prefix
+    (perceiver resampler output) is passed pre-embedded as ``cond``."""
+
+    layers: int = 30
+    dim: int = 1024
+    heads: int = 16
+    n_text: int = 6681
+    n_audio: int = 1026
+    max_text: int = 402
+    max_mel: int = 605
+
+    @nn.compact
+    def __call__(self, text_ids, mel_ids, cond=None):
+        """(b, tt), (b, tm), cond (b, tc, dim) -> (text_logits, mel_logits)
+        teacher-forced over the [cond | text | mel] sequence."""
+        te = nn.Embed(self.n_text, self.dim, name="text_embedding")(text_ids)
+        tp = self.param("text_pos", nn.initializers.normal(0.02),
+                        (self.max_text, self.dim))
+        te = te + tp[: te.shape[1]]
+        me = nn.Embed(self.n_audio, self.dim, name="mel_embedding")(mel_ids)
+        mp = self.param("mel_pos", nn.initializers.normal(0.02),
+                        (self.max_mel, self.dim))
+        me = me + mp[: me.shape[1]]
+        parts = ([] if cond is None else [cond]) + [te, me]
+        x = jnp.concatenate(parts, axis=1)
+        for i in range(self.layers):
+            x = _Gpt2Block(self.dim, self.heads, name=f"h_{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
+        tc = 0 if cond is None else cond.shape[1]
+        tt = te.shape[1]
+        text_h = x[:, tc : tc + tt]
+        mel_h = x[:, tc + tt :]
+        return (nn.Dense(self.n_text, name="text_head")(text_h),
+                nn.Dense(self.n_audio, name="mel_head")(mel_h))

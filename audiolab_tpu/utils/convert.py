@@ -2040,3 +2040,70 @@ def load_xtts_speaker_checkpoint(path: str) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_xtts_speaker(sd, variables)
+
+
+def xtts_gpt_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/xtts.XttsGPT -> XTTS-v2 model.pth keys under ``gpt.``
+    (TTS/tts/layers/xtts/gpt.py:20-250; inner transformers GPT2Model at
+    ``gpt.gpt``, Conv1D kernels are already (in, out))."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    def conv1d(path, key):  # transformers Conv1D: weight (in, out)
+        m[f"{path}/kernel"] = ("w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    i = 0
+    while f"h_{i}" in template:
+        b = f"gpt.h.{i}"
+        norm(f"h_{i}/ln_1", f"{b}.ln_1")
+        conv1d(f"h_{i}/c_attn", f"{b}.attn.c_attn")
+        conv1d(f"h_{i}/c_proj_attn", f"{b}.attn.c_proj")
+        norm(f"h_{i}/ln_2", f"{b}.ln_2")
+        conv1d(f"h_{i}/c_fc", f"{b}.mlp.c_fc")
+        conv1d(f"h_{i}/c_proj_mlp", f"{b}.mlp.c_proj")
+        i += 1
+    norm("ln_f", "gpt.ln_f")
+    m["text_embedding/embedding"] = ("w", "text_embedding")
+    m["mel_embedding/embedding"] = ("w", "mel_embedding")
+    m["text_pos"] = ("direct", "text_pos_embedding.emb.weight")
+    m["mel_pos"] = ("direct", "mel_pos_embedding.emb.weight")
+    norm("final_norm", "final_norm")
+    m["text_head/kernel"] = ("dense_w", "text_head")
+    m["text_head/bias"] = ("bias", "text_head")
+    m["mel_head/kernel"] = ("dense_w", "mel_head")
+    m["mel_head/bias"] = ("bias", "mel_head")
+    return m
+
+
+def convert_xtts_gpt(state_dict: dict, template: dict,
+                     strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("gpt."):
+            k = k[4:]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, xtts_gpt_mapping(template), sd, strict)
+
+
+def load_xtts_gpt_checkpoint(path: str, **kw) -> dict:
+    """XTTS-v2 model.pth -> flax params for models/xtts.XttsGPT
+    (published geometry: 30 layers x 1024 x 16 heads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.xtts import XttsGPT
+
+    model = XttsGPT(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4), jnp.int32),
+                           jnp.zeros((1, 4), jnp.int32),
+                           jnp.zeros((1, 2, model.dim), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_xtts_gpt(sd, template)

@@ -98,10 +98,14 @@ def sat_oobleck(sat):
     import types
 
     if "torchaudio" not in sys.modules:
+        import importlib.machinery
+
         ta = types.ModuleType("torchaudio")
         tt = types.ModuleType("torchaudio.transforms")
         tt.__getattr__ = lambda a: type(a, (), {})  # e.g. T.Resample
         ta.transforms = tt
+        for mod in (ta, tt):
+            mod.__spec__ = importlib.machinery.ModuleSpec(mod.__name__, None)
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = tt
     if "alias_free_torch" not in sys.modules:
@@ -111,7 +115,10 @@ def sat_oobleck(sat):
     # transitive imports OobleckDecoder never touches (sampling/diffusion)
     for name in ("k_diffusion", "k_diffusion.sampling", "einops_exts"):
         if name not in sys.modules:
+            import importlib.machinery
+
             stub = types.ModuleType(name)
+            stub.__spec__ = importlib.machinery.ModuleSpec(name, None)
             stub.__getattr__ = lambda a: type(a, (), {})
             sys.modules[name] = stub
     try:
@@ -265,7 +272,10 @@ def coqui_resnet():
                                 "SoftmaxAngleProtoLoss": object}),
     ):
         if name not in sys.modules:
+            import importlib.machinery
+
             mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
             for k, v in attrs.items():
                 setattr(mod, k, v)
             sys.modules[name] = mod
@@ -332,5 +342,89 @@ def test_xtts_speaker_encoder_parity(coqui_resnet):
             conv, jnp.asarray(mel.transpose(0, 2, 1)), l2_norm=True))
         assert out.shape == ref.shape, (out.shape, ref.shape)
         np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_xtts_gpt_parity():
+    """XTTS GPT core vs the INSTALLED transformers GPT2Model (the exact
+    class coqui wraps, gpt.py:132-151 / tortoise autoregressive.py:219-248
+    with wpe nulled and wte unused) + torch embeddings/heads with the
+    checkpoint key names."""
+    tfm = pytest.importorskip("transformers")
+    from torch import nn as tnn
+
+    torch.manual_seed(97)
+    layers, dim, heads = 2, 32, 2
+    n_text, n_audio, tt, tm = 11, 13, 5, 7
+    cfgt = tfm.GPT2Config(vocab_size=16, n_positions=64, n_ctx=64,
+                          n_embd=dim, n_layer=layers, n_head=heads)
+    gpt = tfm.GPT2Model(cfgt).double().eval()
+
+    class _Shell(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gpt = gpt
+            self.text_embedding = tnn.Embedding(n_text, dim)
+            self.mel_embedding = tnn.Embedding(n_audio, dim)
+            self.text_pos_embedding = tnn.Module()
+            self.text_pos_embedding.emb = tnn.Embedding(8, dim)
+            self.mel_pos_embedding = tnn.Module()
+            self.mel_pos_embedding.emb = tnn.Embedding(9, dim)
+            self.final_norm = tnn.LayerNorm(dim)
+            self.text_head = tnn.Linear(dim, n_text)
+            self.mel_head = tnn.Linear(dim, n_audio)
+
+        def forward(self, text_ids, mel_ids, cond):
+            te = self.text_embedding(text_ids) + self.text_pos_embedding.emb(
+                torch.arange(text_ids.shape[1]))
+            me = self.mel_embedding(mel_ids) + self.mel_pos_embedding.emb(
+                torch.arange(mel_ids.shape[1]))
+            x = torch.cat([cond, te, me], dim=1)
+            # wpe nulled upstream -> cancel GPT2Model's built-in positions
+            h = self.gpt(inputs_embeds=x,
+                         position_ids=torch.zeros(x.shape[1],
+                                                  dtype=torch.long)
+                         ).last_hidden_state  # wpe row 0 zeroed below
+            h = self.final_norm(h)
+            tc = cond.shape[1]
+            return (self.text_head(h[:, tc:tc + text_ids.shape[1]]),
+                    self.mel_head(h[:, tc + text_ids.shape[1]:]))
+
+    shell = _Shell().double().eval()
+    with torch.no_grad():  # null the built-in wpe exactly like upstream
+        shell.gpt.wpe.weight.zero_()
+
+    from audiolab_tpu.models.xtts import XttsGPT
+    from audiolab_tpu.utils.convert import convert_xtts_gpt
+
+    f_model = XttsGPT(layers=layers, dim=dim, heads=heads, n_text=n_text,
+                      n_audio=n_audio, max_text=8, max_mel=9)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(98)
+        text = rng.integers(0, n_text, (2, tt))
+        mel = rng.integers(0, n_audio, (2, tm))
+        cond = rng.standard_normal((2, 3, dim)) * 0.5
+        template = jax.eval_shape(
+            lambda: f_model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, tt), jnp.int32),
+                jnp.zeros((1, tm), jnp.int32),
+                jnp.zeros((1, 3, dim), jnp.float64))["params"])
+        sd = {("gpt." + k): v.detach().numpy()
+              for k, v in shell.state_dict().items()}
+        params = convert_xtts_gpt(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref_t, ref_m = shell(torch.from_numpy(text),
+                                 torch.from_numpy(mel),
+                                 torch.from_numpy(cond))
+        out_t, out_m = f_model.apply(
+            {"params": params}, jnp.asarray(text), jnp.asarray(mel),
+            jnp.asarray(cond))
+        np.testing.assert_allclose(np.asarray(out_t), ref_t.numpy(),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out_m), ref_m.numpy(),
+                                   atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
