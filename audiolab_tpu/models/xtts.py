@@ -421,7 +421,7 @@ class _Gpt2Block(nn.Module):
         return x + nn.Dense(d, name="c_proj_mlp")(h)
 
 
-class XttsGPT(nn.Module):
+class XttsGPT2(nn.Module):
     """Checkpoint-layout-faithful XTTS-v2 autoregressive core
     (TTS/tts/layers/xtts/gpt.py:20-250 around a transformers GPT2Model
     whose wpe/wte are nulled): text/mel token embeddings + per-stream
@@ -461,3 +461,104 @@ class XttsGPT(nn.Module):
         mel_h = x[:, tc + tt :]
         return (nn.Dense(self.n_text, name="text_head")(text_h),
                 nn.Dense(self.n_audio, name="mel_head")(mel_h))
+
+
+# ------------------------------------- checkpoint conditioning encoders
+
+class _TortoiseAttnBlock(nn.Module):
+    """tortoise AttentionBlock (arch_utils.py:82-135) with the XTTS
+    defaults: GroupNorm32 -> fused per-head-[q|k|v] 1x1 qkv -> softmax
+    attention -> 1x1 proj, residual from the NORMALIZED input
+    (tortoise_norm=False — the upstream quirk, reproduced)."""
+
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):  # (b, t, c)
+        b, t, c = x.shape
+        groups = 32 if c > 64 else (16 if c > 16 else 8)
+        while c % groups:
+            groups //= 2
+        xn = nn.GroupNorm(num_groups=groups, epsilon=1e-5, name="norm")(x)
+        qkv = nn.Dense(3 * c, name="qkv")(xn)
+        ch = c // self.heads
+        qkv = qkv.reshape(b, t, self.heads, 3 * ch)
+        q, k, v = (qkv[..., :ch], qkv[..., ch : 2 * ch], qkv[..., 2 * ch :])
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        logits = jnp.einsum("bthd,bshd->bhts", q.astype(acc),
+                            k.astype(acc)) / jnp.sqrt(
+            jnp.asarray(ch, acc))
+        att = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("bhts,bshd->bthd", att, v.astype(acc))
+        o = o.reshape(b, t, c).astype(x.dtype)
+        return xn + nn.Dense(c, name="proj_out")(o)
+
+
+class XttsConditioningEncoder(nn.Module):
+    """gpt.py ConditioningEncoder (autoregressive.py:171-195): 1x1 lift of
+    80-mel frames to model_dim + 6 tortoise attention blocks.
+    Conversion: utils/convert.convert_xtts_conditioner."""
+
+    dim: int = 1024
+    heads: int = 16
+    blocks: int = 6
+
+    @nn.compact
+    def __call__(self, mel):  # (b, t, 80) -> (b, t, dim)
+        x = nn.Dense(self.dim, name="init")(mel)
+        for i in range(self.blocks):
+            x = _TortoiseAttnBlock(self.heads, name=f"attn_{i}")(x)
+        return x
+
+
+class XttsPerceiverResampler(nn.Module):
+    """XTTS-v2 conditioning perceiver (perceiver_encoder.py:204-274,
+    instantiated at gpt.py:103-112): 32 learned latents cross-attend to
+    the conditioning sequence WITH the latents prepended to the context
+    (cross_attn_include_queries=True), GEGLU feed-forward (inner
+    dim*4*2/3), final gamma-RMSNorm.  No biases anywhere in attention."""
+
+    dim: int = 1024
+    depth: int = 2
+    num_latents: int = 32
+    heads: int = 8
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, x):  # (b, t, dim) -> (b, num_latents, dim)
+        b = x.shape[0]
+        lat0 = self.param("latents", nn.initializers.normal(0.02),
+                          (self.num_latents, self.dim))
+        lat = jnp.broadcast_to(lat0[None], (b,) + lat0.shape)
+        inner = self.heads * self.dim_head
+        ff_inner = int(self.dim * 4 * 2 / 3)
+        acc = jnp.promote_types(x.dtype, jnp.float32)
+        for i in range(self.depth):
+            ctx = jnp.concatenate([lat, x], axis=1)
+            q = nn.Dense(inner, use_bias=False, name=f"q_{i}")(lat)
+            kv = nn.Dense(2 * inner, use_bias=False, name=f"kv_{i}")(ctx)
+            k, v = jnp.split(kv, 2, axis=-1)
+            q = _split_heads_p(q, self.heads)
+            k = _split_heads_p(k, self.heads)
+            v = _split_heads_p(v, self.heads)
+            logits = jnp.einsum("bhid,bhjd->bhij", q.astype(acc),
+                                k.astype(acc)) / jnp.sqrt(
+                jnp.asarray(self.dim_head, acc))
+            att = jax.nn.softmax(logits, axis=-1)
+            o = jnp.einsum("bhij,bhjd->bhid", att, v.astype(acc))
+            o = o.transpose(0, 2, 1, 3).reshape(b, -1, inner).astype(x.dtype)
+            lat = lat + nn.Dense(self.dim, use_bias=False,
+                                 name=f"out_{i}")(o)
+            h = nn.Dense(2 * ff_inner, name=f"ff0_{i}")(lat)
+            val, gate = jnp.split(h, 2, axis=-1)
+            h = val * nn.gelu(gate, approximate=False)   # GEGLU, exact gelu
+            lat = lat + nn.Dense(self.dim, name=f"ff1_{i}")(h)
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,))
+        n = jnp.linalg.norm(lat, axis=-1, keepdims=True)
+        return lat / jnp.maximum(n, 1e-12) * jnp.sqrt(
+            jnp.asarray(self.dim, lat.dtype)) * gamma
+
+
+def _split_heads_p(a, heads):
+    b, t, _ = a.shape
+    return a.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)

@@ -2043,7 +2043,7 @@ def load_xtts_speaker_checkpoint(path: str) -> dict:
 
 
 def xtts_gpt_mapping(template: dict) -> dict[str, tuple[str, str]]:
-    """flax models/xtts.XttsGPT -> XTTS-v2 model.pth keys under ``gpt.``
+    """flax models/xtts.XttsGPT2 -> XTTS-v2 model.pth keys under ``gpt.``
     (TTS/tts/layers/xtts/gpt.py:20-250; inner transformers GPT2Model at
     ``gpt.gpt``, Conv1D kernels are already (in, out))."""
     m: dict[str, tuple[str, str]] = {}
@@ -2090,14 +2090,14 @@ def convert_xtts_gpt(state_dict: dict, template: dict,
 
 
 def load_xtts_gpt_checkpoint(path: str, **kw) -> dict:
-    """XTTS-v2 model.pth -> flax params for models/xtts.XttsGPT
+    """XTTS-v2 model.pth -> flax params for models/xtts.XttsGPT2
     (published geometry: 30 layers x 1024 x 16 heads)."""
     import jax
     import jax.numpy as jnp
 
-    from audiolab_tpu.models.xtts import XttsGPT
+    from audiolab_tpu.models.xtts import XttsGPT2
 
-    model = XttsGPT(**kw)
+    model = XttsGPT2(**kw)
     template = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 4), jnp.int32),
@@ -2107,3 +2107,100 @@ def load_xtts_gpt_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_xtts_gpt(sd, template)
+
+
+def xtts_conditioner_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax XttsConditioningEncoder -> XTTS keys under
+    gpt.conditioning_encoder (tortoise autoregressive.py:171-195)."""
+    m: dict[str, tuple[str, str]] = {}
+    m["init/kernel"] = ("dense1x1_w", "init")
+    m["init/bias"] = ("bias", "init")
+    i = 0
+    while f"attn_{i}" in template:
+        b = f"attn.{i}"
+        m[f"attn_{i}/norm/scale"] = ("w", f"{b}.norm")
+        m[f"attn_{i}/norm/bias"] = ("b", f"{b}.norm")
+        m[f"attn_{i}/qkv/kernel"] = ("dense1x1_w", f"{b}.qkv")
+        m[f"attn_{i}/qkv/bias"] = ("bias", f"{b}.qkv")
+        m[f"attn_{i}/proj_out/kernel"] = ("dense1x1_w", f"{b}.proj_out")
+        m[f"attn_{i}/proj_out/bias"] = ("bias", f"{b}.proj_out")
+        i += 1
+    return m
+
+
+def convert_xtts_conditioner(state_dict: dict, template: dict,
+                             strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("gpt.conditioning_encoder.", "conditioning_encoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, xtts_conditioner_mapping(template), sd,
+                     strict)
+
+
+def xtts_perceiver_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax XttsPerceiverResampler -> XTTS keys under
+    gpt.conditioning_perceiver (perceiver_encoder.py:204-274)."""
+    m: dict[str, tuple[str, str]] = {"latents": ("direct", "latents"),
+                                     "norm_gamma": ("direct", "norm.gamma")}
+    i = 0
+    while f"q_{i}" in template:
+        b = f"layers.{i}"
+        m[f"q_{i}/kernel"] = ("dense_w", f"{b}.0.to_q")
+        m[f"kv_{i}/kernel"] = ("dense_w", f"{b}.0.to_kv")
+        m[f"out_{i}/kernel"] = ("dense_w", f"{b}.0.to_out")
+        m[f"ff0_{i}/kernel"] = ("dense_w", f"{b}.1.0")
+        m[f"ff0_{i}/bias"] = ("bias", f"{b}.1.0")
+        m[f"ff1_{i}/kernel"] = ("dense_w", f"{b}.1.2")
+        m[f"ff1_{i}/bias"] = ("bias", f"{b}.1.2")
+        i += 1
+    return m
+
+
+def convert_xtts_perceiver(state_dict: dict, template: dict,
+                           strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("gpt.conditioning_perceiver.", "conditioning_perceiver."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, xtts_perceiver_mapping(template), sd, strict)
+
+
+def load_xtts_conditioner_checkpoint(path: str, **kw) -> dict:
+    """XTTS-v2 model.pth -> flax params for XttsConditioningEncoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.xtts import XttsConditioningEncoder
+
+    model = XttsConditioningEncoder(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 80), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_xtts_conditioner(sd, template)
+
+
+def load_xtts_perceiver_checkpoint(path: str, **kw) -> dict:
+    """XTTS-v2 model.pth -> flax params for XttsPerceiverResampler."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.xtts import XttsPerceiverResampler
+
+    model = XttsPerceiverResampler(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, model.dim), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_xtts_perceiver(sd, template)

@@ -395,10 +395,10 @@ def test_xtts_gpt_parity():
     with torch.no_grad():  # null the built-in wpe exactly like upstream
         shell.gpt.wpe.weight.zero_()
 
-    from audiolab_tpu.models.xtts import XttsGPT
+    from audiolab_tpu.models.xtts import XttsGPT2
     from audiolab_tpu.utils.convert import convert_xtts_gpt
 
-    f_model = XttsGPT(layers=layers, dim=dim, heads=heads, n_text=n_text,
+    f_model = XttsGPT2(layers=layers, dim=dim, heads=heads, n_text=n_text,
                       n_audio=n_audio, max_text=8, max_mel=9)
     jax.config.update("jax_enable_x64", True)
     try:
@@ -426,5 +426,140 @@ def test_xtts_gpt_parity():
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(out_m), ref_m.numpy(),
                                    atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(scope="module")
+def coqui_cond_modules():
+    """ConditioningEncoder (tortoise autoregressive.py) + PerceiverResampler
+    (xtts perceiver_encoder.py) from the coqui wheel, loaded standalone."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    d = "/tmp/coqui_wheel_extract"
+    wheel = "/root/reference/wheels/coqui_tts-0.26.0-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("coqui wheel unavailable")
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+
+    stub("torchaudio")
+    stub("fsspec", open=open)
+    stub("TTS"), stub("TTS.tts"), stub("TTS.tts.layers")
+    stub("TTS.tts.layers.tortoise")
+    stub("TTS.tts.layers.xtts")
+    stub("TTS.utils")
+    stub("TTS.utils.generic_utils",
+         is_pytorch_at_least_2_4=lambda: True,
+         exists=lambda x: x is not None,
+         default=lambda a, b: a if a is not None else b)
+    stub("TTS.tts.layers.tortoise.xtransformers",
+         ContinuousTransformerWrapper=object, RelativePositionBias=object)
+    try:
+        for mod_name, rel in (
+            ("TTS.tts.layers.tortoise.arch_utils",
+             "TTS/tts/layers/tortoise/arch_utils.py"),
+            ("TTS.tts.layers.tortoise.transformer",
+             "TTS/tts/layers/tortoise/transformer.py"),
+            ("TTS.tts.layers.tortoise.autoregressive",
+             "TTS/tts/layers/tortoise/autoregressive.py"),
+            ("TTS.tts.layers.xtts.perceiver_encoder",
+             "TTS/tts/layers/xtts/perceiver_encoder.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(mod_name,
+                                                          f"{d}/{rel}")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = mod
+            spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"coqui conditioning import failed: {e}")
+    return (sys.modules["TTS.tts.layers.tortoise.autoregressive"
+                        ].ConditioningEncoder,
+            sys.modules["TTS.tts.layers.xtts.perceiver_encoder"
+                        ].PerceiverResampler)
+
+
+def test_xtts_conditioning_encoder_parity(coqui_cond_modules):
+    """Upstream ConditioningEncoder -> convert_xtts_conditioner -> flax,
+    fp64 (GroupNorm32's fp32 hard-cast bypassed for the oracle; converted
+    params round through the f32 template -> ~3e-8 floor)."""
+    CondEnc, _ = coqui_cond_modules
+    # GroupNorm32 hard-casts to fp32 (a mixed-precision-era artifact) which
+    # breaks a double()'d oracle — run it as a plain GroupNorm for fp64
+    au = sys.modules["TTS.tts.layers.tortoise.arch_utils"]
+    au.GroupNorm32.forward = torch.nn.GroupNorm.forward
+    torch.manual_seed(101)
+    t_model = CondEnc(80, 32, attn_blocks=3, num_attn_heads=4
+                      ).double().eval()
+    with torch.no_grad():  # proj_out is zero-init upstream — randomize
+        for name, p in t_model.named_parameters():
+            if "proj_out" in name:
+                p.normal_(0, 0.1)
+                p.copy_(p.float().double())
+
+    from audiolab_tpu.models.xtts import XttsConditioningEncoder
+    from audiolab_tpu.utils.convert import convert_xtts_conditioner
+
+    f_model = XttsConditioningEncoder(dim=32, heads=4, blocks=3)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        mel = np.random.default_rng(102).standard_normal((2, 80, 12))
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 4, 80), jnp.float64))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_xtts_conditioner(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mel)).numpy()
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(mel.transpose(0, 2, 1))))
+        assert out.shape == tuple(np.transpose(ref, (0, 2, 1)).shape)
+        np.testing.assert_allclose(out, ref.transpose(0, 2, 1), atol=1e-7)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_xtts_perceiver_parity(coqui_cond_modules):
+    """Upstream PerceiverResampler (cross_attn_include_queries) ->
+    convert_xtts_perceiver -> flax, fp64."""
+    _, Perceiver = coqui_cond_modules
+    torch.manual_seed(103)
+    t_model = Perceiver(dim=24, depth=2, dim_context=24, num_latents=5,
+                        dim_head=6, heads=2, ff_mult=4).double().eval()
+    with torch.no_grad():
+        t_model.latents.copy_(t_model.latents.float().double())
+
+    from audiolab_tpu.models.xtts import XttsPerceiverResampler
+    from audiolab_tpu.utils.convert import convert_xtts_perceiver
+
+    f_model = XttsPerceiverResampler(dim=24, depth=2, num_latents=5,
+                                     heads=2, dim_head=6)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = np.random.default_rng(104).standard_normal((2, 7, 24)) * 0.5
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 7, 24), jnp.float64))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_xtts_perceiver(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(x)).numpy()
+        out = np.asarray(f_model.apply({"params": params}, jnp.asarray(x)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
