@@ -438,7 +438,8 @@ class XttsGPT2(nn.Module):
     max_mel: int = 605
 
     @nn.compact
-    def __call__(self, text_ids, mel_ids, cond=None):
+    def __call__(self, text_ids, mel_ids, cond=None,
+                 return_latents: bool = False):
         """(b, tt), (b, tm), cond (b, tc, dim) -> (text_logits, mel_logits)
         teacher-forced over the [cond | text | mel] sequence."""
         te = nn.Embed(self.n_text, self.dim, name="text_embedding")(text_ids)
@@ -459,8 +460,13 @@ class XttsGPT2(nn.Module):
         tt = te.shape[1]
         text_h = x[:, tc : tc + tt]
         mel_h = x[:, tc + tt :]
-        return (nn.Dense(self.n_text, name="text_head")(text_h),
-                nn.Dense(self.n_audio, name="mel_head")(mel_h))
+        out = (nn.Dense(self.n_text, name="text_head")(text_h),
+               nn.Dense(self.n_audio, name="mel_head")(mel_h))
+        if return_latents:
+            # the v2 inference path feeds these into XttsHifiganDecoder
+            # (gpt.py:211-222: final_norm'd hidden states at mel positions)
+            return out + (mel_h,)
+        return out
 
 
 # ------------------------------------- checkpoint conditioning encoders
@@ -562,3 +568,52 @@ class XttsPerceiverResampler(nn.Module):
 def _split_heads_p(a, heads):
     b, t, _ = a.shape
     return a.reshape(b, t, heads, -1).transpose(0, 2, 1, 3)
+
+
+def xtts_gpt2_generate(model: XttsGPT2, params, text_ids, cond,
+                       max_steps: int, rng=None, temperature: float = 0.85,
+                       top_k: int = 50, start_audio: int | None = None,
+                       stop_audio: int | None = None):
+    """AR mel-code generation for the converted XttsGPT2 + the final-norm
+    latents the HiFi decoder consumes (gpt_inference.py role).
+
+    Causal masking makes not-yet-generated (padded) positions invisible to
+    earlier logits, so each scan step re-runs ONE fixed-shape forward over
+    the padded sequence — a single compiled graph, no KV-cache state
+    threading.  O(steps x forward); switch to a cached decode if profiles
+    demand it.
+
+    Returns (codes (b, max_steps), latents (b, max_steps, dim))."""
+    start_audio = model.n_audio - 2 if start_audio is None else start_audio
+    stop_audio = model.n_audio - 1 if stop_audio is None else stop_audio
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    b = text_ids.shape[0]
+    mel0 = jnp.full((b, max_steps + 1), stop_audio, jnp.int32)
+    mel0 = mel0.at[:, 0].set(start_audio)
+
+    @jax.jit
+    def run(params, text_ids, cond, rng):
+        def fwd(mel):
+            _, lm = model.apply({"params": params}, text_ids, mel, cond)
+            return lm
+
+        def body(carry, i):
+            mel, rng, done = carry
+            logits = fwd(mel)[:, i] / jnp.maximum(temperature, 1e-6)
+            k_eff = min(top_k, logits.shape[-1])
+            kth = jax.lax.top_k(logits, k_eff)[0][:, -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+            rng, key = jax.random.split(rng)
+            tok = jax.random.categorical(key, logits, axis=-1)
+            tok = jnp.where(done, stop_audio, tok)
+            done = done | (tok == stop_audio)
+            mel = mel.at[:, i + 1].set(tok.astype(jnp.int32))
+            return (mel, rng, done), None
+
+        (mel, _, _), _ = jax.lax.scan(
+            body, (mel0, rng, jnp.zeros((b,), bool)), jnp.arange(max_steps))
+        _, _, latents = model.apply({"params": params}, text_ids, mel, cond,
+                                    return_latents=True)
+        return mel[:, 1:], latents[:, 1:]
+
+    return run(params, text_ids, cond, rng)
