@@ -315,3 +315,137 @@ def random_chatterbox(seed: int = 0) -> "ChatterboxEngine":
 
     cfg = ChatterboxConfig(dim=64, n_layers=2, n_heads=4, max_seq_len=1024)
     return ChatterboxEngine(Chatterbox.random_init(cfg, seed))
+
+
+# ------------------------------------------------ XTTS-v2 checkpoint engine
+
+def xtts_cloning_mel(wav22k, mel_norms=None):
+    """XTTS-v2 conditioning mel (models/xtts.py wav_to_mel_cloning at the
+    v2 call site :265-277): 22.05 kHz, n_fft 2048, hop 256, win 1024 hann,
+    POWER spectrogram, htk mel 0..8k/80, log(clamp 1e-5), divided by the
+    checkpoint's mel_stats.  (b, t) -> (b, frames, 80)."""
+    import jax.numpy as jnp
+
+    from audiolab_tpu.kernels.mel import mel_filterbank
+    from audiolab_tpu.kernels.stft import spectrogram
+
+    spec = spectrogram(wav22k, n_fft=2048, hop=256, win_length=1024,
+                       center=True, power=2.0)
+    fb = jnp.asarray(mel_filterbank(22050, 2048, 80, 0.0, 8000.0,
+                                    htk=True, norm=None))
+    mel = jnp.log(jnp.clip(spec @ fb, 1e-5, None))
+    if mel_norms is not None:
+        mel = mel / jnp.asarray(mel_norms)[None, None, :]
+    return mel
+
+
+class XttsCheckpointEngine:
+    """The converted XTTS-v2 stack behind one TTS-engine facade
+    (reference handlers/tts.py:16-126 Coqui path): reference audio ->
+    per-6s-chunk conditioning perceiver latents (meaned) + H/ASP d-vector,
+    then text tokens -> AR GPT decode -> final-norm latents -> HiFi
+    decoder at 24 kHz.  All five weighted modules load from the published
+    model.pth via utils/convert.load_xtts_*_checkpoint."""
+
+    sr_out = 24000
+
+    def __init__(self, gpt, gpt_params, cond_enc, cond_params, perceiver,
+                 perc_params, spk_enc, spk_vars, decoder, dec_params,
+                 mel_norms=None, tokenize=None):
+        self.gpt, self.gpt_params = gpt, gpt_params
+        self.cond_enc, self.cond_params = cond_enc, cond_params
+        self.perceiver, self.perc_params = perceiver, perc_params
+        self.spk_enc, self.spk_vars = spk_enc, spk_vars
+        self.decoder, self.dec_params = decoder, dec_params
+        self.mel_norms = mel_norms
+        self.tokenize = tokenize or (lambda s: np.frombuffer(
+            s.encode()[: self.gpt.max_text - 1], np.uint8).astype(np.int32)
+            % self.gpt.n_text)
+
+    def conditioning(self, ref_wav, sr):
+        from audiolab_tpu.kernels.resample import resample_poly_np
+        from audiolab_tpu.models.xtts import speaker_mel
+
+        x = np.asarray(ref_wav, np.float32)
+        w22 = resample_poly_np(x, sr, 22050) if sr != 22050 else x
+        chunk = 22050 * 6
+        embs = []
+        for i in range(0, len(w22), chunk):
+            piece = w22[i : i + chunk]
+            if len(piece) < 22050 * 0.33:
+                continue
+            mel = xtts_cloning_mel(jnp.asarray(piece)[None], self.mel_norms)
+            h = self.cond_enc.apply({"params": self.cond_params}, mel)
+            embs.append(self.perceiver.apply({"params": self.perc_params}, h))
+        lat = jnp.mean(jnp.stack(embs), axis=0)
+        w16 = resample_poly_np(x, sr, 16000) if sr != 16000 else x
+        d = self.spk_enc.apply(self.spk_vars,
+                               speaker_mel(jnp.asarray(w16)[None]),
+                               l2_norm=True)
+        return lat, d
+
+    def synthesize(self, text, ref_wav=None, ref_sr=None, cond=None,
+                   d_vector=None, max_steps=200, seed=0, **kw):
+        from audiolab_tpu.models.xtts import xtts_gpt2_generate
+
+        if cond is None:
+            cond, d_vector = self.conditioning(ref_wav, ref_sr)
+        ids = jnp.asarray(self.tokenize(text))[None]
+        max_steps = min(max_steps, self.gpt.max_mel - 1)
+        _, latents = xtts_gpt2_generate(
+            self.gpt, self.gpt_params, ids, cond, max_steps,
+            rng=jax.random.PRNGKey(seed), **kw)
+        wav = self.decoder.apply({"params": self.dec_params}, latents,
+                                 d_vector)
+        return np.asarray(wav[0]), self.sr_out
+
+    # ---- serve/tts_api backend protocol (voice store like CloningFacade)
+
+    def register_voice(self, name: str, wav, sr: int) -> None:
+        self.voices = getattr(self, "voices", {})
+        self.voices[name] = self.conditioning(wav, sr)
+
+    def generate(self, text: str, voice: str = "default", speed: float = 1.0):
+        voices = getattr(self, "voices", {})
+        if voice not in voices:
+            if not voices:
+                raise ValueError("no voices registered; call register_voice")
+            voice = next(iter(voices))
+        cond, d = voices[voice]
+        return self.synthesize(text, cond=cond, d_vector=d)
+
+
+def random_xtts_checkpoint(seed: int = 0) -> XttsCheckpointEngine:
+    """Tiny random-weight XttsCheckpointEngine (smoke tests)."""
+    from audiolab_tpu.models.xtts import (
+        XttsConditioningEncoder,
+        XttsGPT2,
+        XttsHifiganDecoder,
+        XttsPerceiverResampler,
+        XttsSpeakerEncoder,
+    )
+
+    dim, sdim = 32, 24
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    gpt = XttsGPT2(layers=2, dim=dim, heads=2, n_text=40, n_audio=30,
+                   max_text=32, max_mel=64)
+    cond_enc = XttsConditioningEncoder(dim=dim, heads=4, blocks=2)
+    perc = XttsPerceiverResampler(dim=dim, depth=1, num_latents=6, heads=2,
+                                  dim_head=8)
+    spk = XttsSpeakerEncoder(layers=(1, 1, 1, 1), num_filters=(8, 16, 32, 64),
+                             proj_dim=sdim)
+    dec = XttsHifiganDecoder(input_dim=dim, cond_dim=sdim,
+                             upsample_rates=(4, 4), upsample_kernels=(8, 8),
+                             resblock_kernels=(3,),
+                             resblock_dilations=((1, 3),),
+                             initial_channel=32)
+    gp = gpt.init(ks[0], jnp.zeros((1, 4), jnp.int32),
+                  jnp.zeros((1, 4), jnp.int32),
+                  jnp.zeros((1, 6, dim)))["params"]
+    cp = cond_enc.init(ks[1], jnp.zeros((1, 8, 80)))["params"]
+    pp = perc.init(ks[2], jnp.zeros((1, 8, dim)))["params"]
+    sv = spk.init(ks[3], jnp.zeros((1, 40, 64)))
+    sv = {"params": sv["params"], "batch_stats": sv["batch_stats"]}
+    dp = dec.init(ks[4], jnp.zeros((1, 4, dim)), jnp.zeros((1, sdim)))["params"]
+    return XttsCheckpointEngine(gpt, gp, cond_enc, cp, perc, pp, spk, sv,
+                                dec, dp)

@@ -172,3 +172,28 @@ def test_xtts_gpt2_generate_to_audio():
     dp = dec.init(jax.random.PRNGKey(1), lat, g)["params"]
     wav = dec.apply({"params": dp}, lat, g)
     assert wav.shape == (b, 8 * 256) and bool(jnp.all(jnp.isfinite(wav)))
+
+
+def test_xtts_checkpoint_engine_clone():
+    """Full converted-layout XTTS-v2 facade: 7 s reference (2 conditioning
+    chunks) -> cloned synthesis at 24 kHz; deterministic and
+    reference-sensitive."""
+    import numpy as np
+
+    from audiolab_tpu.pipelines.tts import random_xtts_checkpoint
+
+    eng = random_xtts_checkpoint()
+    sr = 22050
+    t = np.arange(int(sr * 7.0)) / sr
+    ref = (0.3 * np.sin(2 * np.pi * 200 * t)
+           * (1 + 0.2 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+    wav, out_sr = eng.synthesize("hello there", ref_wav=ref, ref_sr=sr,
+                                 max_steps=12)
+    assert out_sr == 24000 and wav.ndim == 1 and np.isfinite(wav).all()
+    wav2, _ = eng.synthesize("hello there", ref_wav=ref, ref_sr=sr,
+                             max_steps=12)
+    assert np.array_equal(wav, wav2)
+    ref2 = (0.3 * np.sin(2 * np.pi * 700 * t)).astype(np.float32)
+    wav3, _ = eng.synthesize("hello there", ref_wav=ref2, ref_sr=sr,
+                             max_steps=12)
+    assert not np.array_equal(wav, wav3)
