@@ -617,3 +617,88 @@ def xtts_gpt2_generate(model: XttsGPT2, params, text_ids, cond,
         return mel[:, 1:], latents[:, 1:]
 
     return run(params, text_ids, cond, rng)
+
+
+# --------------------------------------------------- checkpoint DVAE
+
+class _DVAEResBlock(nn.Module):
+    """dvae.py ResBlock: conv3-relu-conv3-relu-conv1 + residual."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Conv(self.ch, (3,), padding=((1, 1),),
+                            name="c0")(x))
+        h = nn.relu(nn.Conv(self.ch, (3,), padding=((1, 1),),
+                            name="c1")(h))
+        return x + nn.Conv(self.ch, (1,), name="c2")(h)
+
+
+class XttsDVAE(nn.Module):
+    """Checkpoint-layout-faithful XTTS discrete mel VAE
+    (TTS/tts/layers/xtts/dvae.py:202-366 at the trainer config
+    gpt_trainer.py:170-181: 1-D, 80 mels, 2 stride-2 conv layers, 3
+    resblocks, 1024-token EMA codebook, nearest-upsample decoder).  This
+    is the TRAINING-side code producer (GPT inference decodes latents
+    through XttsHifiganDecoder instead).  Conversion:
+    utils/convert.convert_xtts_dvae (dvae.pth)."""
+
+    channels: int = 80
+    num_tokens: int = 1024
+    codebook_dim: int = 512
+    hidden_dim: int = 512
+    num_layers: int = 2
+    num_resnet_blocks: int = 3
+
+    def setup(self):
+        self.enc_convs = [
+            nn.Conv(self.hidden_dim * 2 ** i, (3,), strides=(2,),
+                    padding=((1, 1),), name=f"enc_conv_{i}")
+            for i in range(self.num_layers)
+        ]
+        inner = self.hidden_dim * 2 ** (self.num_layers - 1)
+        self.enc_res = [_DVAEResBlock(inner, name=f"enc_res_{j}")
+                        for j in range(self.num_resnet_blocks)]
+        self.enc_out = nn.Conv(self.codebook_dim, (1,), name="enc_out")
+        self.embed = self.param("embed", nn.initializers.normal(1.0),
+                                (self.codebook_dim, self.num_tokens))
+        self.dec_in = nn.Conv(inner, (1,), name="dec_in")
+        self.dec_res = [_DVAEResBlock(inner, name=f"dec_res_{j}")
+                        for j in range(self.num_resnet_blocks)]
+        # dec channel ladder mirrors the encoder reversed:
+        # [inner -> ... -> hidden_dim]
+        dec_outs = [self.hidden_dim * 2 ** (self.num_layers - 1 - i)
+                    for i in range(self.num_layers)]
+        self.dec_ups = [
+            nn.Conv(dec_outs[i], (3,), padding=((1, 1),),
+                    name=f"dec_up_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.dec_out = nn.Conv(self.channels, (1,), name="dec_out")
+
+    def encode(self, mel):
+        """(b, t, 80) -> codes (b, t // 2**num_layers)."""
+        x = mel
+        for conv in self.enc_convs:
+            x = nn.relu(conv(x))
+        for rb in self.enc_res:
+            x = rb(x)
+        z = self.enc_out(x)
+        dist = (jnp.sum(z * z, -1, keepdims=True) - 2.0 * z @ self.embed
+                + jnp.sum(self.embed * self.embed, 0)[None, None])
+        return jnp.argmin(dist, axis=-1)
+
+    def decode(self, codes):
+        """codes (b, n) -> mel (b, n * 2**num_layers, 80)."""
+        z = self.embed.T[codes]
+        x = self.dec_in(z)
+        for rb in self.dec_res:
+            x = rb(x)
+        for conv in self.dec_ups:
+            x = jnp.repeat(x, 2, axis=1)  # nearest x2 (UpsampledConv)
+            x = nn.relu(conv(x))
+        return self.dec_out(x)
+
+    def __call__(self, mel):
+        return self.decode(self.encode(mel))

@@ -2204,3 +2204,64 @@ def load_xtts_perceiver_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_xtts_perceiver(sd, template)
+
+
+def xtts_dvae_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/xtts.XttsDVAE -> the published dvae.pth keys
+    (dvae.py:202-366 Sequential index layout; codebook.embed is an EMA
+    buffer, converted as the codebook)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    n_layers = sum(1 for k in template if k.startswith("enc_conv_"))
+    n_res = sum(1 for k in template if k.startswith("enc_res_"))
+    for i in range(n_layers):
+        conv(f"enc_conv_{i}", f"encoder.{i}.0")
+    for j in range(n_res):
+        b = f"encoder.{n_layers + j}.net"
+        conv(f"enc_res_{j}/c0", f"{b}.0")
+        conv(f"enc_res_{j}/c1", f"{b}.2")
+        conv(f"enc_res_{j}/c2", f"{b}.4")
+    conv("enc_out", f"encoder.{n_layers + n_res}")
+    m["embed"] = ("direct", "codebook.embed")
+    conv("dec_in", "decoder.0")
+    for j in range(n_res):
+        b = f"decoder.{1 + j}.net"
+        conv(f"dec_res_{j}/c0", f"{b}.0")
+        conv(f"dec_res_{j}/c1", f"{b}.2")
+        conv(f"dec_res_{j}/c2", f"{b}.4")
+    for i in range(n_layers):
+        conv(f"dec_up_{i}", f"decoder.{1 + n_res + i}.0.conv")
+    conv("dec_out", f"decoder.{1 + n_res + n_layers}")
+    return m
+
+
+def convert_xtts_dvae(state_dict: dict, template: dict,
+                      strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("dvae."):
+            k = k[5:]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, xtts_dvae_mapping(template), sd, strict)
+
+
+def load_xtts_dvae_checkpoint(path: str, **kw) -> dict:
+    """dvae.pth -> flax params for models/xtts.XttsDVAE."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.xtts import XttsDVAE
+
+    model = XttsDVAE(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, model.channels),
+                                     jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_xtts_dvae(sd, template)

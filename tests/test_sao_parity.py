@@ -563,3 +563,80 @@ def test_xtts_perceiver_parity(coqui_cond_modules):
         np.testing.assert_allclose(out, ref, atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+@pytest.fixture(scope="module")
+def coqui_dvae():
+    """DiscreteVAE from the coqui wheel, loaded standalone."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    d = "/tmp/coqui_wheel_extract"
+    wheel = "/root/reference/wheels/coqui_tts-0.26.0-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("coqui wheel unavailable")
+    for name, attrs in (("torchaudio", {}),
+                        ("TTS", {}), ("TTS.utils", {}),
+                        ("TTS.utils.generic_utils",
+                         {"is_pytorch_at_least_2_4": lambda: True})):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    spec = importlib.util.spec_from_file_location(
+        "TTS.tts.layers.xtts.dvae", f"{d}/TTS/tts/layers/xtts/dvae.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        sys.modules["TTS.tts.layers.xtts.dvae"] = mod
+        spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"dvae import failed: {e}")
+    return mod.DiscreteVAE
+
+
+def test_xtts_dvae_parity(coqui_dvae):
+    """Upstream DiscreteVAE at the XTTS trainer config (scaled) ->
+    convert_xtts_dvae -> flax: codes AND reconstruction parity, fp64."""
+    torch.manual_seed(111)
+    t_model = coqui_dvae(
+        channels=12, normalization=None, positional_dims=1, num_tokens=20,
+        codebook_dim=16, hidden_dim=8, num_resnet_blocks=2, kernel_size=3,
+        num_layers=2, use_transposed_convs=False).double().eval()
+    with torch.no_grad():  # EMA codebook starts randn — snap to f32 grid
+        t_model.codebook.embed.copy_(t_model.codebook.embed.float().double())
+
+    from audiolab_tpu.models.xtts import XttsDVAE
+    from audiolab_tpu.utils.convert import convert_xtts_dvae
+
+    f_model = XttsDVAE(channels=12, num_tokens=20, codebook_dim=16,
+                       hidden_dim=8, num_layers=2, num_resnet_blocks=2)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        mel = np.random.default_rng(112).standard_normal((2, 12, 16))
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8, 12), jnp.float64))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_xtts_dvae(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref_codes = t_model.get_codebook_indices(
+                torch.from_numpy(mel)).numpy()
+            ref_mel = t_model.decode(torch.from_numpy(ref_codes))[0].numpy()
+        codes = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(mel.transpose(0, 2, 1)),
+            method=XttsDVAE.encode))
+        np.testing.assert_array_equal(codes, ref_codes)
+        rec = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(codes),
+                                       method=XttsDVAE.decode))
+        np.testing.assert_allclose(rec.transpose(0, 2, 1), ref_mel,
+                                   atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
