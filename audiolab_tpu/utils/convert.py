@@ -2265,3 +2265,58 @@ def load_xtts_dvae_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_xtts_dvae(sd, template)
+
+
+def audiosr_vocoder_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/audiosr_vocoder.AudioSRVocoder -> audiosr 48k vocoder
+    keys (hifigan/models_v2.py:154-230; all convs weight-normed)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def wn(path, key):
+        m[f"{path}/kernel"] = ("convwn_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    wn("conv_pre", "conv_pre")
+    n_ups = sum(1 for k in template if k.startswith("up_"))
+    n_kernels = sum(1 for k in template if k.startswith("res_0_"))
+    for i in range(n_ups):
+        m[f"up_{i}/kernel"] = ("convTwn_w", f"ups.{i}")
+        m[f"up_{i}/bias"] = ("bias", f"ups.{i}")
+        for j in range(n_kernels):
+            flat = i * n_kernels + j
+            res = template[f"res_{i}_{j}"]
+            for dj in range(sum(1 for k in res if k.startswith("c1_"))):
+                wn(f"res_{i}_{j}/c1_{dj}", f"resblocks.{flat}.convs1.{dj}")
+                wn(f"res_{i}_{j}/c2_{dj}", f"resblocks.{flat}.convs2.{dj}")
+    wn("conv_post", "conv_post")
+    return m
+
+
+def convert_audiosr_vocoder(state_dict: dict, template: dict,
+                            strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("first_stage_model.vocoder.", "vocoder.", "generator."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, audiosr_vocoder_mapping(template), sd, strict)
+
+
+def load_audiosr_vocoder_checkpoint(path: str, **kw) -> dict:
+    """AudioSR checkpoint -> flax params for AudioSRVocoder (48k config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.audiosr_vocoder import AudioSRVocoder
+
+    model = AudioSRVocoder(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, model.num_mels),
+                                     jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_audiosr_vocoder(sd, template)

@@ -640,3 +640,63 @@ def test_xtts_dvae_parity(coqui_dvae):
                                    atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_audiosr_vocoder_parity():
+    """audiosr wheel's models_v2 Generator (48k config, scaled channels;
+    incl. the odd stride-5 ConvTranspose) -> convert_audiosr_vocoder ->
+    flax, fp64."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    d = "/tmp/audiosr_wheel_extract"
+    wheel = "/root/reference/wheels/audiosr-0.0.9-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("audiosr wheel unavailable")
+    spec = importlib.util.spec_from_file_location(
+        "audiosr_hifigan_v2", f"{d}/audiosr/hifigan/models_v2.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"audiosr import failed: {e}")
+
+    class H:  # AttrDict-style hparams, 48k shape scaled down
+        resblock = "1"
+        upsample_rates = [6, 5, 4, 2, 2]
+        upsample_kernel_sizes = [12, 10, 8, 4, 4]
+        upsample_initial_channel = 64
+        resblock_kernel_sizes = [3, 7]
+        resblock_dilation_sizes = [[1, 3, 5], [1, 3, 5]]
+
+    torch.manual_seed(121)
+    t_model = mod.Generator(H()).double().eval()
+
+    from audiolab_tpu.models.audiosr_vocoder import AudioSRVocoder
+    from audiolab_tpu.utils.convert import convert_audiosr_vocoder
+
+    f_model = AudioSRVocoder(num_mels=256, initial_channel=64,
+                             upsample_rates=(6, 5, 4, 2, 2),
+                             resblock_kernels=(3, 7),
+                             resblock_dilations=((1, 3, 5),) * 2)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        mel = np.random.default_rng(122).standard_normal((2, 256, 5)) * 0.5
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 4, 256), jnp.float64))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_audiosr_vocoder(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mel)).numpy()[:, 0]
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(mel.transpose(0, 2, 1))))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-7)
+    finally:
+        jax.config.update("jax_enable_x64", False)
