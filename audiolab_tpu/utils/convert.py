@@ -2320,3 +2320,82 @@ def load_audiosr_vocoder_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_audiosr_vocoder(sd, template)
+
+
+def audiosr_vae_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/audiosr_vae.AudioSRVAE -> AudioSR first_stage keys
+    (latent_encoder/autoencoder.py + diffusionmodules/model.py layout)."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv2_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    def res(path, key, tpl):
+        norm(f"{path}/norm1", f"{key}.norm1")
+        conv(f"{path}/conv1", f"{key}.conv1")
+        norm(f"{path}/norm2", f"{key}.norm2")
+        conv(f"{path}/conv2", f"{key}.conv2")
+        if "nin_shortcut" in tpl:
+            conv(f"{path}/nin_shortcut", f"{key}.nin_shortcut")
+
+    def attn(path, key):
+        norm(f"{path}/norm", f"{key}.norm")
+        for p in ("q", "k", "v", "proj_out"):
+            conv(f"{path}/{p}", f"{key}.{p}")
+
+    for side in ("encoder", "decoder"):
+        s = template[side]
+        conv(f"{side}/conv_in", f"{side}.conv_in")
+        res(f"{side}/mid_1", f"{side}.mid.block_1", s["mid_1"])
+        attn(f"{side}/mid_attn", f"{side}.mid.attn_1")
+        res(f"{side}/mid_2", f"{side}.mid.block_2", s["mid_2"])
+        norm(f"{side}/norm_out", f"{side}.norm_out")
+        conv(f"{side}/conv_out", f"{side}.conv_out")
+        for name, tpl in s.items():
+            if name.startswith("down_") and not name.endswith("_ds"):
+                _, li, bi = name.split("_")
+                res(f"{side}/{name}", f"{side}.down.{li}.block.{bi}", tpl)
+            elif name.endswith("_ds"):
+                li = name.split("_")[1]
+                conv(f"{side}/{name}", f"{side}.down.{li}.downsample.conv")
+            elif name.startswith("up_") and not name.endswith("_us"):
+                _, li, bi = name.split("_")
+                res(f"{side}/{name}", f"{side}.up.{li}.block.{bi}", tpl)
+            elif name.endswith("_us"):
+                li = name.split("_")[1]
+                conv(f"{side}/{name}", f"{side}.up.{li}.upsample.conv")
+    conv("quant_conv", "quant_conv")
+    conv("post_quant_conv", "post_quant_conv")
+    return m
+
+
+def convert_audiosr_vae(state_dict: dict, template: dict,
+                        strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("first_stage_model."):
+            k = k[len("first_stage_model."):]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, audiosr_vae_mapping(template), sd, strict)
+
+
+def load_audiosr_vae_checkpoint(path: str, **kw) -> dict:
+    """AudioSR checkpoint -> flax params for AudioSRVAE."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.audiosr_vae import AudioSRVAE
+
+    model = AudioSRVAE(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 1), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_audiosr_vae(sd, template)

@@ -700,3 +700,91 @@ def test_audiosr_vocoder_parity():
         np.testing.assert_allclose(out, ref, atol=1e-7)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_audiosr_vae_parity():
+    """audiosr wheel's AutoencoderKL Encoder/Decoder + quant convs ->
+    convert_audiosr_vae -> flax, fp64 (mean-latent roundtrip)."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    d = "/tmp/audiosr_wheel_extract"
+    wheel = "/root/reference/wheels/audiosr-0.0.9-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("audiosr wheel unavailable")
+    # model.py imports diffusers' DiagonalGaussianDistribution (absent) —
+    # stub it; the Encoder/Decoder under test never touch it
+    for name, attrs in (
+        ("diffusers", {}), ("diffusers.models", {}),
+        ("diffusers.models.autoencoders", {}),
+        ("diffusers.models.autoencoders.vae",
+         {"DiagonalGaussianDistribution": object}),
+        ("audiosr", {}), ("audiosr.latent_diffusion", {}),
+        ("audiosr.latent_diffusion.modules", {}),
+        ("audiosr.latent_diffusion.util",
+         {"instantiate_from_config": lambda c: None}),
+        ("audiosr.latent_diffusion.modules.attention",
+         {"LinearAttention": torch.nn.Module}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    spec = importlib.util.spec_from_file_location(
+        "audiosr_ldm_model",
+        f"{d}/audiosr/latent_diffusion/modules/diffusionmodules/model.py")
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:
+        pytest.skip(f"audiosr model import failed: {e}")
+
+    cfg = dict(ch=32, out_ch=1, ch_mult=(1, 2), num_res_blocks=1,
+               attn_resolutions=[], dropout=0.0, in_channels=1,
+               resolution=64, z_channels=4, double_z=True)
+    torch.manual_seed(131)
+    t_enc = mod.Encoder(**cfg).double().eval()
+    t_dec = mod.Decoder(**cfg).double().eval()
+    t_q = torch.nn.Conv2d(8, 8, 1).double()
+    t_pq = torch.nn.Conv2d(4, 4, 1).double()
+
+    from audiolab_tpu.models.audiosr_vae import AudioSRVAE
+    from audiolab_tpu.utils.convert import convert_audiosr_vae
+
+    f_model = AudioSRVAE(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         z_channels=4, embed_dim=4)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        fbank = np.random.default_rng(132).standard_normal((2, 1, 8, 12))
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8, 12, 1),
+                                           jnp.float64))["params"])
+        sd = {("encoder." + k): v.detach().numpy()
+              for k, v in t_enc.state_dict().items()}
+        sd.update({("decoder." + k): v.detach().numpy()
+                   for k, v in t_dec.state_dict().items()})
+        sd.update({("quant_conv." + k): v.detach().numpy()
+                   for k, v in t_q.state_dict().items()})
+        sd.update({("post_quant_conv." + k): v.detach().numpy()
+                   for k, v in t_pq.state_dict().items()})
+        params = convert_audiosr_vae(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            x = torch.from_numpy(fbank)
+            moments = t_q(t_enc(x))
+            mean = moments[:, :4]
+            ref = t_dec(t_pq(mean)).numpy()
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(fbank.transpose(0, 2, 3, 1))))
+        out = out.transpose(0, 3, 1, 2)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
