@@ -2399,3 +2399,112 @@ def load_audiosr_vae_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_audiosr_vae(sd, template)
+
+
+def audiosr_unet_mapping(cfg=None) -> dict[str, tuple[str, str]]:
+    """flax models/audiosr_unet.AudioSRUNet -> AudioSR
+    model.diffusion_model keys — generated from the SAME
+    unet_layer_schedule as the flax module, so torch Sequential indices
+    always line up."""
+    from audiolab_tpu.models.audiosr_unet import (
+        AudioSRUNetConfig,
+        unet_layer_schedule,
+    )
+
+    cfg = cfg or AudioSRUNetConfig()
+    m: dict[str, tuple[str, str]] = {}
+
+    def conv(path, key):
+        m[f"{path}/kernel"] = ("conv2_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    def res(path, key, inp, out):
+        norm(f"{path}/norm_in", f"{key}.in_layers.0")
+        conv(f"{path}/conv_in", f"{key}.in_layers.2")
+        dense(f"{path}/emb", f"{key}.emb_layers.1")
+        norm(f"{path}/norm_out", f"{key}.out_layers.0")
+        conv(f"{path}/conv_out", f"{key}.out_layers.3")
+        if inp != out:
+            conv(f"{path}/skip", f"{key}.skip_connection")
+
+    def attn(path, key):
+        norm(f"{path}/norm", f"{key}.norm")
+        conv(f"{path}/proj_in", f"{key}.proj_in")
+        tb = f"{key}.transformer_blocks.0"
+        for a in ("attn1", "attn2"):
+            for p in ("q", "k", "v"):
+                dense(f"{path}/{a}_{p}", f"{tb}.{a}.to_{p}", bias=False)
+            dense(f"{path}/{a}_out", f"{tb}.{a}.to_out.0")
+        for i in (1, 2, 3):
+            norm(f"{path}/norm{i}", f"{tb}.norm{i}")
+        dense(f"{path}/ff0", f"{tb}.ff.net.0.proj")
+        dense(f"{path}/ff1", f"{tb}.ff.net.2")
+        conv(f"{path}/proj_out", f"{key}.proj_out")
+
+    def block(prefix, tkey, layers):
+        for j, (kind, p) in enumerate(layers):
+            nm = f"{prefix}_{j}"
+            tk = f"{tkey}.{j}"
+            if kind == "conv_in":
+                conv(nm, tk)
+            elif kind == "res":
+                res(nm, tk, p["inp"], p["out"])
+            elif kind == "attn":
+                attn(nm, tk)
+            elif kind == "down":
+                conv(nm, f"{tk}.op")
+            elif kind == "up":
+                conv(nm, f"{tk}.conv")
+
+    dense("time_0", "time_embed.0")
+    dense("time_2", "time_embed.2")
+    inputs, middle, outputs = unet_layer_schedule(cfg)
+    for i, layers in enumerate(inputs):
+        block(f"in_{i}", f"input_blocks.{i}", layers)
+    block("mid", "middle_block", middle)
+    for i, layers in enumerate(outputs):
+        block(f"out_{i}", f"output_blocks.{i}", layers)
+    norm("norm_out", "out.0")
+    conv("conv_out", "out.2")
+    return m
+
+
+def convert_audiosr_unet(state_dict: dict, template: dict, cfg=None,
+                         strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model.diffusion_model."):
+            k = k[len("model.diffusion_model."):]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, audiosr_unet_mapping(cfg), sd, strict)
+
+
+def load_audiosr_unet_checkpoint(path: str, cfg=None) -> dict:
+    """AudioSR checkpoint -> flax params for AudioSRUNet (basic config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.audiosr_unet import (
+        AudioSRUNet,
+        AudioSRUNetConfig,
+    )
+
+    cfg = cfg or AudioSRUNetConfig()
+    model = AudioSRUNet(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 8, cfg.in_channels), jnp.float32),
+                           jnp.zeros((1,), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_audiosr_unet(sd, template, cfg)

@@ -788,3 +788,109 @@ def test_audiosr_vae_parity():
         np.testing.assert_allclose(out, ref, atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_audiosr_unet_parity():
+    """audiosr wheel's UNetModel (basic-config shape scaled: self-attn
+    SpatialTransformer pairs, v-prediction head) -> convert_audiosr_unet
+    -> flax, fp64."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    d = "/tmp/audiosr_wheel_extract"
+    wheel = "/root/reference/wheels/audiosr-0.0.9-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("audiosr wheel unavailable")
+    # audiosr/__init__ chains into progressbar etc. — load the three
+    # needed modules standalone under their dotted names instead
+    for name in ("audiosr", "audiosr.latent_diffusion",
+                 "audiosr.latent_diffusion.modules",
+                 "audiosr.latent_diffusion.modules.diffusionmodules"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            spec = importlib.machinery.ModuleSpec(name, None,
+                                                  is_package=True)
+            mod.__spec__ = spec
+            mod.__path__ = []
+            sys.modules[name] = mod
+    if "audiosr.latent_diffusion.util" not in sys.modules:
+        mod = types.ModuleType("audiosr.latent_diffusion.util")
+        mod.__spec__ = importlib.machinery.ModuleSpec(
+            "audiosr.latent_diffusion.util", None)
+        mod.instantiate_from_config = lambda c: None
+        sys.modules["audiosr.latent_diffusion.util"] = mod
+    try:
+        for mod_name, rel in (
+            ("audiosr.latent_diffusion.modules.diffusionmodules.util",
+             "audiosr/latent_diffusion/modules/diffusionmodules/util.py"),
+            ("audiosr.latent_diffusion.modules.attention",
+             "audiosr/latent_diffusion/modules/attention.py"),
+            ("audiosr.latent_diffusion.modules.diffusionmodules.openaimodel",
+             "audiosr/latent_diffusion/modules/diffusionmodules/openaimodel.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(mod_name,
+                                                          f"{d}/{rel}")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = mod
+            spec.loader.exec_module(mod)
+        om = sys.modules[
+            "audiosr.latent_diffusion.modules.diffusionmodules.openaimodel"]
+        UNetModel = om.UNetModel
+        # upstream timestep_embedding hardcodes fp32 — widen for the
+        # double()'d oracle
+        _orig_te = om.timestep_embedding
+        om.timestep_embedding = (
+            lambda *a, **k: _orig_te(*a, **k).double())
+        # GroupNorm32 hard-casts to fp32 — run as plain GroupNorm for fp64
+        ut = sys.modules[
+            "audiosr.latent_diffusion.modules.diffusionmodules.util"]
+        ut.GroupNorm32.forward = torch.nn.GroupNorm.forward
+    except Exception as e:
+        pytest.skip(f"audiosr unet import failed: {e}")
+
+    torch.manual_seed(141)
+    t_model = UNetModel(
+        image_size=16, in_channels=6, out_channels=3, model_channels=32,
+        attention_resolutions=[2], num_res_blocks=1, channel_mult=[1, 2],
+        num_head_channels=16, extra_sa_layer=True,
+        use_spatial_transformer=True, transformer_depth=1,
+        use_checkpoint=False).double().eval()
+    t_model.dtype = torch.float64  # forward casts input to self.dtype
+
+    from audiolab_tpu.models.audiosr_unet import (
+        AudioSRUNet,
+        AudioSRUNetConfig,
+    )
+    from audiolab_tpu.utils.convert import convert_audiosr_unet
+
+    cfg = AudioSRUNetConfig(in_channels=6, model_channels=32,
+                            out_channels=3, num_res_blocks=1,
+                            attention_resolutions=(2,),
+                            channel_mult=(1, 2), num_head_channels=16)
+    f_model = AudioSRUNet(cfg)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = np.random.default_rng(142).standard_normal((2, 6, 8, 12)) * 0.5
+        tt = np.asarray([3.0, 77.0])
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 8, 12, 6), jnp.float64),
+                                 jnp.zeros((1,), jnp.float64))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_audiosr_unet(sd, template, cfg, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(x), torch.from_numpy(tt),
+                          context_list=[], context_attn_mask_list=[]).numpy()
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(tt)))
+        out = out.transpose(0, 3, 1, 2)
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
