@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 from scipy import signal as sps
 
+import jax
 import jax.numpy as jnp
 
 from audiolab_tpu.core.chunking import extract_chunks, plan_chunks, stitch_chunks
@@ -114,3 +115,74 @@ def super_resolve(
     if peak > 0.99:
         y = y * (0.99 / peak)
     return y.astype(np.float32), target_sr
+
+
+# ------------------------------------------- AudioSR checkpoint pipeline
+
+def cosine_alphas_cumprod(n_timesteps: int = 1000, s: float = 8e-3):
+    """The audiosr cosine schedule (diffusionmodules/util.py:31-39):
+    alphas_cumprod[t] = prod(1 - betas[:t+1])."""
+    import numpy as np
+
+    ts = np.arange(n_timesteps + 1, dtype=np.float64) / n_timesteps + s
+    al = np.cos(ts / (1 + s) * np.pi / 2) ** 2
+    al = al / al[0]
+    betas = 1 - al[1:] / al[:-1]
+    return np.cumprod(1.0 - betas)
+
+
+class AudioSRCheckpointPipeline:
+    """DDIM (eta=0) super-resolution with the CONVERTED AudioSR stack
+    (models/audiosr_{vae,unet,vocoder}.py; sampler semantics from
+    ddpm.py register_schedule + ddim.py, v-parameterization):
+
+      lowpass fbank -> VAE mean latents (concat cond) -> DDIM v-prediction
+      denoise -> VAE decode -> 48 kHz vocoder.
+
+    Fill params with utils/convert.load_audiosr_{vae,unet,vocoder}_checkpoint.
+    """
+
+    def __init__(self, vae, vae_params, unet, unet_params, vocoder,
+                 voc_params, n_timesteps: int = 1000):
+        self.vae, self.vae_params = vae, vae_params
+        self.unet, self.unet_params = unet, unet_params
+        self.vocoder, self.voc_params = vocoder, voc_params
+        self.acp = jnp.asarray(cosine_alphas_cumprod(n_timesteps),
+                               jnp.float32)
+        self.n_timesteps = n_timesteps
+
+    def super_resolve(self, lowpass_fbank, steps: int = 50, seed: int = 0):
+        """(b, t, mel, 1) normalized lowpass fbank -> (b, samples) 48 kHz."""
+        from audiolab_tpu.models.audiosr_vae import AudioSRVAE
+
+        cond, _ = self.vae.apply({"params": self.vae_params}, lowpass_fbank,
+                                 method=AudioSRVAE.encode)
+        t_seq = jnp.linspace(self.n_timesteps - 1, 0, steps).round(
+        ).astype(jnp.int32)
+        z = jax.random.normal(jax.random.PRNGKey(seed), cond.shape)
+
+        @jax.jit
+        def run(z, cond, unet_params, vae_params, voc_params):
+            def body(z, i):
+                t = t_seq[i]
+                t_next = jnp.where(i + 1 < steps, t_seq[jnp.minimum(
+                    i + 1, steps - 1)], 0)
+                a = self.acp[t]
+                a_next = jnp.where(i + 1 < steps, self.acp[t_next], 1.0)
+                v = self.unet.apply(
+                    {"params": unet_params},
+                    jnp.concatenate([z, cond], axis=-1),
+                    jnp.full((z.shape[0],), t, jnp.float32))
+                # v-param: x0 = sqrt(a) z - sqrt(1-a) v ; eps likewise
+                x0 = jnp.sqrt(a) * z - jnp.sqrt(1 - a) * v
+                eps = jnp.sqrt(1 - a) * z + jnp.sqrt(a) * v
+                z = jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps
+                return z, None
+
+            z, _ = jax.lax.scan(body, z, jnp.arange(steps))
+            mel = self.vae.apply({"params": vae_params}, z,
+                                 method=type(self.vae).decode)[..., 0]
+            return self.vocoder.apply({"params": voc_params}, mel)
+
+        return run(z, cond, self.unet_params, self.vae_params,
+                   self.voc_params)

@@ -112,3 +112,48 @@ def test_training_reduces_fixed_eval_loss(tmp_path):
         params, opt, _ = step(params, opt, a, m, jax.random.PRNGKey(i))
     after = float(diffusion_loss(model, params, audio, mel, eval_rng))
     assert after < before, (before, after)
+
+
+def test_audiosr_checkpoint_pipeline_ddim():
+    """Converted-layout AudioSR DDIM pipeline: deterministic per seed,
+    conditioning-sensitive, sane cosine schedule."""
+    import numpy as np
+
+    from audiolab_tpu.models.audiosr_unet import (
+        AudioSRUNet,
+        AudioSRUNetConfig,
+    )
+    from audiolab_tpu.models.audiosr_vae import AudioSRVAE
+    from audiolab_tpu.models.audiosr_vocoder import AudioSRVocoder
+    from audiolab_tpu.pipelines.super_res import (
+        AudioSRCheckpointPipeline,
+        cosine_alphas_cumprod,
+    )
+
+    acp = cosine_alphas_cumprod(1000)
+    assert acp.shape == (1000,) and np.all(np.diff(acp) < 0)
+
+    rng = np.random.default_rng(0)
+    vae = AudioSRVAE(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                     embed_dim=4)
+    fbank = jnp.asarray(rng.standard_normal((1, 8, 16, 1)),
+                        jnp.float32) * 0.3
+    vp = vae.init(jax.random.PRNGKey(0), fbank)["params"]
+    ucfg = AudioSRUNetConfig(in_channels=8, model_channels=32,
+                             out_channels=4, num_res_blocks=1,
+                             attention_resolutions=(2,),
+                             channel_mult=(1, 2), num_head_channels=16)
+    unet = AudioSRUNet(ucfg)
+    up = unet.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 8, 8)),
+                   jnp.zeros((1,)))["params"]
+    voc = AudioSRVocoder(num_mels=16, initial_channel=32,
+                         upsample_rates=(6, 5, 4, 2, 2),
+                         resblock_kernels=(3,),
+                         resblock_dilations=((1, 3),))
+    wp = voc.init(jax.random.PRNGKey(2), jnp.zeros((1, 4, 16)))["params"]
+    pipe = AudioSRCheckpointPipeline(vae, vp, unet, up, voc, wp)
+    wav = pipe.super_resolve(fbank, steps=3, seed=3)
+    assert wav.shape == (1, 8 * 480) and bool(jnp.all(jnp.isfinite(wav)))
+    assert bool(jnp.all(wav == pipe.super_resolve(fbank, steps=3, seed=3)))
+    assert not bool(jnp.all(wav == pipe.super_resolve(fbank * -1.0,
+                                                      steps=3, seed=3)))
