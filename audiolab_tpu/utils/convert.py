@@ -2508,3 +2508,70 @@ def load_audiosr_unet_checkpoint(path: str, cfg=None) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_audiosr_unet(sd, template, cfg)
+
+
+def clap_text_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/clap.ClapTextBranch -> laion_clap checkpoint keys
+    (text_branch.* = transformers RobertaModel layout +
+    text_projection.{0,2})."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    e = "text_branch.embeddings"
+    m["word_emb/embedding"] = ("w", f"{e}.word_embeddings")
+    m["pos_emb/embedding"] = ("w", f"{e}.position_embeddings")
+    m["type_emb/embedding"] = ("w", f"{e}.token_type_embeddings")
+    norm("emb_ln", f"{e}.LayerNorm")
+    i = 0
+    while f"layer_{i}" in template:
+        b = f"text_branch.encoder.layer.{i}"
+        dense(f"layer_{i}/q", f"{b}.attention.self.query")
+        dense(f"layer_{i}/k", f"{b}.attention.self.key")
+        dense(f"layer_{i}/v", f"{b}.attention.self.value")
+        dense(f"layer_{i}/attn_out", f"{b}.attention.output.dense")
+        norm(f"layer_{i}/attn_ln", f"{b}.attention.output.LayerNorm")
+        dense(f"layer_{i}/ffn_in", f"{b}.intermediate.dense")
+        dense(f"layer_{i}/ffn_out", f"{b}.output.dense")
+        norm(f"layer_{i}/ffn_ln", f"{b}.output.LayerNorm")
+        i += 1
+    dense("pooler", "text_branch.pooler.dense")
+    dense("proj0", "text_projection.0")
+    dense("proj1", "text_projection.2")
+    return m
+
+
+def convert_clap_text(state_dict: dict, template: dict,
+                      strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, clap_text_mapping(template), sd, strict)
+
+
+def load_clap_text_checkpoint(path: str, **kw) -> dict:
+    """laion_clap checkpoint -> flax params for ClapTextBranch."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.clap import ClapTextBranch
+
+    model = ClapTextBranch(**kw)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4), jnp.int32),
+                           jnp.ones((1, 4), jnp.int32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_clap_text(sd, template)

@@ -894,3 +894,58 @@ def test_audiosr_unet_parity():
         np.testing.assert_allclose(out, ref, atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_clap_text_branch_parity():
+    """laion_clap roberta text path (model.py:505-514, 640) replicated
+    with the INSTALLED transformers RobertaModel as oracle + the
+    checkpoint's text_projection key names, fp64."""
+    tfm = pytest.importorskip("transformers")
+    from torch import nn as tnn
+
+    torch.manual_seed(151)
+    # roberta-base (what CLAP loads) uses layer_norm_eps 1e-5 — pin it
+    # (RobertaConfig's DEFAULT is 1e-12, not what the checkpoint uses)
+    rcfg = tfm.RobertaConfig(vocab_size=60, hidden_size=32,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             intermediate_size=64,
+                             max_position_embeddings=20, type_vocab_size=1,
+                             pad_token_id=1, layer_norm_eps=1e-5)
+    roberta = tfm.RobertaModel(rcfg).double().eval()
+    proj = tnn.Sequential(tnn.Linear(32, 16), tnn.ReLU(),
+                          tnn.Linear(16, 16)).double().eval()
+
+    from audiolab_tpu.models.clap import ClapTextBranch, ClapTextConfig
+    from audiolab_tpu.utils.convert import convert_clap_text
+
+    cfg = ClapTextConfig(vocab_size=60, dim=32, layers=2, heads=2,
+                         ffn_dim=64, max_positions=20, type_vocab=1,
+                         pad_id=1, joint_dim=16)
+    f_model = ClapTextBranch(cfg)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ids = np.asarray([[0, 7, 9, 12, 2, 1, 1],
+                          [0, 30, 31, 32, 33, 34, 2]])
+        mask = (ids != 1).astype(np.int64)
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 7), jnp.int32),
+                                 jnp.ones((1, 7), jnp.int32))["params"])
+        sd = {("text_branch." + k): v.detach().numpy()
+              for k, v in roberta.state_dict().items()}
+        sd.update({("text_projection." + k): v.detach().numpy()
+                   for k, v in proj.state_dict().items()})
+        params = convert_clap_text(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            pooled = roberta(input_ids=torch.from_numpy(ids),
+                             attention_mask=torch.from_numpy(mask)
+                             )["pooler_output"]
+            ref = proj(pooled).numpy()
+        out = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(ids),
+                                       jnp.asarray(mask)))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
