@@ -2575,3 +2575,78 @@ def load_clap_text_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_clap_text(sd, template)
+
+
+def clap_audio_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/clap.ClapAudioBranch -> laion_clap audio keys
+    (audio_branch.* = HTSAT swin layout + audio_projection.{0,2})."""
+    m: dict[str, tuple[str, str]] = {}
+
+    def dense(path, key, bias=True):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        if bias:
+            m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    m["patch_proj/kernel"] = ("conv2_w", "audio_branch.patch_embed.proj")
+    m["patch_proj/bias"] = ("bias", "audio_branch.patch_embed.proj")
+    norm("patch_norm", "audio_branch.patch_embed.norm")
+    li = 0
+    while f"l{li}_b0" in template:
+        bi = 0
+        while f"l{li}_b{bi}" in template:
+            p = f"l{li}_b{bi}"
+            b = f"audio_branch.layers.{li}.blocks.{bi}"
+            norm(f"{p}/norm1", f"{b}.norm1")
+            dense(f"{p}/qkv", f"{b}.attn.qkv")
+            m[f"{p}/rel_bias"] = ("direct",
+                                  f"{b}.attn.relative_position_bias_table")
+            dense(f"{p}/proj", f"{b}.attn.proj")
+            norm(f"{p}/norm2", f"{b}.norm2")
+            dense(f"{p}/fc1", f"{b}.mlp.fc1")
+            dense(f"{p}/fc2", f"{b}.mlp.fc2")
+            bi += 1
+        if f"merge_{li}_norm" in template:
+            norm(f"merge_{li}_norm",
+                 f"audio_branch.layers.{li}.downsample.norm")
+            dense(f"merge_{li}_red",
+                  f"audio_branch.layers.{li}.downsample.reduction",
+                  bias=False)
+        li += 1
+    norm("norm", "audio_branch.norm")
+    dense("proj0", "audio_projection.0")
+    dense("proj1", "audio_projection.2")
+    return m
+
+
+def convert_clap_audio(state_dict: dict, template: dict,
+                       strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, clap_audio_mapping(template), sd, strict)
+
+
+def load_clap_audio_checkpoint(path: str, **kw) -> dict:
+    """laion_clap checkpoint -> flax params for ClapAudioBranch."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.clap import ClapAudioBranch
+
+    model = ClapAudioBranch(**kw)
+    s = model.cfg.spec_size
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, s, s, 1), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_clap_audio(sd, template)

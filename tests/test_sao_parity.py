@@ -949,3 +949,116 @@ def test_clap_text_branch_parity():
         np.testing.assert_allclose(out, ref, atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_clap_audio_branch_parity():
+    """laion_clap wheel's HTSAT swin (scaled config incl. shifted-window
+    masks + patch merging) -> convert_clap_audio -> flax embedding path,
+    fp64."""
+    import importlib.machinery
+    import importlib.util
+    import types
+
+    d = "/tmp/clap_wheel_extract"
+    wheel = "/root/reference/wheels/laion_clap-1.1.5-py3-none-any.whl"
+    try:
+        subprocess.run([sys.executable, "-m", "zipfile", "-e", wheel, d],
+                       check=True, capture_output=True)
+    except Exception:
+        pytest.skip("laion_clap wheel unavailable")
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    from torch import nn as tnn
+
+    class _Dummy(tnn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    stub("torchlibrosa")
+    stub("torchlibrosa.stft", Spectrogram=_Dummy, LogmelFilterBank=_Dummy)
+    stub("torchlibrosa.augmentation", SpecAugmentation=_Dummy)
+
+    def _interpolate(x, ratio):  # PANN-style frame upsample (utils.py:211)
+        b, t, c = x.shape
+        return x[:, :, None, :].repeat(1, 1, ratio, 1).reshape(b, t * ratio,
+                                                               c)
+
+    for name in ("laion_clap", "laion_clap.clap_module"):
+        mod = stub(name)
+        mod.__path__ = []
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None,
+                                                      is_package=True)
+    stub("laion_clap.clap_module.utils", interpolate=_interpolate,
+         do_mixup=lambda x, lam: x)
+    try:
+        for mod_name, rel in (
+            ("laion_clap.clap_module.feature_fusion",
+             "laion_clap/clap_module/feature_fusion.py"),
+            ("laion_clap.clap_module.htsat",
+             "laion_clap/clap_module/htsat.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(mod_name,
+                                                          f"{d}/{rel}")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[mod_name] = mod
+            spec.loader.exec_module(mod)
+        HTSAT = sys.modules["laion_clap.clap_module.htsat"
+                            ].HTSAT_Swin_Transformer
+    except Exception as e:
+        pytest.skip(f"laion_clap htsat import failed: {e}")
+
+    class _Cfg:  # the audio_cfg namespace htsat reads
+        window_size = 256
+        hop_size = 64
+        sample_rate = 16000
+        mel_bins = 32
+        fmin = 0
+        fmax = 8000
+        enable_tscam = False
+
+    torch.manual_seed(161)
+    t_model = HTSAT(spec_size=64, patch_size=4, patch_stride=(4, 4),
+                    in_chans=1, num_classes=5, embed_dim=16,
+                    depths=[2, 2, 2, 2], num_heads=[2, 2, 4, 4],
+                    window_size=4, config=_Cfg()).double().eval()
+    proj = torch.nn.Sequential(torch.nn.Linear(128, 24), torch.nn.ReLU(),
+                               torch.nn.Linear(24, 24)).double().eval()
+
+    from audiolab_tpu.models.clap import ClapAudioBranch, ClapAudioConfig
+    from audiolab_tpu.utils.convert import convert_clap_audio
+
+    cfg = ClapAudioConfig(spec_size=64, patch_size=4, patch_stride=4,
+                          embed_dim=16, depths=(2, 2, 2, 2),
+                          heads=(2, 2, 4, 4), window=4, joint_dim=24)
+    f_model = ClapAudioBranch(cfg)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        img = np.random.default_rng(162).standard_normal((2, 1, 64, 64)) * 0.5
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 1),
+                                           jnp.float64))["params"])
+        sd = {("audio_branch." + k): v.detach().numpy()
+              for k, v in t_model.state_dict().items()}
+        sd.update({("audio_projection." + k): v.detach().numpy()
+                   for k, v in proj.state_dict().items()})
+        params = convert_clap_audio(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            emb = t_model.forward_features(torch.from_numpy(img))["embedding"]
+            ref = proj(emb).numpy()
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(img.transpose(0, 2, 3, 1))))
+        assert out.shape == ref.shape, (out.shape, ref.shape)
+        np.testing.assert_allclose(out, ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", False)
