@@ -449,3 +449,79 @@ def random_xtts_checkpoint(seed: int = 0) -> XttsCheckpointEngine:
     dp = dec.init(ks[4], jnp.zeros((1, 4, dim)), jnp.zeros((1, sdim)))["params"]
     return XttsCheckpointEngine(gpt, gp, cond_enc, cp, perc, pp, spk, sv,
                                 dec, dp)
+
+
+# ------------------------------------------------------- XTTS tokenizer
+
+_XTTS_EN_ABBREV = [
+    ("mrs", "misess"), ("mr", "mister"), ("dr", "doctor"), ("st", "saint"),
+    ("co", "company"), ("jr", "junior"), ("maj", "major"), ("gen", "general"),
+    ("drs", "doctors"), ("rev", "reverend"), ("lt", "lieutenant"),
+    ("hon", "honorable"), ("sgt", "sergeant"), ("capt", "captain"),
+    ("esq", "esquire"), ("ltd", "limited"), ("col", "colonel"),
+    ("ft", "fort"),
+]
+_XTTS_EN_SYMBOLS = [("&", " and "), ("@", " at "), ("%", " percent "),
+                    ("#", " hash "), ("$", " dollar "), ("£", " pound "),
+                    ("°", " degree ")]
+_ONES = ("zero one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+         "nineteen").split()
+_TENS = ("twenty thirty forty fifty sixty seventy eighty "
+         "ninety").split()
+
+
+def _int_words(n: int) -> str:
+    """Own English number-to-words (num2words is not in this image)."""
+    if n < 0:
+        return "minus " + _int_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        t = _TENS[n // 10 - 2]
+        return t if n % 10 == 0 else f"{t} {_ONES[n % 10]}"
+    for div, name in ((10 ** 9, "billion"), (10 ** 6, "million"),
+                      (1000, "thousand"), (100, "hundred")):
+        if n >= div:
+            rest = n % div
+            head = f"{_int_words(n // div)} {name}"
+            return head if rest == 0 else f"{head} {_int_words(rest)}"
+    return str(n)
+
+
+class XttsTokenizer:
+    """XTTS-v2 VoiceBpeTokenizer wrapper (TTS/tts/layers/xtts/
+    tokenizer.py:609-686): exact BPE path — ``[lang]`` prefix, spaces to
+    ``[SPACE]``, the checkpoint's vocab.json via the installed
+    ``tokenizers`` library.  The text cleaner is an OWN-code English
+    normalizer (lowercase, quote strip, abbreviation/symbol/number
+    expansion, whitespace collapse); non-English text passes through the
+    BPE exactly but without language-specific number expansion
+    (num2words is not in this image — flagged stand-in)."""
+
+    def __init__(self, vocab_file: str):
+        from tokenizers import Tokenizer
+
+        self.tokenizer = Tokenizer.from_file(vocab_file)
+
+    def _clean_en(self, text: str) -> str:
+        text = text.replace('"', "").lower()
+        text = re.sub(r"\d+", lambda m: _int_words(int(m.group())), text)
+        for abbr, full in _XTTS_EN_ABBREV:
+            text = re.sub(rf"\b{abbr}\.", full, text)
+        for sym, full in _XTTS_EN_SYMBOLS:
+            text = text.replace(sym, full)
+        return re.sub(r"\s+", " ", text).strip()
+
+    def encode(self, text: str, lang: str = "en") -> list[int]:
+        lang = lang.split("-")[0]
+        if lang == "en":
+            text = self._clean_en(text)
+        lang = "zh-cn" if lang == "zh" else lang
+        text = f"[{lang}]{text}".replace(" ", "[SPACE]")
+        return self.tokenizer.encode(text).ids
+
+    def decode(self, ids) -> str:
+        txt = self.tokenizer.decode(list(ids), skip_special_tokens=False)
+        return (txt.replace(" ", "").replace("[SPACE]", " ")
+                .replace("[STOP]", "").replace("[UNK]", ""))

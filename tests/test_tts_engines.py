@@ -197,3 +197,44 @@ def test_xtts_checkpoint_engine_clone():
     wav3, _ = eng.synthesize("hello there", ref_wav=ref2, ref_sr=sr,
                              max_steps=12)
     assert not np.array_equal(wav, wav3)
+
+
+def test_xtts_tokenizer_bpe_semantics():
+    """XttsTokenizer: [lang] prefix + [SPACE] substitution + English
+    number/abbreviation expansion, round-trip decode."""
+    import json
+    import tempfile
+
+    from audiolab_tpu.pipelines.tts import XttsTokenizer, _int_words
+
+    assert _int_words(21) == "twenty one"
+    assert _int_words(2036) == "two thousand thirty six"
+    vocab = {c: i for i, c in enumerate(
+        ["[STOP]", "[UNK]", "[SPACE]", "[en]", "h", "e", "l", "o", "w",
+         "r", "d", "t", "y", "n", "i", "s", "a", "m", "c", "g", "u", "x",
+         "f", "v"])}
+    tok_json = {
+        "version": "1.0", "truncation": None, "padding": None,
+        "added_tokens": [
+            {"id": vocab[t], "content": t, "single_word": False,
+             "lstrip": False, "rstrip": False, "normalized": False,
+             "special": True}
+            for t in ("[STOP]", "[UNK]", "[SPACE]", "[en]")],
+        "normalizer": None, "pre_tokenizer": None, "post_processor": None,
+        "decoder": None,
+        "model": {"type": "BPE", "dropout": None, "unk_token": "[UNK]",
+                  "continuing_subword_prefix": None,
+                  "end_of_word_suffix": None, "fuse_unk": False,
+                  "byte_fallback": False, "vocab": vocab, "merges": []},
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(tok_json, f)
+        path = f.name
+    tok = XttsTokenizer(path)
+    ids = tok.encode("Hello world", lang="en")
+    assert ids[0] == vocab["[en]"] and vocab["[SPACE]"] in ids
+    assert tok.decode(ids) == "[en]hello world"
+    # "Dr." and "10" expand before BPE
+    ids2 = tok.encode("Dr. who saw 10 cats", lang="en")
+    assert tok.decode(ids2) == "[en]doctor who saw ten cats"
