@@ -157,3 +157,41 @@ def test_audiosr_checkpoint_pipeline_ddim():
     assert bool(jnp.all(wav == pipe.super_resolve(fbank, steps=3, seed=3)))
     assert not bool(jnp.all(wav == pipe.super_resolve(fbank * -1.0,
                                                       steps=3, seed=3)))
+
+
+def test_bddm_schedule_network():
+    """BDDM: phi trains against a frozen score net and the reverse search
+    yields a usable short schedule that drives the sampler."""
+    import numpy as np
+
+    from audiolab_tpu.models.wavegrad import (
+        WaveGrad,
+        WaveGradConfig,
+        sample,
+    )
+    from audiolab_tpu.train.wavetransfer import (
+        bddm_noise_scheduling,
+        train_schedule_net,
+    )
+
+    cfg = WaveGradConfig(n_mels=16, hop=12, factors=(3, 2, 2),
+                         ublock_ch=(32, 16, 16), dblock_ch=(16, 16),
+                         base_ch=8)
+    wg = WaveGrad(cfg)
+    b, frames = 2, 6
+    audio = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (b, frames * cfg.hop)) * 0.3, jnp.float32)
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (b, frames, 16)) * 0.5, jnp.float32)
+    wgp = wg.init(jax.random.PRNGKey(0), audio, mel,
+                  jnp.full((b,), 0.5))["params"]
+    net, sp, losses = train_schedule_net(wg, wgp, audio, mel, steps=4,
+                                         lr=1e-3)
+    assert len(losses) == 4 and all(np.isfinite(losses))
+    sched = bddm_noise_scheduling(wg, wgp, net, sp, mel, alpha_param=0.9,
+                                  beta_param=0.05, max_steps=8)
+    assert 1 <= len(sched.betas) <= 8
+    assert np.all(sched.betas > 0) and np.all(sched.betas < 1)
+    out = sample(wg, wgp, mel, sched, jax.random.PRNGKey(2))
+    assert out.shape == (b, frames * cfg.hop)
+    assert bool(jnp.all(jnp.isfinite(out)))
