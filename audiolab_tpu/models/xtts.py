@@ -436,6 +436,10 @@ class XttsGPT2(nn.Module):
     n_audio: int = 1026
     max_text: int = 402
     max_mel: int = 605
+    # AR generation wraps text ids in these (gpt.py:23-24 defaults;
+    # gpt.py:486-487 pads with them before compute_embeddings)
+    start_text: int = 261
+    stop_text: int = 0
 
     @nn.compact
     def __call__(self, text_ids, mel_ids, cond=None,
@@ -583,11 +587,25 @@ def xtts_gpt2_generate(model: XttsGPT2, params, text_ids, cond,
     threading.  O(steps x forward); switch to a cached decode if profiles
     demand it.
 
-    Returns (codes (b, max_steps), latents (b, max_steps, dim))."""
+    Text ids are wrapped in the checkpoint's [START]/[STOP] text tokens
+    before decode, matching gpt.py:486-487 — the AR model was trained on
+    wrapped sequences, so feeding raw ids conditions it off-distribution.
+
+    Returns (codes (b, max_steps), latents (b, max_steps, dim),
+    lengths (b,)) where ``lengths`` is the first-EOS step per batch row
+    (== max_steps when no EOS fired); latent positions past the EOS are
+    zero-masked so the HiFi decoder does not vocode post-stop junk
+    (upstream trims generation at the stop token)."""
     start_audio = model.n_audio - 2 if start_audio is None else start_audio
     stop_audio = model.n_audio - 1 if stop_audio is None else stop_audio
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b = text_ids.shape[0]
+    # wrap in [START]/[STOP] text tokens (clamped for tiny test vocabs)
+    start_t = min(int(model.start_text), model.n_text - 1)
+    stop_t = min(int(model.stop_text), model.n_text - 1)
+    text_ids = jnp.concatenate(
+        [jnp.full((b, 1), start_t, text_ids.dtype), text_ids,
+         jnp.full((b, 1), stop_t, text_ids.dtype)], axis=1)
     mel0 = jnp.full((b, max_steps + 1), stop_audio, jnp.int32)
     mel0 = mel0.at[:, 0].set(start_audio)
 
@@ -614,7 +632,15 @@ def xtts_gpt2_generate(model: XttsGPT2, params, text_ids, cond,
             body, (mel0, rng, jnp.zeros((b,), bool)), jnp.arange(max_steps))
         _, _, latents = model.apply({"params": params}, text_ids, mel, cond,
                                     return_latents=True)
-        return mel[:, 1:], latents[:, 1:]
+        codes, latents = mel[:, 1:], latents[:, 1:]
+        # first EOS per row; zero latents past it so post-stop frames are
+        # silent rather than vocoded junk
+        is_eos = codes == stop_audio
+        lengths = jnp.where(is_eos.any(axis=1),
+                            jnp.argmax(is_eos, axis=1), max_steps)
+        keep = jnp.arange(max_steps)[None, :] < lengths[:, None]
+        latents = jnp.where(keep[..., None], latents, 0.0)
+        return codes, latents, lengths
 
     return run(params, text_ids, cond, rng)
 

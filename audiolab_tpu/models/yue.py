@@ -29,42 +29,78 @@ from audiolab_tpu.models.lm import LMConfig, TransformerLM, init_cache
 
 # ----------------------------------------------------------- vocabulary
 #
-# layout (mmtokenizer equivalent):
-#   [0, 256)                          text bytes
-#   [256, 256+n_special)              specials: PAD,SOA,EOA,SOS,EOS,STAGE1,STAGE2
-#   [text_end, text_end + K)          vocal codec tokens (codebook size K)
-#   [text_end + K, text_end + 2K)     instrumental codec tokens
+# mm-tokenizer v0.2 layout (modules/yue/inference/codecmanipulator.py:28-57;
+# models/mm_vocab.py holds the full table + the sentencepiece wrapper):
+#   [0, text_size)        sentencepiece text tokens       (32000 upstream)
+#   [text_size, +22)      special tokens <EOD>..<semanticodec>
+#   codec ranges          per-codec global offsets; xcodec (the YuE codec)
+#                         = 12 codebooks x 1024 starting at 45334
+# Stage 1 emits interleaved vocal/inst xcodec CODEBOOK-0 tokens (both in
+# [xcodec_base, xcodec_base+K)); stage 2 teacher-forces codebook 0 and
+# emits codebooks 1..7 in the SAME vocab at xcodec_base + k*K.
 
-SPECIALS = ("pad", "soa", "eoa", "sos", "eos", "stage1", "stage2")
+# special-name -> index within the 22-token special block, in the
+# mm_v0_2 id order (codecmanipulator.py:36-38)
+_SPECIAL_ORDER = (
+    "eod", "soa", "eoa", "soi", "eoi", "sov", "eov", "s_local", "e_local",
+    "s_global", "e_global", "semantic", "acoustic", "stage1", "dac_16k",
+    "dac_44k", "xcodec", "stage2", "semantic_mert", "semantic_hubert",
+    "visual", "semanticodec",
+)
 
 
 @dataclass(frozen=True)
 class YuEVocab:
+    """mm-v0.2-shaped vocabulary, parametric so tests can shrink it.
+    Defaults reproduce the published layout exactly: xcodec_base 45334,
+    size 83734 (codecmanipulator.py:40-47)."""
+
     codebook_size: int = 1024
+    text_size: int = 32000
+    n_q_total: int = 12            # xcodec codebooks reserved in the vocab
+    # codec ranges BEFORE xcodec in the id space (dac16k 4 cb + dac44k 9 cb
+    # of 1024 upstream); parametrized as a codebook count multiplier
+    pre_xcodec_codebooks: int = 13
+    # ranges after xcodec (mert 1024 + hubert 512 + semanticodec 24576)
+    post_xcodec_ids: int = 26112
+
+    def special(self, name: str) -> int:
+        return self.text_size + _SPECIAL_ORDER.index(name)
 
     @property
     def special_base(self) -> int:
-        return 256
-
-    def special(self, name: str) -> int:
-        return self.special_base + SPECIALS.index(name)
+        return self.text_size
 
     @property
+    def xcodec_base(self) -> int:
+        return (self.text_size + len(_SPECIAL_ORDER)
+                + self.pre_xcodec_codebooks * self.codebook_size)
+
+    def codebook_base(self, k: int) -> int:
+        """LM-id base of xcodec codebook k (0..n_q_total-1)."""
+        return self.xcodec_base + k * self.codebook_size
+
+    # both stage-1 streams live in xcodec codebook 0 (interleaved)
+    @property
     def vocal_base(self) -> int:
-        return self.special_base + len(SPECIALS)
+        return self.xcodec_base
 
     @property
     def inst_base(self) -> int:
-        return self.vocal_base + self.codebook_size
+        return self.xcodec_base
 
     @property
     def size(self) -> int:
-        return self.inst_base + self.codebook_size
+        return (self.xcodec_base + self.n_q_total * self.codebook_size
+                + self.post_xcodec_ids)
 
 
-def encode_text(s: str, max_len: int = 512) -> np.ndarray:
+def encode_text(s: str, max_len: int = 512, text_size: int = 32000) -> np.ndarray:
+    """Byte fallback text encoder for tokenizer-less (test/random) runs;
+    real checkpoints use mm_vocab.MMTokenizer via YuEPipeline(tokenizer=)."""
     b = s.encode("utf-8")[:max_len]
-    return np.frombuffer(b, np.uint8).astype(np.int32)
+    return (np.frombuffer(b, np.uint8).astype(np.int32)
+            % min(256, text_size))
 
 
 @dataclass
@@ -73,8 +109,9 @@ class YuEConfig:
     stage1: LMConfig = field(default_factory=lambda: LMConfig(
         vocab_size=YuEVocab().size, dim=2048, n_layers=16, n_heads=16,
         n_kv_heads=16, ffn_dim=5632, max_seq_len=8192))
+    # stage 2 shares the mm vocab (infer.py:128 masks within it)
     stage2: LMConfig = field(default_factory=lambda: LMConfig(
-        vocab_size=YuEVocab().size + 7 * 1024, dim=1024, n_layers=8,
+        vocab_size=YuEVocab().size, dim=1024, n_layers=8,
         n_heads=16, n_kv_heads=16, ffn_dim=2816, max_seq_len=4096))
     stage2_block: int = 300
     n_q: int = 8
@@ -115,7 +152,8 @@ def stage1_generate(
     # lyric-segment lengths (left-pad with PAD, consistent with _prompt)
     bucket = -(-t_prompt // 128) * 128
     if bucket != t_prompt:
-        pad = jnp.full((2, bucket - t_prompt), vocab.special("pad"), jnp.int32)
+        # left-pad with eoa (the reference's pad_token_id, infer.py:502)
+        pad = jnp.full((2, bucket - t_prompt), vocab.special("eoa"), jnp.int32)
         prompt_tokens = jnp.concatenate([pad, prompt_tokens], axis=1)
     core = _stage1_core(lm, frames, bucket, vocab, cfg_scale, temperature,
                         top_k)
@@ -184,12 +222,17 @@ def stage2_generate(
     block: int = 300,
     rng: jax.Array | None = None,
 ) -> jnp.ndarray:
-    """Upsample codebook-0 -> n_q codebooks, batched 300-frame blocks
-    (stage2_inference infer.py:170).  Greedy decode (reference uses argmax
-    sampling at temperature 0 for stage 2).
+    """Upsample codebook-0 -> n_q codebooks in batched 300-frame blocks,
+    matching the published checkpoints' sequence layout (stage2_generate
+    infer.py:84-160): prompt = [<SOA>, <stage_1>, cb0 x block, <stage_2>],
+    then per FRAME the cb0 token is teacher-forced and the model greedily
+    emits codebooks 1..n_q-1, every output masked to the xcodec
+    codebook-1..7 range (BlockTokenRangeProcessor(0, 46358) +
+    (53526, vocab), infer.py:128).
 
-    Token layout for stage 2: input = vocab tokens of codebook 0; outputs
-    for codebook q live in a dedicated range after the stage-1 vocab."""
+    TPU redesign: all blocks run as ONE batch through a single jitted
+    prefill + scan (the reference loops frames with a full re-prefill per
+    frame via model.generate)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b, t = codes0.shape
     pad = (-t) % block
@@ -216,40 +259,64 @@ def stage2_generate(
 @lru_cache(maxsize=32)
 def _stage2_core(lm: TransformerLM, vocab: YuEVocab, n_q: int, block: int,
                  nb: int):
-    """Stage-2 prefill + greedy scan as ONE cached jitted graph."""
+    """Stage-2 prefill + frame-major teacher-forced scan, ONE jitted graph.
+
+    Sequence: [<SOA> <stage_1> cb0_0..cb0_{B-1} <stage_2>] then
+    B x n_q tokens [cb0_f g1..g{n_q-1}]; generated tokens are masked to
+    [codebook_base(1), codebook_base(n_q)) like the reference's block
+    processors."""
     c = lm.cfg
-    base1 = vocab.size  # stage-2 extra ranges start here
-    total = block * (n_q - 1)
+    soa, st1, st2 = (vocab.special("soa"), vocab.special("stage1"),
+                     vocab.special("stage2"))
+    lo1 = vocab.codebook_base(1)
+    hi = vocab.codebook_base(n_q)
+    prompt_len = block + 3
+    total = block * n_q
 
     @jax.jit
     def core(params, blocks):
-        prompt = blocks + vocab.vocal_base  # cb0 in stage-1 vocal range
-        caches = init_cache(c, nb, block * n_q + 1)
-        mask = (jnp.arange(block * n_q + 1)[None, :] < block)[:, None, None, :]
-        logits, caches = lm.apply(
-            {"params": params}, prompt, jnp.arange(block), caches, mask
-        )
+        cb0 = blocks + vocab.xcodec_base         # (nb, block) LM ids
+        prompt = jnp.concatenate([
+            jnp.full((nb, 1), soa, jnp.int32),
+            jnp.full((nb, 1), st1, jnp.int32),
+            cb0.astype(jnp.int32),
+            jnp.full((nb, 1), st2, jnp.int32),
+        ], axis=1)
+        caches = init_cache(c, nb, prompt_len + total + 1)
+        mask = (jnp.arange(prompt_len + total + 1)[None, :]
+                < prompt_len)[:, None, None, :]
+        logits, caches = lm.apply({"params": params}, prompt,
+                                  jnp.arange(prompt_len), caches, mask)
         last = logits[:, -1]
+        ar = jnp.arange(c.vocab_size)
 
         def body(carry, i):
             last, caches = carry
-            q = i // block + 1            # codebook index 1..n_q-1
-            lo = base1 + (q - 1) * vocab.codebook_size
-            ar = jnp.arange(last.shape[-1])
-            lg = jnp.where((ar >= lo) & (ar < lo + vocab.codebook_size),
-                           last, -jnp.inf)
-            tok = jnp.argmax(lg, axis=-1)
-            pos = jnp.asarray([block], jnp.int32) + i
+            j = i % n_q                           # 0 = teacher-forced cb0
+            f = i // n_q
+            # the reference masks to ALL of codebooks 1..n_q-1
+            # ([46358,53526), infer.py:128); masking to codebook j's own
+            # 1024-id slice is tighter and equal on trained weights (the
+            # model emits within the slice) while keeping random-weight
+            # runs in-range
+            lo_j = vocab.xcodec_base + j * vocab.codebook_size
+            allowed = (ar >= jnp.maximum(lo_j, lo1)) & (
+                ar < jnp.minimum(lo_j + vocab.codebook_size, hi))
+            gen = jnp.argmax(jnp.where(allowed[None, :], last, -jnp.inf),
+                             axis=-1)
+            tok = jnp.where(j == 0, cb0[:, f], gen).astype(jnp.int32)
+            pos = jnp.asarray([prompt_len], jnp.int32) + i
             logits, caches = lm.apply({"params": params}, tok[:, None], pos,
                                       caches)
             return (logits[:, -1], caches), tok
 
         (_, _), toks = jax.lax.scan(body, (last, caches), jnp.arange(total))
-        # toks (total, nb) codebook-major: [cb1 x block, cb2 x block, ...]
-        toks = jnp.swapaxes(toks, 0, 1).reshape(nb, n_q - 1, block)
-        offs = base1 + (jnp.arange(n_q - 1) * vocab.codebook_size)[None, :, None]
-        rest = toks - offs
-        return jnp.concatenate([blocks[:, None, :], rest], axis=1)
+        # toks (total, nb) frame-major -> (nb, block, n_q) -> (nb, n_q, block)
+        toks = jnp.swapaxes(toks, 0, 1).reshape(nb, block, n_q)
+        toks = jnp.swapaxes(toks, 1, 2)
+        offs = (vocab.xcodec_base
+                + jnp.arange(n_q) * vocab.codebook_size)[None, :, None]
+        return toks - offs
 
     return core
 
@@ -271,8 +338,11 @@ class YuEPipeline:
                  codec: SoundStreamCodec, codec_params,
                  vocos: Vocos | None = None, vocos_params=None,
                  pcfg: YuEPipelineConfig | None = None,
-                 xcodec=None, xcodec_params=None):
+                 xcodec=None, xcodec_params=None, tokenizer=None):
         self.cfg = cfg
+        # mm_vocab.MMTokenizer when the real tokenizer.model is available;
+        # byte-fallback encode_text otherwise (random/test weights)
+        self.tokenizer = tokenizer
         self.s1 = TransformerLM(cfg.stage1)
         self.s2 = TransformerLM(cfg.stage2)
         self.s1_params = s1_params
@@ -288,19 +358,44 @@ class YuEPipeline:
         self.xcodec_params = xcodec_params
         self.pcfg = pcfg or YuEPipelineConfig()
 
-    def _prompt(self, genre: str, lyrics: str, audio_codes=None):
+    def _tok(self, s: str) -> np.ndarray:
+        if self.tokenizer is not None:
+            return np.asarray(self.tokenizer.tokenize(s), np.int32)
+        return encode_text(s, text_size=self.cfg.vocab.text_size)
+
+    def _prompt(self, genre: str, lyrics: str, audio_codes=None,
+                full_lyrics: str | None = None):
+        """Stage-1 prompt rows [cond; uncond], upstream sequence layout
+        (infer.py:397-467): head instruction text + [Genre] + full lyrics,
+        optional [start_of_reference] <SOA> <xcodec> cb0-ids <EOA>
+        [end_of_reference], then [start_of_segment] + section text +
+        <SOA> <xcodec>.  The uncond CFG row drops the lyric text (the
+        reference relies on transformers' unbatched CFG; a paired
+        cond/uncond batch is the fixed-shape TPU equivalent)."""
         v = self.cfg.vocab
+        head = ("Generate music from the given lyrics segment by segment."
+                f"\n[Genre] {genre}\n{full_lyrics if full_lyrics is not None else lyrics}")
+        soa, eoa = v.special("soa"), v.special("eoa")
+        sep = v.special("xcodec")
+        ref: list[int] = []
+        if audio_codes is not None:
+            cb0 = (np.asarray(audio_codes)[0].astype(np.int64)
+                   + v.xcodec_base)
+            ref = (self._tok("[start_of_reference]").tolist()
+                   + [soa, sep] + cb0.tolist() + [eoa]
+                   + self._tok("[end_of_reference]").tolist())
+        seg_open = self._tok("[start_of_segment]").tolist()
         cond = np.concatenate([
-            encode_text(genre), [v.special("sos")], encode_text(lyrics),
-            ([] if audio_codes is None
-             else (np.asarray(audio_codes[0]) + v.vocal_base).tolist()),
-            [v.special("soa")],
+            self._tok(head), ref, seg_open, self._tok(lyrics),
+            [soa, sep],
         ]).astype(np.int32)
         uncond = np.concatenate([
-            encode_text(genre), [v.special("sos")], [v.special("soa")],
+            self._tok("Generate music from the given lyrics segment by "
+                      f"segment.\n[Genre] {genre}\n"),
+            seg_open, [soa, sep],
         ]).astype(np.int32)
         t = max(len(cond), len(uncond))
-        pad = v.special("pad")
+        pad = v.special("eoa")  # reference pads with eoa (pad_token_id=eoa)
         rows = np.full((2, t), pad, np.int32)
         rows[0, t - len(cond):] = cond       # left-pad so SOA aligns
         rows[1, t - len(uncond):] = uncond
@@ -324,9 +419,12 @@ class YuEPipeline:
         while len(segments) < n_segments:
             segments.append(segments[-1])
 
+        full_lyrics = "\n".join(segments)
         vocal_codes, inst_codes = [], []
         for i, seg in enumerate(segments):
-            prompt = self._prompt(genre, seg, audio_prompt_codes if i == 0 else None)
+            prompt = self._prompt(genre, seg,
+                                  audio_prompt_codes if i == 0 else None,
+                                  full_lyrics=full_lyrics)
             codes = stage1_generate(
                 self.s1, self.s1_params, prompt, frames, self.cfg.vocab,
                 cfg_scale=p.cfg_scale, temperature=p.temperature, top_k=p.top_k,
@@ -385,13 +483,15 @@ def random_yue(seed: int = 0, with_vocos: bool = False) -> YuEPipeline:
     """Tiny random-weight pipeline (converter loads real weights)."""
     from audiolab_tpu.models.codecs import SEANetConfig
 
-    vocab = YuEVocab(codebook_size=32)
+    # shrunken mm-v0.2-shaped layout (same structure, tiny ranges)
+    vocab = YuEVocab(codebook_size=32, text_size=64, pre_xcodec_codebooks=2,
+                     n_q_total=8, post_xcodec_ids=16)
     cfg = YuEConfig(
         vocab=vocab,
         stage1=LMConfig(vocab_size=vocab.size, dim=32, n_layers=2, n_heads=4,
                         n_kv_heads=2, ffn_dim=64, max_seq_len=2048,
                         dtype="float32"),
-        stage2=LMConfig(vocab_size=vocab.size + 7 * 32, dim=32, n_layers=2,
+        stage2=LMConfig(vocab_size=vocab.size, dim=32, n_layers=2,
                         n_heads=4, n_kv_heads=2, ffn_dim=64, max_seq_len=4096,
                         dtype="float32"),
         stage2_block=8,

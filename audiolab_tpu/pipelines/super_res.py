@@ -131,25 +131,41 @@ def cosine_alphas_cumprod(n_timesteps: int = 1000, s: float = 8e-3):
     return np.cumprod(1.0 - betas)
 
 
+# the constant unconditional VAE latent upstream uses for CFG
+# (audiosr encoders/modules.py VAEFeatureExtract.forward:
+#  unconditional_cond = -11.4981 + vae_embed * 0.0)
+_AUDIOSR_UNCOND_LATENT = -11.4981
+
+
 class AudioSRCheckpointPipeline:
     """DDIM (eta=0) super-resolution with the CONVERTED AudioSR stack
     (models/audiosr_{vae,unet,vocoder}.py; sampler semantics from
     ddpm.py register_schedule + ddim.py, v-parameterization):
 
-      lowpass fbank -> VAE mean latents (concat cond) -> DDIM v-prediction
-      denoise -> VAE decode -> 48 kHz vocoder.
+      lowpass fbank -> VAE mean latents -> x scale_factor (DiffusionWrapper
+      concat conditioning, ddpm.py:1658) -> classifier-free-guided DDIM
+      v-prediction denoise (guidance_scale 3.5, pipeline.py:155; the
+      unconditional branch is the constant -11.4981 latent,
+      encoders/modules.py:146) -> / scale_factor (decode_first_stage,
+      ddpm.py:930) -> VAE decode -> 48 kHz vocoder.
 
-    Fill params with utils/convert.load_audiosr_{vae,unet,vocoder}_checkpoint.
+    ``scale_factor`` is a checkpoint buffer (ddpm.py:672 register_buffer,
+    set by scale_by_std at :747); load it with
+    utils/convert.load_audiosr_scale_factor.  Fill params with
+    utils/convert.load_audiosr_{vae,unet,vocoder}_checkpoint.
     """
 
     def __init__(self, vae, vae_params, unet, unet_params, vocoder,
-                 voc_params, n_timesteps: int = 1000):
+                 voc_params, n_timesteps: int = 1000,
+                 scale_factor: float = 1.0, guidance_scale: float = 3.5):
         self.vae, self.vae_params = vae, vae_params
         self.unet, self.unet_params = unet, unet_params
         self.vocoder, self.voc_params = vocoder, voc_params
         self.acp = jnp.asarray(cosine_alphas_cumprod(n_timesteps),
                                jnp.float32)
         self.n_timesteps = n_timesteps
+        self.scale_factor = float(scale_factor)
+        self.guidance_scale = float(guidance_scale)
 
     def super_resolve(self, lowpass_fbank, steps: int = 50, seed: int = 0):
         """(b, t, mel, 1) normalized lowpass fbank -> (b, samples) 48 kHz."""
@@ -157,22 +173,42 @@ class AudioSRCheckpointPipeline:
 
         cond, _ = self.vae.apply({"params": self.vae_params}, lowpass_fbank,
                                  method=AudioSRVAE.encode)
+        # DiffusionWrapper scales the concat cond into the diffusion's
+        # latent space (ddpm.py:1658); same for the CFG unconditional branch
+        cond = cond * self.scale_factor
+        uncond = jnp.full_like(cond,
+                               _AUDIOSR_UNCOND_LATENT * self.scale_factor)
         t_seq = jnp.linspace(self.n_timesteps - 1, 0, steps).round(
         ).astype(jnp.int32)
         z = jax.random.normal(jax.random.PRNGKey(seed), cond.shape)
+        gs = self.guidance_scale
+        use_cfg = gs != 1.0
 
         @jax.jit
-        def run(z, cond, unet_params, vae_params, voc_params):
+        def run(z, cond, uncond, unet_params, vae_params, voc_params):
+            def unet_v(z, cond, t):
+                return self.unet.apply(
+                    {"params": unet_params},
+                    jnp.concatenate([z, cond], axis=-1),
+                    jnp.full((z.shape[0],), t, jnp.float32))
+
             def body(z, i):
                 t = t_seq[i]
                 t_next = jnp.where(i + 1 < steps, t_seq[jnp.minimum(
                     i + 1, steps - 1)], 0)
                 a = self.acp[t]
                 a_next = jnp.where(i + 1 < steps, self.acp[t_next], 1.0)
-                v = self.unet.apply(
-                    {"params": unet_params},
-                    jnp.concatenate([z, cond], axis=-1),
-                    jnp.full((z.shape[0],), t, jnp.float32))
+                if use_cfg:
+                    # one batched UNet call for both CFG branches (the MXU
+                    # prefers 2x batch over 2 dispatches); merge like
+                    # ddim.py:311 (uncond + gs * (cond - uncond), on the
+                    # raw v output, BEFORE the v-param conversion)
+                    b = z.shape[0]
+                    v2 = unet_v(jnp.concatenate([z, z], axis=0),
+                                jnp.concatenate([cond, uncond], axis=0), t)
+                    v = v2[b:] + gs * (v2[:b] - v2[b:])
+                else:
+                    v = unet_v(z, cond, t)
                 # v-param: x0 = sqrt(a) z - sqrt(1-a) v ; eps likewise
                 x0 = jnp.sqrt(a) * z - jnp.sqrt(1 - a) * v
                 eps = jnp.sqrt(1 - a) * z + jnp.sqrt(a) * v
@@ -180,9 +216,11 @@ class AudioSRCheckpointPipeline:
                 return z, None
 
             z, _ = jax.lax.scan(body, z, jnp.arange(steps))
-            mel = self.vae.apply({"params": vae_params}, z,
+            # decode_first_stage divides by scale_factor (ddpm.py:930)
+            mel = self.vae.apply({"params": vae_params},
+                                 z / self.scale_factor,
                                  method=type(self.vae).decode)[..., 0]
             return self.vocoder.apply({"params": voc_params}, mel)
 
-        return run(z, cond, self.unet_params, self.vae_params,
+        return run(z, cond, uncond, self.unet_params, self.vae_params,
                    self.voc_params)

@@ -377,6 +377,15 @@ class XttsCheckpointEngine:
             mel = xtts_cloning_mel(jnp.asarray(piece)[None], self.mel_norms)
             h = self.cond_enc.apply({"params": self.cond_params}, mel)
             embs.append(self.perceiver.apply({"params": self.perc_params}, h))
+        if not embs:
+            # reference shorter than the 0.33 s chunk floor: zero-pad the
+            # whole clip to the minimum and condition on that instead of
+            # failing with an opaque empty-stack error
+            min_len = int(22050 * 0.33) + 1
+            piece = np.pad(w22, (0, max(0, min_len - len(w22))))
+            mel = xtts_cloning_mel(jnp.asarray(piece)[None], self.mel_norms)
+            h = self.cond_enc.apply({"params": self.cond_params}, mel)
+            embs.append(self.perceiver.apply({"params": self.perc_params}, h))
         lat = jnp.mean(jnp.stack(embs), axis=0)
         w16 = resample_poly_np(x, sr, 16000) if sr != 16000 else x
         d = self.spk_enc.apply(self.spk_vars,
@@ -392,11 +401,17 @@ class XttsCheckpointEngine:
             cond, d_vector = self.conditioning(ref_wav, ref_sr)
         ids = jnp.asarray(self.tokenize(text))[None]
         max_steps = min(max_steps, self.gpt.max_mel - 1)
-        _, latents = xtts_gpt2_generate(
+        _, latents, lengths = xtts_gpt2_generate(
             self.gpt, self.gpt_params, ids, cond, max_steps,
             rng=jax.random.PRNGKey(seed), **kw)
         wav = self.decoder.apply({"params": self.dec_params}, latents,
                                  d_vector)
+        # trim at the first EOS (upstream stops generation there): each
+        # latent frame vocodes to a fixed number of samples
+        n_valid = int(lengths[0])
+        if n_valid < max_steps:
+            per_frame = wav.shape[-1] // max_steps
+            wav = wav[..., : max(per_frame * n_valid, per_frame)]
         return np.asarray(wav[0]), self.sr_out
 
     # ---- serve/tts_api backend protocol (voice store like CloningFacade)
@@ -428,7 +443,7 @@ def random_xtts_checkpoint(seed: int = 0) -> XttsCheckpointEngine:
     dim, sdim = 32, 24
     ks = jax.random.split(jax.random.PRNGKey(seed), 5)
     gpt = XttsGPT2(layers=2, dim=dim, heads=2, n_text=40, n_audio=30,
-                   max_text=32, max_mel=64)
+                   max_text=32, max_mel=64, start_text=38, stop_text=0)
     cond_enc = XttsConditioningEncoder(dim=dim, heads=4, blocks=2)
     perc = XttsPerceiverResampler(dim=dim, depth=1, num_latents=6, heads=2,
                                   dim_head=8)

@@ -2304,6 +2304,22 @@ def convert_audiosr_vocoder(state_dict: dict, template: dict,
     return fill_tree(template, audiosr_vocoder_mapping(template), sd, strict)
 
 
+def load_audiosr_scale_factor(path: str, default: float = 1.0) -> float:
+    """Read the latent ``scale_factor`` buffer from an AudioSR checkpoint
+    (audiosr ddpm.py:672 register_buffer; set by scale_by_std at :747).
+    The DiffusionWrapper multiplies the concat conditioning by it
+    (ddpm.py:1658) and decode_first_stage divides sampled latents by it
+    (ddpm.py:930) — AudioSRCheckpointPipeline needs it for real weights."""
+    sd = torch_load_weights(path)
+    for k in ("scale_factor", "model.scale_factor", "state_dict.scale_factor"):
+        if k in sd:
+            v = sd[k]
+            if hasattr(v, "numpy"):
+                v = v.float().numpy()
+            return float(np.asarray(v).reshape(()))
+    return float(default)
+
+
 def load_audiosr_vocoder_checkpoint(path: str, **kw) -> dict:
     """AudioSR checkpoint -> flax params for AudioSRVocoder (48k config)."""
     import jax

@@ -4,8 +4,9 @@ Stage A — ensemble stem separation on a 4-minute stereo 44.1 kHz track
 at the REFERENCE'S DEFAULT ensemble size: stem_separator.py defaults
 ``ensemble_strength`` to 1 and slices ``models_with_weights[:strength]``,
 so the default chain runs ONE RoFormer-class member (the SDR-12.96 class
-listed at :379-386).  Members are BS-RoFormers at upstream scale
-(dim 384 / depth 12); set BENCH_ENSEMBLE=3 (etc.) to measure larger
+listed at :379-386).  Members are BS-RoFormers at the PUBLISHED
+CHECKPOINT scale (dim 512 / depth 12 — the SDR-12.9628 config the
+reference defaults to); set BENCH_ENSEMBLE=3 (etc.) to measure larger
 ensembles — members share ONE compiled graph (params are arguments), so
 extra members add run time but no compile.  Blend + residual de-bleed
 run device-resident.
@@ -54,11 +55,13 @@ def build_separator(cpu, dev):
     from audiolab_tpu.models.separation.roformer import BSRoformer, RoformerConfig
     from audiolab_tpu.pipelines.separate import EnsembleMember, StemSeparator
 
-    cfg = RoformerConfig(dim=384, depth=12, heads=8)  # upstream BS-RoFormer scale
+    # the SDR-12.9628 checkpoint's scale (model_bs_roformer_ep_317_sdr_12.9628:
+    # dim 512, depth 12 axial pairs) — NOT a reduced stand-in
+    cfg = RoformerConfig(dim=512, depth=12, heads=8)
     model = BSRoformer(cfg)
-    # batch 12: a 4-min track yields 34 chunks -> 36 padded (5% waste, 3
-    # dispatches) vs 40 at batch 8 (17% waste, 5 dispatches)
-    chunk_s, batch = 8.0, 12
+    # batch 8: dim-512 at batch 12 needs 16.46G of 15.75G HBM (13.5G HLO
+    # temp); batch 8 fits with headroom and still amortizes dispatches
+    chunk_s, batch = 8.0, int(os.environ.get("BENCH_SEP_BATCH", "8"))
     with jax.default_device(cpu):
         base = model.init(
             jax.random.PRNGKey(1), jnp.zeros((1, 2, int(chunk_s * SEP_SR)))
@@ -208,6 +211,11 @@ def main() -> None:
                 "value": round(rtf, 3),
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(rtf / 20.0, 3),
+                "member": "bs_roformer dim=512 depth=12(axial pairs) "
+                          "heads=8 n_fft=2048 hop=512 (SDR-12.9628 scale)",
+                "ensemble_strength": int(os.environ.get("BENCH_ENSEMBLE", "1")),
+                "sep_rtf": round(DUR_S / best_sep, 3),
+                "rvc_rtf": round(DUR_S / best_rvc, 3),
             }
         )
     )

@@ -153,19 +153,25 @@ def test_xtts_gpt2_generate_to_audio():
     )
 
     model = XttsGPT2(layers=2, dim=32, heads=2, n_text=20, n_audio=26,
-                     max_text=8, max_mel=12)
+                     max_text=8, max_mel=12, start_text=18, stop_text=0)
     b = 2
     rng = np.random.default_rng(0)
     text = jnp.asarray(rng.integers(0, 20, (b, 5)))
     cond = jnp.asarray(rng.standard_normal((b, 3, 32)), jnp.float32) * 0.3
     params = model.init(jax.random.PRNGKey(0), text,
                         jnp.zeros((b, 4), jnp.int32), cond)["params"]
-    codes, lat = xtts_gpt2_generate(model, params, text, cond, max_steps=8,
-                                    rng=jax.random.PRNGKey(7))
+    codes, lat, lengths = xtts_gpt2_generate(
+        model, params, text, cond, max_steps=8, rng=jax.random.PRNGKey(7))
     assert codes.shape == (b, 8) and lat.shape == (b, 8, 32)
+    assert lengths.shape == (b,)
     assert int(codes.max()) < 26
-    c2, l2 = xtts_gpt2_generate(model, params, text, cond, max_steps=8,
-                                rng=jax.random.PRNGKey(7))
+    # latents past the first EOS are zero-masked (no post-stop junk tail)
+    for r in range(b):
+        n = int(lengths[r])
+        if n < 8:
+            assert bool(jnp.all(lat[r, n:] == 0.0))
+    c2, l2, _ = xtts_gpt2_generate(model, params, text, cond, max_steps=8,
+                                   rng=jax.random.PRNGKey(7))
     assert bool(jnp.all(codes == c2)) and bool(jnp.all(lat == l2))
     dec = XttsHifiganDecoder(input_dim=32, cond_dim=16, initial_channel=32)
     g = jnp.asarray(rng.standard_normal((b, 16)), jnp.float32) * 0.3

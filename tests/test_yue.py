@@ -10,11 +10,20 @@ from audiolab_tpu.models.yue import YuEVocab, random_yue, stage2_generate
 
 
 def test_vocab_layout():
-    v = YuEVocab(codebook_size=1024)
-    assert v.special("pad") == 256
-    assert v.vocal_base == 256 + 7
-    assert v.inst_base == v.vocal_base + 1024
-    assert v.size == v.inst_base + 1024
+    """Default layout == the published mm-v0.2 table
+    (codecmanipulator.py:36-47)."""
+    v = YuEVocab()
+    assert v.special("eod") == 32000
+    assert v.special("soa") == 32001
+    assert v.special("eoa") == 32002
+    assert v.special("stage1") == 32013
+    assert v.special("xcodec") == 32016
+    assert v.special("stage2") == 32017
+    assert v.xcodec_base == 45334           # xcodec global_offset
+    assert v.codebook_base(1) == 46358      # stage-2 mask lower bound
+    assert v.codebook_base(8) == 53526      # stage-2 mask upper bound
+    assert v.vocal_base == v.inst_base == v.xcodec_base  # interleaved cb0
+    assert v.size == 83734                  # metadata.len
 
 
 @pytest.fixture(scope="module")
