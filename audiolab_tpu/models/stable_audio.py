@@ -133,6 +133,28 @@ def tokenize_prompt(text: str, max_len: int = 128) -> np.ndarray:
     return ids
 
 
+class NumberEmbedder(nn.Module):
+    """stable_audio_tools adp.NumberEmbedder: normalized scalar -> features.
+
+    LearnedPositionalEmbedding (adp.py:657-671): freqs = x * w * 2pi,
+    fouriered = [sin, cos], then [x, fouriered] -> Linear(dim+1, features)
+    (adp.py:674-678).  Weights live IN the stable-audio checkpoint under
+    conditioner.conditioners.{seconds_start,seconds_total}.embedder."""
+
+    features: int = 768
+    dim: int = 256
+
+    @nn.compact
+    def __call__(self, x):
+        """(b,) in [0,1] -> (b, features)."""
+        w = self.param("fourier_w", nn.initializers.normal(1.0),
+                       (self.dim // 2,))
+        f = x[:, None] * w[None, :] * (2.0 * np.pi)
+        h = jnp.concatenate(
+            [x[:, None], jnp.sin(f), jnp.cos(f)], axis=-1)
+        return nn.Dense(self.features, name="proj")(h)
+
+
 # ------------------------------------------------------------------ model
 
 @dataclass

@@ -9,6 +9,7 @@ continue), layouts/music.py (YuE), layouts/acestep.py (ACE-Step)."""
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from audiolab_tpu.models.stable_audio import (
@@ -79,6 +80,134 @@ class StableAudioPipeline:
             y[fade:],
         ])
         return joined, sr
+
+
+class T5PromptTokenizer:
+    """T5Conditioner tokenization (wheel conditioners.py:349-358):
+    sentencepiece ids, truncate to max_length, append </s>, pad to
+    max_length with pad=0, boolean attention mask."""
+
+    def __init__(self, spm_model_path: str, max_length: int = 128):
+        from audiolab_tpu.utils.spm import SentencePieceProcessor
+
+        self.sp = SentencePieceProcessor(spm_model_path)
+        self.max_length = max_length
+        self.eos = self.sp.eos_id() if self.sp.eos_id() >= 0 else 1
+        self.pad = max(self.sp.pad_id(), 0)
+
+    def __call__(self, texts: list[str]):
+        """-> (ids (b, max_length) int32, mask (b, max_length) int32)."""
+        n = self.max_length
+        ids = np.full((len(texts), n), self.pad, np.int32)
+        mask = np.zeros((len(texts), n), np.int32)
+        for r, t in enumerate(texts):
+            e = self.sp.encode_as_ids(t)[: n - 1] + [self.eos]
+            ids[r, : len(e)] = e
+            mask[r, : len(e)] = 1
+        return ids, mask
+
+
+class StableAudioCheckpointPipeline:
+    """Published stable-audio-open weights end-to-end.
+
+    Conditioning mirrors the wheel's ConditionedDiffusionModelWrapper
+    (diffusion.py:137-197) for stable-audio-open-1.0's config:
+    cross-attn input = [T5(prompt), emb(seconds_start), emb(seconds_total)]
+    (the cross-attn mask is disabled upstream, diffusion.py:283, so zeroed
+    T5 pad embeddings are attended to — matched here), global cond =
+    concat(seconds embeds) (b, 1536).  Denoiser = converted SAODiT,
+    decode = converted OobleckDecoder.  Sampling: DDIM over the
+    v-objective with CFG double-batch in one jitted scan."""
+
+    def __init__(self, dit_params, vae_decoder_params, t5_params,
+                 ss_params, st_params, spm_model_path: str,
+                 dit_cfg=None, vae_cfg=None, t5_cfg=None,
+                 sr: int = 44100, seconds_clamp: float = 512.0,
+                 max_seconds: float = 47.0):
+        from audiolab_tpu.models.stable_audio import NumberEmbedder
+        from audiolab_tpu.models.stable_audio_dit import (
+            OobleckConfig as CkptOobleckConfig,
+        )
+        from audiolab_tpu.models.stable_audio_dit import (
+            OobleckDecoder,
+            SAODiTConfig,
+            StableAudioDiT,
+        )
+        from audiolab_tpu.models.t5 import T5Config, T5Encoder
+
+        self.dit_cfg = dit_cfg or SAODiTConfig()
+        self.vae_cfg = vae_cfg or CkptOobleckConfig()
+        self.t5_cfg = t5_cfg or T5Config()
+        self.sr = sr
+        self.seconds_clamp = seconds_clamp
+        self.max_seconds = max_seconds
+        self.dit = StableAudioDiT(self.dit_cfg)
+        self.decoder = OobleckDecoder(self.vae_cfg)
+        self.t5 = T5Encoder(self.t5_cfg)
+        self.num_emb = NumberEmbedder(features=self.t5_cfg.dim)
+        self.params = dict(dit=dit_params, dec=vae_decoder_params,
+                           t5=t5_params, ss=ss_params, st=st_params)
+        self.tokenizer = T5PromptTokenizer(spm_model_path)
+
+    def _conditioning(self, prompts: list[str], seconds_start: float,
+                      seconds_total: float):
+        ids, mask = self.tokenizer(prompts)
+        text = self.t5.apply({"params": self.params["t5"]},
+                             jnp.asarray(ids), jnp.asarray(mask))
+        b = len(prompts)
+        norm = lambda v: jnp.full(  # noqa: E731
+            (b,), float(np.clip(v, 0.0, self.seconds_clamp))
+            / self.seconds_clamp)
+        ss = self.num_emb.apply({"params": self.params["ss"]},
+                                norm(seconds_start))
+        st = self.num_emb.apply({"params": self.params["st"]},
+                                norm(seconds_total))
+        cross = jnp.concatenate(
+            [text, ss[:, None, :], st[:, None, :]], axis=1)
+        glob = jnp.concatenate([ss, st], axis=-1)
+        return cross, glob
+
+    def generate(self, prompt: str, negative_prompt: str = "",
+                 seconds_total: float = 10.0, seconds_start: float = 0.0,
+                 steps: int = 50, cfg_scale: float = 7.0, seed: int = 0,
+                 init_audio=None, init_strength: float = 0.8, **_):
+        c = self.vae_cfg
+        hop = int(np.prod(c.strides))
+        seconds_total = float(np.clip(seconds_total, 1.0, self.max_seconds))
+        t_lat = max(1, int(round(seconds_total * self.sr / hop)))
+
+        cross, glob = self._conditioning(
+            [prompt, negative_prompt or ""], seconds_start, seconds_total)
+
+        rng = jax.random.PRNGKey(seed)
+        z = jax.random.normal(rng, (1, t_lat, c.latent_dim))
+        if init_audio is not None:
+            raise NotImplementedError(
+                "init audio needs the Oobleck encoder params")
+
+        from audiolab_tpu.models.stable_audio import v_to_eps_x0
+
+        ts = jnp.linspace(1.0, 0.0, steps + 1)
+        dit_params = self.params["dit"]
+
+        def body(z, i):
+            t_cur, t_next = ts[i], ts[i + 1]
+            z2 = jnp.concatenate([z, z], axis=0)
+            tb = jnp.full((2,), t_cur)
+            v = self.dit.apply({"params": dit_params}, z2, tb, cross, glob)
+            vc, vu = v[:1], v[1:]
+            v = vu + cfg_scale * (vc - vu)
+            eps, x0 = v_to_eps_x0(v, z, jnp.full((1,), t_cur))
+            z = (jnp.cos(t_next * np.pi / 2) * x0
+                 + jnp.sin(t_next * np.pi / 2) * eps)
+            return z, None
+
+        z, _ = jax.lax.scan(body, z, jnp.arange(steps))
+        audio = self.decoder.apply({"params": self.params["dec"]}, z)
+        samples = np.asarray(audio[0])           # (out_ch, n)
+        if samples.shape[0] == 1:
+            samples = samples[0]
+        return samples, self.sr
 
 
 def random_stable_audio(cfg: StableAudioConfig | None = None, seed: int = 0):

@@ -89,8 +89,13 @@ def _get_wn2(sd: dict, key: str) -> np.ndarray:
     """Weight-norm fold over dim=2 (fairseq pos_conv: weight_g is (1,1,k))."""
     if key + ".weight" in sd:
         return np.asarray(sd[key + ".weight"])
-    return fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
-                            np.asarray(sd[key + ".weight_v"]), dim=2)
+    if key + ".weight_g" in sd:
+        return fold_weight_norm(np.asarray(sd[key + ".weight_g"]),
+                                np.asarray(sd[key + ".weight_v"]), dim=2)
+    # torch >= 2 parametrized weight_norm (transformers wav2vec2 pos_conv)
+    return fold_weight_norm(
+        np.asarray(sd[key + ".parametrizations.weight.original0"]),
+        np.asarray(sd[key + ".parametrizations.weight.original1"]), dim=2)
 
 
 def extract(kind: str, key: str, sd: dict) -> np.ndarray:
@@ -2666,3 +2671,164 @@ def load_clap_audio_checkpoint(path: str, **kw) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_clap_audio(sd, template)
+
+
+# ------------------------------------------------------------- T5 encoder
+
+def t5_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/t5.T5Encoder -> transformers T5EncoderModel keys.
+
+    The stable-audio T5Conditioner (wheel conditioners.py:286-368) hides
+    the frozen torch module from state_dict, so these weights come from
+    the published t5-base checkpoint, not the stable-audio safetensors."""
+    m: dict[str, tuple[str, str]] = {
+        "emb/embedding": ("direct", "shared.weight"),
+        "rel_bias/embedding": (
+            "direct",
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias"
+            ".weight"),
+        "final_ln/weight": ("direct", "encoder.final_layer_norm.weight"),
+    }
+    n = sum(1 for k in template if k.startswith("attn_"))
+    for i in range(n):
+        b = f"encoder.block.{i}.layer"
+        m[f"ln1_{i}/weight"] = ("direct", f"{b}.0.layer_norm.weight")
+        m[f"ln2_{i}/weight"] = ("direct", f"{b}.1.layer_norm.weight")
+        for p in ("q", "k", "v", "o"):
+            m[f"attn_{i}/{p}/kernel"] = ("dense_w",
+                                         f"{b}.0.SelfAttention.{p}")
+        ff = template[f"ffn_{i}"]
+        # transformers names the FFN submodule DenseReluDense for BOTH the
+        # relu (wi) and gated (wi_0/wi_1) layouts
+        if "wi" in ff:
+            m[f"ffn_{i}/wi/kernel"] = ("dense_w", f"{b}.1.DenseReluDense.wi")
+        else:  # v1.1 gated
+            m[f"ffn_{i}/wi_0/kernel"] = ("dense_w",
+                                         f"{b}.1.DenseReluDense.wi_0")
+            m[f"ffn_{i}/wi_1/kernel"] = ("dense_w",
+                                         f"{b}.1.DenseReluDense.wi_1")
+        m[f"ffn_{i}/wo/kernel"] = ("dense_w", f"{b}.1.DenseReluDense.wo")
+    return m
+
+
+def convert_t5(state_dict: dict, template: dict, strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k] = np.asarray(v)
+        if k == "encoder.embed_tokens.weight" and "shared.weight" not in state_dict:
+            sd["shared.weight"] = np.asarray(v)
+    return fill_tree(template, t5_mapping(template), sd, strict)
+
+
+def load_t5_encoder(path: str, cfg=None) -> dict:
+    """t5-base .safetensors/.bin -> flax params for models/t5.T5Encoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.t5 import T5Config, T5Encoder
+
+    cfg = cfg or T5Config()
+    model = T5Encoder(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_t5(sd, template)
+
+
+def sao_number_mapping(template: dict, prefix: str) -> dict[str, tuple[str, str]]:
+    """flax stable_audio.NumberEmbedder -> stable-audio checkpoint keys
+    (conditioner.conditioners.{seconds_start,seconds_total}.embedder,
+    wheel conditioners.py:58-91 / adp.py:655-678,1455-1474)."""
+    return {
+        "fourier_w": ("direct", f"{prefix}.embedding.0.weights"),
+        "proj/kernel": ("dense_w", f"{prefix}.embedding.1"),
+        "proj/bias": ("bias", f"{prefix}.embedding.1"),
+    }
+
+
+def convert_sao_number(state_dict: dict, template: dict, which: str,
+                       strict: bool = True) -> dict:
+    prefix = f"conditioner.conditioners.{which}.embedder"
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = "embedder"  # bare NumberEmbedder state dict (tests)
+    return fill_tree(template, sao_number_mapping(template, prefix), sd,
+                     strict)
+
+
+# ------------------------------------------------------- wav2vec2 CTC
+
+def wav2vec2_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/wav2vec2.Wav2Vec2CTC -> HF Wav2Vec2ForCTC keys.
+
+    The encoder reuses models/hubert.Hubert (same topology); HF names
+    differ from fairseq's, hence the separate mapping.  Reference use:
+    WhisperX alignment models, layouts/transcribe.py:89-112."""
+    m: dict[str, tuple[str, str]] = {}
+    enc = template["encoder"]
+
+    def dense(path, key):
+        m[f"{path}/kernel"] = ("dense_w", key)
+        m[f"{path}/bias"] = ("bias", key)
+
+    def norm(path, key):
+        m[f"{path}/scale"] = ("w", key)
+        m[f"{path}/bias"] = ("b", key)
+
+    w2v = "wav2vec2"
+    n_convs = sum(1 for k in enc["feature_extractor"] if k.startswith("conv_"))
+    for i in range(n_convs):
+        m[f"encoder/feature_extractor/conv_{i}/kernel"] = (
+            "conv_w", f"{w2v}.feature_extractor.conv_layers.{i}.conv")
+    norm("encoder/feature_extractor/gn_0",
+         f"{w2v}.feature_extractor.conv_layers.0.layer_norm")
+    norm("encoder/ln_post_extract", f"{w2v}.feature_projection.layer_norm")
+    dense("encoder/post_extract_proj", f"{w2v}.feature_projection.projection")
+    m["encoder/pos_conv/kernel"] = (
+        "convwn2_w", f"{w2v}.encoder.pos_conv_embed.conv")
+    m["encoder/pos_conv/bias"] = ("bias", f"{w2v}.encoder.pos_conv_embed.conv")
+    norm("encoder/ln_pre", f"{w2v}.encoder.layer_norm")
+    i = 0
+    while f"layer_{i}" in enc:
+        b = f"{w2v}.encoder.layers.{i}"
+        for w in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            dense(f"encoder/layer_{i}/attn/{w}", f"{b}.attention.{w}")
+        dense(f"encoder/layer_{i}/fc1", f"{b}.feed_forward.intermediate_dense")
+        dense(f"encoder/layer_{i}/fc2", f"{b}.feed_forward.output_dense")
+        norm(f"encoder/layer_{i}/ln1", f"{b}.layer_norm")
+        norm(f"encoder/layer_{i}/ln2", f"{b}.final_layer_norm")
+        i += 1
+    dense("lm_head", "lm_head")
+    return m
+
+
+def convert_wav2vec2(state_dict: dict, template: dict,
+                     strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, wav2vec2_mapping(template), sd, strict)
+
+
+def load_wav2vec2_checkpoint(path: str, cfg=None, vocab: dict | None = None):
+    """HF Wav2Vec2ForCTC checkpoint -> CTCWordAligner."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.wav2vec2 import (
+        CTCWordAligner,
+        Wav2Vec2Config,
+        Wav2Vec2CTC,
+    )
+
+    cfg = cfg or Wav2Vec2Config()
+    model = Wav2Vec2CTC(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 3200), jnp.float32))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    params = convert_wav2vec2(sd, template)
+    return CTCWordAligner(params, cfg, vocab)
