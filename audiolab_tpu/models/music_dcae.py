@@ -4,9 +4,10 @@ modules/acestep/acestep/music_dcae/music_dcae_pipeline.py:30-150 and
 music_log_mel.py).
 
 The inner mel <-> latent autoencoder upstream is a diffusers AutoencoderDC
-(``music_dcae_f8c8``) whose source is not vendored and whose package is not
-in this image — the one documented cut of the ACE-Step family.  Everything
-around it IS reproduced here and is checkpoint-exact:
+(``music_dcae_f8c8``) — implemented in models/dcae.py with a converter
+(``utils.convert.load_dcae_checkpoint``) and wired in through
+``dcae_codec_fns`` below.  Everything around it is also reproduced here
+and is checkpoint-exact:
 
   - ``log_mel_44k``: LogMelSpectrogram(44.1k, n_fft 2048, hop 512,
     center=False with manual (win-hop)//2 reflect pad, sqrt(power + 1e-6),
@@ -66,6 +67,35 @@ def normalize_mel(mel: jnp.ndarray) -> jnp.ndarray:
 def denormalize_mel(mel: jnp.ndarray) -> jnp.ndarray:
     m = mel * 0.5 + 0.5
     return m * (MAX_MEL - MIN_MEL) + MIN_MEL
+
+
+def dcae_codec_fns(params, cfg=None):
+    """Converted diffusers AutoencoderDC (models/dcae.py) -> the
+    ``encoder_fn`` / ``decoder_fn`` pair MusicDCAE consumes.
+
+    Layout bridge: the pipeline's mel is (b, ch, T, 128) and ACE-Step
+    latents are torch-layout (b, 8, 16, t); the flax DCAE is NHWC with
+    the mel image as (b, 128 bins, T, ch) — matching upstream's
+    (b, ch, 128, T) NCHW orientation channel-for-channel."""
+    import jax
+
+    from audiolab_tpu.models.dcae import AutoencoderDC, DCAEConfig
+
+    model = AutoencoderDC(cfg or DCAEConfig())
+
+    @jax.jit
+    def encoder_fn(mel):                     # (b, ch, T, 128)
+        x = jnp.transpose(mel, (0, 3, 2, 1))     # (b, 128, T, ch)
+        z = model.apply({"params": params}, x, method=AutoencoderDC.encode)
+        return jnp.transpose(z, (0, 3, 1, 2))    # (b, 8, 16, t)
+
+    @jax.jit
+    def decoder_fn(z):                       # (b, 8, 16, t)
+        zq = jnp.transpose(z, (0, 2, 3, 1))      # (b, 16, t, 8)
+        x = model.apply({"params": params}, zq, method=AutoencoderDC.decode)
+        return jnp.transpose(x, (0, 3, 2, 1))    # (b, ch, T, 128)
+
+    return encoder_fn, decoder_fn
 
 
 class MusicDCAE:

@@ -195,12 +195,12 @@ class CheckpointACEStep:
 
     Conditioning mirrors upstream pipeline_ace_step.py:562-765: external
     768-d text hidden states (umT5 upstream), a 512-d speaker embedding,
-    and lyric tokens through the converted LyricConformerEncoder.  The
-    diffusers DCAE that maps latents <-> mel is the one documented cut, so
-    ``generate`` returns latents unless a ``decode_fn`` is supplied —
-    models/music_dcae.MusicDCAE.decode is the upstream-exact one (scale /
-    shift / mel denorm / converted ADaMoS vocoder) around any latent->mel
-    decoder."""
+    and lyric tokens through the converted LyricConformerEncoder.
+    ``generate`` returns latents unless a ``decode_fn`` is supplied — wire
+    models/music_dcae.MusicDCAE.decode (scale / shift / mel denorm /
+    converted ADaMoS vocoder) around the converted AutoencoderDC
+    (models/dcae.py via music_dcae.dcae_codec_fns) for the full
+    latents -> audio chain the reference runs."""
 
     def __init__(self, cfg, params, lyric_params=None,
                  pcfg: ACEStepPipelineConfig | None = None,

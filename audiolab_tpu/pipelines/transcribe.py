@@ -64,20 +64,6 @@ def tokens_to_segments(
     return [s for s in segs if s.text]
 
 
-def interpolate_words(seg: Segment) -> list[dict]:
-    """Uniform word timing inside a segment (WhisperX-style alignment slot;
-    replace with forced alignment when the aligner model is loaded)."""
-    words = seg.text.split()
-    if not words:
-        return []
-    dur = (seg.end - seg.start) / len(words)
-    return [
-        {"word": w, "start": round(seg.start + i * dur, 3),
-         "end": round(seg.start + (i + 1) * dur, 3)}
-        for i, w in enumerate(words)
-    ]
-
-
 def assign_speakers(segments: list[Segment], turns: list[tuple[float, float, str]]
                     ) -> None:
     """Label each segment with the diarization turn of max overlap
@@ -111,7 +97,7 @@ def to_json(segments: list[Segment]) -> str:
     return json.dumps(
         {"segments": [
             {"start": s.start, "end": s.end, "text": s.text,
-             "speaker": s.speaker, "words": s.words or interpolate_words(s)}
+             "speaker": s.speaker, "words": s.words or []}
             for s in segments
         ]}, indent=1)
 
@@ -152,10 +138,15 @@ class Transcriber:
     (serve/transcribe_api): .transcribe(samples, sr, **kw) -> dict."""
 
     def __init__(self, cfg: WhisperConfig, params,
-                 detokenize: Callable[[list[int]], str] | None = None):
+                 detokenize: Callable[[list[int]], str] | None = None,
+                 aligner=None):
+        """``aligner``: optional models/wav2vec2.CTCWordAligner — when set,
+        word timings come from CTC forced alignment (the WhisperX path,
+        layouts/transcribe.py:89-112); otherwise the energy heuristic."""
         self.cfg = cfg
         self.model = WhisperModel(cfg)
         self.params = params
+        self.aligner = aligner
         self.detokenize = detokenize or (
             lambda ids: "".join(chr(32 + (i % 90)) for i in ids))
 
@@ -183,13 +174,18 @@ class Transcriber:
                 tokens_to_segments(toks[w], self.cfg, self.detokenize,
                                    window_offset=30.0 * w)
             )
-        # forced alignment for word timings (replaces uniform interpolation;
-        # reference: WhisperX align, layouts/transcribe.py:84-430)
+        # forced alignment for word timings (reference: WhisperX align,
+        # layouts/transcribe.py:84-430): CTC aligner when loaded, else the
+        # energy heuristic — never uniform interpolation
         from audiolab_tpu.pipelines.forced_align import energy_align_words
 
         for s in segments:
-            s.words = energy_align_words(x, self.cfg.sr, s.start, s.end,
-                                         s.text.split())
+            if self.aligner is not None:
+                s.words = self.aligner.align_words(
+                    x, self.cfg.sr, s.start, s.end, s.text.split())
+            else:
+                s.words = energy_align_words(x, self.cfg.sr, s.start, s.end,
+                                             s.text.split())
         if diarize_turns:
             assign_speakers(segments, diarize_turns)
         text = to_txt(segments)

@@ -2832,3 +2832,114 @@ def load_wav2vec2_checkpoint(path: str, cfg=None, vocab: dict | None = None):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     params = convert_wav2vec2(sd, template)
     return CTCWordAligner(params, cfg, vocab)
+
+
+# ------------------------------------------------------------ DCAE (f8c8)
+
+def _dcae_block_map(m: dict, fp: str, tk: str, node: dict) -> None:
+    """Map one DCAE block's params; block type inferred from the tree."""
+    def conv(p, k):
+        m[f"{p}/kernel"] = ("conv2_w", k)
+        if "bias" in _leaf(p):
+            m[f"{p}/bias"] = ("bias", k)
+
+    def _leaf(p):
+        n = node
+        for part in p.split("/")[1:]:
+            n = n[part]
+        return n
+
+    def norm(p, k):
+        m[f"{p}/weight"] = ("w", k)
+        m[f"{p}/bias"] = ("b", k)
+
+    name = fp.rsplit("/", 1)[-1]
+    if "conv1" in node:                                   # ResBlock
+        conv(f"{name}/conv1", f"{tk}.conv1")
+        conv(f"{name}/conv2", f"{tk}.conv2")
+        norm(f"{name}/norm", f"{tk}.norm")
+    elif "attn" in node:                                  # EfficientViT
+        at = node["attn"]
+        for q in ("to_q", "to_k", "to_v", "to_out"):
+            m[f"{name}/attn/{q}/kernel"] = ("dense_w", f"{tk}.attn.{q}")
+        s = 0
+        while f"to_qkv_multiscale_{s}" in at:
+            for c in ("proj_in", "proj_out"):
+                m[f"{name}/attn/to_qkv_multiscale_{s}/{c}/kernel"] = (
+                    "conv2_w", f"{tk}.attn.to_qkv_multiscale.{s}.{c}")
+            s += 1
+        norm(f"{name}/attn/norm_out", f"{tk}.attn.norm_out")
+        conv(f"{name}/conv_out/conv_inverted", f"{tk}.conv_out.conv_inverted")
+        conv(f"{name}/conv_out/conv_depth", f"{tk}.conv_out.conv_depth")
+        conv(f"{name}/conv_out/conv_point", f"{tk}.conv_out.conv_point")
+        norm(f"{name}/conv_out/norm", f"{tk}.conv_out.norm")
+    elif "conv" in node and "kernel" in node["conv"]:     # DC up/down block
+        conv(f"{name}/conv", f"{tk}.conv")
+    else:                                                 # plain conv
+        conv(name, tk)
+
+
+def dcae_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/dcae.AutoencoderDC -> diffusers AutoencoderDC keys
+    (checkpoint layout of ACE-Step's music_dcae_f8c8;
+    music_dcae_pipeline.py:40)."""
+    m: dict[str, tuple[str, str]] = {}
+    for side, seq, tseq in (("encoder", "down", "down_blocks"),
+                            ("decoder", "up", "up_blocks")):
+        tree = template[side]
+        sub: dict[str, tuple[str, str]] = {}
+        for k, node in tree.items():
+            if k.startswith(f"{seq}_"):
+                _i, _j = k.split("_")[1:]
+                _dcae_block_map(sub, k, f"{side}.{tseq}.{_i}.{_j}", node)
+            elif k in ("conv_in", "conv_out"):
+                _dcae_block_map(sub, k, f"{side}.{k}", node)
+            elif k == "norm_out":
+                sub[f"{k}/weight"] = ("w", f"{side}.{k}")
+                sub[f"{k}/bias"] = ("b", f"{side}.{k}")
+        m.update({f"{side}/{p}": v for p, v in sub.items()})
+    return m
+
+
+def convert_dcae(state_dict: dict, template: dict,
+                 strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, dcae_mapping(template), sd, strict)
+
+
+def load_dcae_checkpoint(path: str, cfg=None) -> tuple[dict, "object"]:
+    """diffusers music_dcae_f8c8 dir (config.json + safetensors) -> flax
+    params + DCAEConfig for models/dcae.AutoencoderDC."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.dcae import (
+        AutoencoderDC,
+        DCAEConfig,
+        config_from_json,
+        spatial_compression,
+    )
+
+    if cfg is None:
+        try:
+            cfg = config_from_json(path)
+        except FileNotFoundError:
+            cfg = DCAEConfig()
+    model = AutoencoderDC(cfg)
+    f = spatial_compression(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4 * f, 4 * f, cfg.in_channels)))
+        ["params"])
+    import os as _os
+    wfile = path
+    if _os.path.isdir(path):
+        for cand in ("diffusion_pytorch_model.safetensors",
+                     "diffusion_pytorch_model.bin", "model.safetensors"):
+            if _os.path.exists(_os.path.join(path, cand)):
+                wfile = _os.path.join(path, cand)
+                break
+    sd = torch_load_weights(wfile)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_dcae(sd, template), cfg

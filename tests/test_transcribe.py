@@ -9,7 +9,6 @@ from audiolab_tpu.pipelines.transcribe import (
     FORMATTERS,
     Segment,
     assign_speakers,
-    interpolate_words,
     random_transcriber,
     to_srt,
     to_vtt,
@@ -35,8 +34,9 @@ def test_tokens_to_segments_and_words():
     assert len(segs) == 2
     assert segs[0].start == 0.0 and abs(segs[0].end - 0.4) < 1e-6
     assert segs[0].text == "w10 w11"
-    words = interpolate_words(segs[0])
-    assert len(words) == 2 and words[1]["end"] <= 0.4 + 1e-6
+    # word timings now come from forced alignment (CTC or energy) inside
+    # Transcriber.transcribe; segment parsing itself carries no words
+    assert segs[1].text == "w12"
 
 
 def test_assign_speakers():
