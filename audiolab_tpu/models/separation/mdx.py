@@ -107,3 +107,79 @@ class MDXNet(nn.Module):
             wav = istft(est[..., 0], est[..., 1], n_fft=c.n_fft, hop=c.hop, length=n)
             out[stem] = wav
         return out
+
+
+class MDXOnnxSeparator:
+    """A REAL MDX-NET .onnx checkpoint as an ensemble member.
+
+    The reference feeds these through onnxruntime
+    (stem_separator.py:110-123); here the graph runs through the in-repo
+    ONNX importer/executor (utils/onnx.py) with the exact ConvTDFNetTrim
+    framing around it (modules/rvc/infer/modules/uvr5/mdxnet.py:40-76):
+
+      stereo chunk (b, 2, hop*(dim_t-1))
+        -> torch-stft layout (b, 4, dim_f, dim_t)  [ch0_re ch0_im ch1_re..]
+        -> onnx graph (the published net predicts the target stem spec)
+        -> zero-pad bins back to n_fft//2+1 -> istft
+      complement stem = mix - target (UVR convention).
+
+    Arbitrary input lengths are zero-padded up to a chunk multiple and the
+    sub-chunks run as one device batch.
+    """
+
+    def __init__(self, graph_or_path, dim_f: int = 3072, dim_t: int = 256,
+                 n_fft: int = 7680, hop: int = 1024,
+                 target: str = "vocals"):
+        import jax
+
+        from audiolab_tpu.utils.onnx import OnnxRunner, load_onnx
+
+        g = (load_onnx(graph_or_path) if isinstance(graph_or_path, str)
+             else graph_or_path)
+        self.runner = OnnxRunner(g)
+        self.input_name = next(n for n in g.inputs
+                               if n not in g.initializers)
+        self.dim_f, self.dim_t = dim_f, dim_t
+        self.n_fft, self.hop = n_fft, hop
+        self.target = target
+        self.chunk = hop * (dim_t - 1)
+        self._run = jax.jit(self._forward)
+
+    def _spec(self, audio):
+        """(b, 2, chunk) -> (b, 4, dim_f, dim_t), torch channel packing."""
+        re, im = stft(audio, n_fft=self.n_fft, hop=self.hop)  # (b,2,T,bins)
+        x = jnp.stack([re, im], axis=2)          # (b, 2, 2, T, bins)
+        b = x.shape[0]
+        x = x.reshape(b, 4, x.shape[3], x.shape[4])
+        x = jnp.swapaxes(x, 2, 3)                # (b, 4, bins, T)
+        return x[:, :, : self.dim_f, : self.dim_t]
+
+    def _unspec(self, spec, length):
+        """(b, 4, dim_f, dim_t) -> (b, 2, length)."""
+        n_bins = self.n_fft // 2 + 1
+        b = spec.shape[0]
+        x = jnp.pad(spec, ((0, 0), (0, 0), (0, n_bins - self.dim_f),
+                           (0, 0)))
+        x = jnp.swapaxes(x, 2, 3)                # (b, 4, T, bins)
+        x = x.reshape(b, 2, 2, x.shape[2], n_bins)
+        return istft(x[:, :, 0], x[:, :, 1], n_fft=self.n_fft,
+                     hop=self.hop, length=length)
+
+    def _forward(self, audio):
+        spec = self._spec(audio)
+        (est,) = self.runner(**{self.input_name: spec})
+        return self._unspec(est, audio.shape[-1])
+
+    def __call__(self, audio):
+        """(b, 2, n) -> {target: (b,2,n), complement: (b,2,n)} — the
+        EnsembleMember apply_fn contract (pipelines/separate.py)."""
+        b, ch, n = audio.shape
+        pad = (-n) % self.chunk
+        x = jnp.pad(audio, ((0, 0), (0, 0), (0, pad)))
+        k = x.shape[-1] // self.chunk
+        x = x.reshape(b, ch, k, self.chunk).transpose(0, 2, 1, 3)
+        y = self._run(x.reshape(b * k, ch, self.chunk))
+        y = y.reshape(b, k, ch, self.chunk).transpose(0, 2, 1, 3)
+        y = y.reshape(b, ch, -1)[..., :n]
+        comp = "instrumental" if self.target == "vocals" else "vocals"
+        return {self.target: y, comp: audio - y}
