@@ -120,10 +120,21 @@ def pit_bce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 class NeuralDiarizer:
     def __init__(self, cfg: DiarizeConfig | None = None, seg_params=None,
-                 emb_params=None, seed: int = 0):
+                 emb_params=None, seed: int = 0, pyannet_params=None,
+                 pyannet_cfg=None):
+        """``pyannet_params``: converted pyannote segmentation-3.0 weights
+        (utils.convert.load_pyannet_checkpoint) — when given, per-frame
+        activities come from the checkpoint-compatible PyanNet
+        (models/pyannet.py) instead of the in-repo SegmentationNet."""
         self.cfg = cfg or DiarizeConfig()
         self.seg = SegmentationNet(self.cfg)
         self.emb = SpeakerEmbedder(self.cfg)
+        self.pyannet = None
+        self.pyannet_params = pyannet_params
+        if pyannet_params is not None:
+            from audiolab_tpu.models.pyannet import PyanNet, PyanNetConfig
+
+            self.pyannet = PyanNet(pyannet_cfg or PyanNetConfig())
         if seg_params is None or emb_params is None:
             k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
             mel = jnp.zeros((1, 32, self.cfg.n_mels))
@@ -169,7 +180,18 @@ class NeuralDiarizer:
             np.concatenate([wav[s:s + chunk], pads])[:chunk] for s in starts
         ])
         mel = self._mel(jnp.asarray(batch))
-        act = np.asarray(self._activities(self.seg_params, mel))  # (B,t,K)
+        if self.pyannet is not None:
+            from audiolab_tpu.models.pyannet import powerset_to_multilabel
+
+            lp = jax.jit(lambda p, w: self.pyannet.apply({"params": p}, w))(
+                self.pyannet_params, jnp.asarray(batch))
+            ml = np.asarray(powerset_to_multilabel(lp))   # (B, tp, 3)
+            # map PyanNet's 270-sample frames onto the mel (hop) frame grid
+            tp, tm = ml.shape[1], mel.shape[1]
+            idx = np.minimum((np.arange(tm) * tp // max(tm, 1)), tp - 1)
+            act = ml[:, idx, : c.max_speakers]
+        else:
+            act = np.asarray(self._activities(self.seg_params, mel))  # (B,t,K)
 
         frame_s = c.hop / c.sr
         regions = []   # (global_start_f, global_end_f, chunk_i, local_k)

@@ -242,10 +242,15 @@ class XTTSEngine:
 
 
 class ChatterboxEngine:
-    """Chatterbox-class engine (layouts/tts.py:381): unit LM + flow-matching
-    decoder + Vocos, with the exaggeration knob (models/chatterbox.py)."""
+    """Chatterbox-STYLE engine (original design; NOT checkpoint-compatible
+    with the published resemble-ai `chatterbox` weights, whose t3/s3gen
+    topology differs — reference layouts/tts.py:381): unit LM +
+    flow-matching decoder + Vocos with the exaggeration knob
+    (models/chatterbox.py)."""
 
     voices = ["default"]
+    engine_note = ("chatterbox-style (original); published Chatterbox "
+                   "checkpoints are not loadable")
 
     def __init__(self, model):
         self.model = model  # models.chatterbox.Chatterbox

@@ -132,6 +132,11 @@ def create_app(output_root: str = "outputs/process") -> Router:
 
     clone_api.register(router)
 
+    # multi-take alignment (layouts/align.py)
+    from audiolab_tpu.serve import align_api
+
+    align_api.register(router)
+
     @router.post("/api/v1/process/load_project", "Re-enumerate an existing project")
     def load_project(_params, body):
         """Reference: layouts/process.py:502-530 project reload."""

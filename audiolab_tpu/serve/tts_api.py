@@ -17,7 +17,13 @@ def register_backend(name: str, backend) -> None:
 def register(router) -> None:
     @router.get("/api/v1/audio/speech/models", "List TTS engines")
     def models(_params, _body):
-        return {"models": sorted(_BACKENDS) or ["zonos", "dia"], "loaded": sorted(_BACKENDS)}
+        notes = {}
+        for name, be in _BACKENDS.items():
+            note = getattr(be, "engine_note", None)
+            if note:
+                notes[name] = note
+        return {"models": sorted(_BACKENDS) or ["zonos", "dia"],
+                "loaded": sorted(_BACKENDS), "notes": notes}
 
     @router.get("/api/v1/audio/speech/voices", "List available voices")
     def voices(_params, _body):

@@ -191,6 +191,27 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
     if kind == "conv2d1x1_w":
         # Conv2d 1x1 as a Dense: (O, I, 1, 1) -> (I, O)
         return np.asarray(sd[key + ".weight"])[:, :, 0, 0].T
+    if kind.startswith("lstm_"):
+        # key "{torch_lstm_prefix}.{l0|l0_reverse}|{i|f|g|o}"; torch packs
+        # weight_ih_l{k} rows as [i, f, g, o] — the same gate set/order as
+        # flax OptimizedLSTMCell's ii/if/ig/io + hi/hf/hg/ho
+        base_sfx, gate = key.split("|")
+        base, sfx = base_sfx.rsplit(".", 1)
+        g = {"i": 0, "f": 1, "g": 2, "o": 3}[gate]
+        if kind == "lstm_iw":
+            w = np.asarray(sd[f"{base}.weight_ih_{sfx}"])
+            h = w.shape[0] // 4
+            return w[g * h:(g + 1) * h].T
+        if kind == "lstm_hw":
+            w = np.asarray(sd[f"{base}.weight_hh_{sfx}"])
+            h = w.shape[0] // 4
+            return w[g * h:(g + 1) * h].T
+        if kind == "lstm_hb":
+            # flax biases live on the hidden dense: fold b_ih + b_hh
+            bi = np.asarray(sd[f"{base}.bias_ih_{sfx}"])
+            bh = np.asarray(sd[f"{base}.bias_hh_{sfx}"])
+            h = bi.shape[0] // 4
+            return bi[g * h:(g + 1) * h] + bh[g * h:(g + 1) * h]
     if kind.startswith("gru_"):
         # key format "{torch_gru_prefix}.{l0|l0_reverse}|{r|z|n}"
         base_sfx, gate = key.split("|")
@@ -2943,3 +2964,71 @@ def load_dcae_checkpoint(path: str, cfg=None) -> tuple[dict, "object"]:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_dcae(sd, template), cfg
+
+
+# ------------------------------------------------------------- PyanNet
+
+def pyannet_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/pyannet.PyanNet -> pyannote segmentation-3.0 checkpoint
+    names (pyannote.audio PyanNet + sincnet.py; reference use
+    modules/cloning/speaker_separation.py:39-45)."""
+    m: dict[str, tuple[str, str]] = {
+        "sincnet/wav_norm/weight": ("w", "sincnet.wav_norm1d"),
+        "sincnet/wav_norm/bias": ("b", "sincnet.wav_norm1d"),
+        "sincnet/sinc/low_hz": ("direct",
+                                "sincnet.conv1d.0.filterbank.low_hz_"),
+        "sincnet/sinc/band_hz": ("direct",
+                                 "sincnet.conv1d.0.filterbank.band_hz_"),
+    }
+    for i in (1, 2):
+        m[f"sincnet/conv_{i}/kernel"] = ("conv_w", f"sincnet.conv1d.{i}")
+        m[f"sincnet/conv_{i}/bias"] = ("bias", f"sincnet.conv1d.{i}")
+    for i in (0, 1, 2):
+        m[f"sincnet/norm_{i}/weight"] = ("w", f"sincnet.norm1d.{i}")
+        m[f"sincnet/norm_{i}/bias"] = ("b", f"sincnet.norm1d.{i}")
+    n_layers = sum(1 for k in template["lstm"] if k.endswith("_fwd_cell"))
+    for k in range(n_layers):
+        for d, sfx in (("fwd", f"l{k}"), ("bwd", f"l{k}_reverse")):
+            cell = f"lstm/l{k}_{d}_cell"
+            for ours, gate in (("i", "i"), ("f", "f"), ("g", "g"),
+                               ("o", "o")):
+                m[f"{cell}/i{ours}/kernel"] = ("lstm_iw",
+                                               f"lstm.{sfx}|{gate}")
+                m[f"{cell}/h{ours}/kernel"] = ("lstm_hw",
+                                               f"lstm.{sfx}|{gate}")
+                m[f"{cell}/h{ours}/bias"] = ("lstm_hb",
+                                             f"lstm.{sfx}|{gate}")
+    for i in (0, 1):
+        m[f"linear_{i}/kernel"] = ("dense_w", f"linear.{i}")
+        m[f"linear_{i}/bias"] = ("bias", f"linear.{i}")
+    m["classifier/kernel"] = ("dense_w", "classifier")
+    m["classifier/bias"] = ("bias", "classifier")
+    return m
+
+
+def convert_pyannet(state_dict: dict, template: dict,
+                    strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):  # lightning checkpoint prefix
+            k = k[6:]
+        sd[k] = np.asarray(v)
+    return fill_tree(template, pyannet_mapping(template), sd, strict)
+
+
+def load_pyannet_checkpoint(path: str, cfg=None) -> dict:
+    """pyannote segmentation .ckpt/.bin -> flax params for PyanNet."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.pyannet import PyanNet, PyanNetConfig
+
+    cfg = cfg or PyanNetConfig()
+    model = PyanNet(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16000)))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_pyannet(sd, template)

@@ -92,3 +92,27 @@ def test_facade_neural_path():
     wav[2000:9000] = 0.2
     turns = neural_diarize(wav, 16000)
     assert isinstance(turns, list)
+
+
+def test_neural_diarizer_with_pyannet_backend():
+    """NeuralDiarizer wired to the checkpoint-compatible PyanNet
+    (VERDICT r2 item 8): raw-wav powerset activities drive the turn
+    extraction instead of the in-repo SegmentationNet."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiolab_tpu.models.diarize import DiarizeConfig, NeuralDiarizer
+    from audiolab_tpu.models.pyannet import PyanNet, PyanNetConfig
+
+    pcfg = PyanNetConfig(lstm_hidden=8, lstm_layers=1, linear_dim=8)
+    pp = PyanNet(pcfg).init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4000)))["params"]
+    cfg = DiarizeConfig(chunk_s=2.0, chunk_hop_s=1.0, min_turn_s=0.1)
+    d = NeuralDiarizer(cfg, pyannet_params=pp, pyannet_cfg=pcfg, seed=1)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(16000 * 3) * 0.2).astype(np.float32)
+    turns = d.diarize(wav, 16000)
+    for t0, t1, spk in turns:
+        assert 0.0 <= t0 < t1 <= 3.1
+        assert spk.startswith("SPEAKER_")

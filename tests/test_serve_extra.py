@@ -72,3 +72,38 @@ def test_file_registry_roundtrip(tmp_path):
     resp = file_response(fid)
     assert base64.b64decode(resp["content"]) == b"hello"
     assert resp["size"] == 5
+
+
+def test_align_endpoint(router, tmp_path):
+    """POST /api/v1/align: master + take -> aligned take the master's
+    length, with a sentence-match report (layouts/align.py surface)."""
+    import base64
+
+    import numpy as np
+
+    from audiolab_tpu.core.audio_io import write_audio
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    burst = (np.sin(2 * np.pi * 300 * t) *
+             (np.sin(2 * np.pi * 1.5 * t) > 0)).astype(np.float32) * 0.4
+    master = tmp_path / "master.wav"
+    take = tmp_path / "take.wav"
+    write_audio(str(master), burst, sr)
+    # the take: same content shifted a touch
+    write_audio(str(take), np.roll(burst, sr // 10), sr)
+
+    def b64(p):
+        return base64.b64encode(p.read_bytes()).decode()
+
+    code, out = router.dispatch("POST", "/api/v1/align", {"files": [
+        {"filename": "master.wav", "content": b64(master)},
+        {"filename": "take.wav", "content": b64(take)},
+    ]})
+    assert code == 200, out
+    assert len(out["results"]) == 1
+    res = out["results"][0]
+    assert res["filename"] == "aligned_1.wav"
+    assert "master_sentences" in res["report"]
+    wav = base64.b64decode(res["content"])
+    assert len(wav) > 1000
