@@ -239,6 +239,10 @@ class StemSeparator:
             callback(0, f"Multistem with {member.name}", 1)
         stems = {k: np.asarray(v) for k, v in
                  self._run_member(member, jnp.asarray(audio)).items()}
+        if len(stems) > 2:
+            # derived complement stem (mix - vocals) some members add for
+            # 2-stem ensembles; it would double-count in the residual
+            stems.pop("instrumental", None)
         total = np.zeros_like(audio)
         for v in stems.values():
             total = total + v[:, : audio.shape[1]]
@@ -246,6 +250,35 @@ class StemSeparator:
         other = stems.get("other", np.zeros_like(audio))
         stems["other"] = (other[:, : audio.shape[1]] + residual).astype(np.float32)
         return {k: np.asarray(v, np.float32) for k, v in stems.items()}
+
+
+def htdemucs_member(params, cfg=None, name: str = "htdemucs_6s",
+                    weight_vocals: float = 1.0,
+                    weight_inst: float = 1.0) -> EnsembleMember:
+    """A converted demucs v4 checkpoint
+    (utils.convert.load_htdemucs_checkpoint) as an EnsembleMember whose
+    apply returns every source — feed it to ``separate_multistem`` for
+    the reference's 6-stem path (stem_separator.py:459,466) or to the
+    ensemble for 2-stem blending."""
+    from audiolab_tpu.models.separation.htdemucs import (
+        HTDemucs,
+        HTDemucsConfig,
+    )
+
+    model = HTDemucs(cfg or HTDemucsConfig())
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    sources = tuple(model.cfg.sources)
+
+    def apply(p, batch):
+        out = fwd(p, batch)                      # (b, S, ch, n)
+        stems = {s: out[:, i] for i, s in enumerate(sources)}
+        if "instrumental" not in stems and "vocals" in stems:
+            stems["instrumental"] = batch - stems["vocals"]
+        return stems
+
+    return EnsembleMember(name=name, apply_fn=apply, params=params,
+                          weight_vocals=weight_vocals,
+                          weight_inst=weight_inst)
 
 
 # preset stem layouts (stem_separator.py: htdemucs 6-stem :459, alt bass

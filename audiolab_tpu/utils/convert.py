@@ -176,6 +176,13 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
         h = w.shape[0] // int(n)
         i = int(i)
         return w[i * h:(i + 1) * h].T
+    if kind == "bslice":
+        # key "torchkey|i|n": slice i of n equal blocks of .bias
+        tk, i, n = key.rsplit("|", 2)
+        b = np.asarray(sd[tk + ".bias"])
+        h = b.shape[0] // int(n)
+        i = int(i)
+        return b[i * h:(i + 1) * h]
     if kind == "snake_a":
         # Snake1d alpha (1, ch, 1) -> flax (ch,)
         return np.asarray(sd[key + ".alpha"]).reshape(-1)
@@ -3032,3 +3039,148 @@ def load_pyannet_checkpoint(path: str, cfg=None) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_pyannet(sd, template)
+
+
+# ------------------------------------------------------------ HTDemucs
+
+def _htd_dconv(m: dict, fp: str, tk: str, node: dict) -> None:
+    d = 0
+    while f"c1_{d}" in node:
+        b = f"{tk}.layers.{d}"
+        m[f"{fp}/c1_{d}/kernel"] = ("conv_w", f"{b}.0")
+        m[f"{fp}/c1_{d}/bias"] = ("bias", f"{b}.0")
+        m[f"{fp}/n1_{d}/weight"] = ("w", f"{b}.1")
+        m[f"{fp}/n1_{d}/bias"] = ("b", f"{b}.1")
+        m[f"{fp}/c2_{d}/kernel"] = ("conv_w", f"{b}.3")
+        m[f"{fp}/c2_{d}/bias"] = ("bias", f"{b}.3")
+        m[f"{fp}/n2_{d}/weight"] = ("w", f"{b}.4")
+        m[f"{fp}/n2_{d}/bias"] = ("b", f"{b}.4")
+        m[f"{fp}/scale_{d}"] = ("direct", f"{b}.6.scale")
+        d += 1
+
+
+def _htd_coder(m: dict, fp: str, tk: str, node: dict, freq: bool,
+               transposed: bool) -> None:
+    ck = "conv2_w" if freq else "conv_w"
+    if transposed:
+        tck = "convT2_w" if freq else "convTwn_w"
+        m[f"{fp}/conv_tr/kernel"] = (tck, f"{tk}.conv_tr")
+        m[f"{fp}/conv_tr/bias"] = ("bias", f"{tk}.conv_tr")
+    else:
+        m[f"{fp}/conv/kernel"] = (ck, f"{tk}.conv")
+        m[f"{fp}/conv/bias"] = ("bias", f"{tk}.conv")
+    if "rewrite" in node:
+        m[f"{fp}/rewrite/kernel"] = (ck, f"{tk}.rewrite")
+        m[f"{fp}/rewrite/bias"] = ("bias", f"{tk}.rewrite")
+    for nrm in ("norm1", "norm2"):
+        if nrm in node:
+            m[f"{fp}/{nrm}/weight"] = ("w", f"{tk}.{nrm}")
+            m[f"{fp}/{nrm}/bias"] = ("b", f"{tk}.{nrm}")
+    if "dconv" in node:
+        _htd_dconv(m, f"{fp}/dconv", f"{tk}.dconv", node["dconv"])
+
+
+def _htd_attn(m: dict, fp: str, tk: str) -> None:
+    for qi, q in enumerate(("q", "k", "v")):
+        m[f"{fp}/{q}/kernel"] = ("wslice", f"{tk}.in_proj|{qi}|3")
+        m[f"{fp}/{q}/bias"] = ("bslice", f"{tk}.in_proj|{qi}|3")
+    m[f"{fp}/out_proj/kernel"] = ("dense_w", f"{tk}.out_proj")
+    m[f"{fp}/out_proj/bias"] = ("bias", f"{tk}.out_proj")
+
+
+def _htd_tlayer(m: dict, fp: str, tk: str, node: dict) -> None:
+    cross = "cross_attn" in node
+    _htd_attn(m, f"{fp}/{'cross_attn' if cross else 'self_attn'}",
+              f"{tk}.{'cross_attn' if cross else 'self_attn'}")
+    for ln in ("norm1", "norm2", "norm3"):
+        if ln in node:
+            m[f"{fp}/{ln}/scale"] = ("w", f"{tk}.{ln}")
+            m[f"{fp}/{ln}/bias"] = ("b", f"{tk}.{ln}")
+    m[f"{fp}/norm_out/weight"] = ("w", f"{tk}.norm_out")
+    m[f"{fp}/norm_out/bias"] = ("b", f"{tk}.norm_out")
+    for li in ("linear1", "linear2"):
+        m[f"{fp}/{li}/kernel"] = ("dense_w", f"{tk}.{li}")
+        m[f"{fp}/{li}/bias"] = ("bias", f"{tk}.{li}")
+    m[f"{fp}/gamma_1"] = ("direct", f"{tk}.gamma_1.scale")
+    m[f"{fp}/gamma_2"] = ("direct", f"{tk}.gamma_2.scale")
+
+
+def htdemucs_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/separation/htdemucs.HTDemucs -> demucs v4 checkpoint
+    names (htdemucs/htdemucs_6s; reference loads them via audio-separator,
+    stem_separator.py:459,466)."""
+    m: dict[str, tuple[str, str]] = {
+        "freq_emb": ("direct", "freq_emb.embedding.weight"),
+    }
+    i = 0
+    while f"encoder_{i}" in template:
+        _htd_coder(m, f"encoder_{i}", f"encoder.{i}",
+                   template[f"encoder_{i}"], True, False)
+        _htd_coder(m, f"tencoder_{i}", f"tencoder.{i}",
+                   template[f"tencoder_{i}"], False, False)
+        _htd_coder(m, f"decoder_{i}", f"decoder.{i}",
+                   template[f"decoder_{i}"], True, True)
+        _htd_coder(m, f"tdecoder_{i}", f"tdecoder.{i}",
+                   template[f"tdecoder_{i}"], False, True)
+        i += 1
+    for nm in ("channel_upsampler", "channel_upsampler_t",
+               "channel_downsampler", "channel_downsampler_t"):
+        if nm in template:
+            m[f"{nm}/kernel"] = ("dense1x1_w", nm)
+            m[f"{nm}/bias"] = ("bias", nm)
+    ct = template.get("crosstransformer", {})
+    for nm in ("norm_in", "norm_in_t"):
+        m[f"crosstransformer/{nm}/scale"] = ("w", f"crosstransformer.{nm}")
+        m[f"crosstransformer/{nm}/bias"] = ("b", f"crosstransformer.{nm}")
+    idx = 0
+    while f"layer_{idx}" in ct:
+        _htd_tlayer(m, f"crosstransformer/layer_{idx}",
+                    f"crosstransformer.layers.{idx}", ct[f"layer_{idx}"])
+        _htd_tlayer(m, f"crosstransformer/layer_t_{idx}",
+                    f"crosstransformer.layers_t.{idx}",
+                    ct[f"layer_t_{idx}"])
+        idx += 1
+    return m
+
+
+def convert_htdemucs(state_dict: dict, template: dict,
+                     strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("models.0.", "model.", "state."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    # torch MultiheadAttention packs qkv as in_proj_weight/in_proj_bias;
+    # alias to ".in_proj.weight/.bias" so the wslice/bslice keys resolve
+    for k in list(sd):
+        if k.endswith(".in_proj_bias"):
+            sd[k[: -len("_bias")] + ".bias"] = sd[k]
+        elif k.endswith(".in_proj_weight"):
+            sd[k[: -len("_weight")] + ".weight"] = sd[k]
+    return fill_tree(template, htdemucs_mapping(template), sd, strict)
+
+
+def load_htdemucs_checkpoint(path: str, cfg=None) -> dict:
+    """demucs v4 .th checkpoint -> flax params for HTDemucs."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.separation.htdemucs import (
+        HTDemucs,
+        HTDemucsConfig,
+    )
+
+    cfg = cfg or HTDemucsConfig()
+    model = HTDemucs(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.audio_channels,
+                       int(cfg.segment_seconds * cfg.samplerate))))
+        ["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_htdemucs(sd, template)
