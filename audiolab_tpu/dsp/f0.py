@@ -200,3 +200,124 @@ def f0_dio(
 
     voiced = best_score > 0.35
     return np.where(voiced, best, 0.0)
+
+
+def f0_pm(
+    x: np.ndarray,
+    sr: int = 16000,
+    hop: int = 160,
+    fmin: float = 50.0,
+    fmax: float = 1100.0,
+    voicing_threshold: float = 0.45,
+    silence_threshold: float = 0.03,
+    octave_cost: float = 0.01,
+    octave_jump_cost: float = 0.35,
+    vuv_cost: float = 0.14,
+    max_candidates: int = 4,
+) -> np.ndarray:
+    """Praat's autocorrelation pitch algorithm (Boersma 1993) — the
+    reference's ``pm`` method (pitch_extraction.py:157-171 via
+    parselmouth ``to_pitch_ac``), host-side numpy.
+
+    Per frame: local-mean removal, Hann window, FFT autocorrelation
+    normalized by the WINDOW's own autocorrelation (the paper's key
+    correction), candidate peaks with octave-cost-penalized strengths and
+    an unvoiced candidate from the local/global peak ratio, then a
+    Viterbi path with octave-jump and voicing-transition costs.  Peak
+    lags get parabolic refinement (Praat uses sinc interpolation — the
+    one documented approximation).  Returns f0 (t,) with 0 for unvoiced.
+    """
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    win_len = int(np.ceil(3.0 / fmin * sr))          # 3 longest periods
+    win_len += win_len % 2
+    half = win_len // 2
+    t_frames = n // hop + 1
+    centers = np.arange(t_frames) * hop
+    global_peak = np.abs(x - x.mean()).max() + 1e-12
+
+    xp = np.pad(x, (half, half + win_len))
+    frames = xp[centers[:, None] + np.arange(win_len)[None, :]]
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    local_peak = np.abs(frames).max(axis=1)
+    win = np.hanning(win_len)
+    fw = frames * win
+
+    # autocorrelation via FFT, normalized by the window autocorrelation
+    nfft = int(2 ** np.ceil(np.log2(2 * win_len)))
+    spec = np.fft.rfft(fw, nfft)
+    ac = np.fft.irfft(spec * np.conj(spec), nfft)[:, :win_len]
+    ac0 = ac[:, :1] + 1e-12
+    wspec = np.fft.rfft(win, nfft)
+    wac = np.fft.irfft(wspec * np.conj(wspec), nfft)[:win_len]
+    wac = wac / (wac[0] + 1e-12)
+    r = (ac / ac0) / np.maximum(wac[None, :], 1e-3)   # (t, win_len)
+
+    lag_min = max(2, int(sr / fmax))
+    lag_max = min(win_len - 2, int(np.ceil(sr / fmin)))
+    lags = np.arange(lag_min, lag_max)
+    seg = r[:, lag_min:lag_max]
+    # local maxima of r over the admissible lag range
+    is_peak = np.zeros_like(seg, bool)
+    is_peak[:, 1:-1] = (seg[:, 1:-1] > seg[:, :-2]) & \
+        (seg[:, 1:-1] >= seg[:, 2:])
+
+    # per frame: top-K peak candidates (freq, strength) + unvoiced cand
+    k = max_candidates
+    cand_f0 = np.zeros((t_frames, k + 1))
+    cand_str = np.full((t_frames, k + 1), -1e9)
+    peak_vals = np.where(is_peak, seg, -np.inf)
+    order = np.argsort(-peak_vals, axis=1)[:, :k]
+    rows = np.arange(t_frames)[:, None]
+    vals = peak_vals[rows, order]
+    lag_sel = lags[order].astype(np.float64)
+    # parabolic refinement around each selected peak
+    lm = seg[rows, np.maximum(order - 1, 0)]
+    lp = seg[rows, np.minimum(order + 1, seg.shape[1] - 1)]
+    denom = lm - 2 * vals + lp
+    shift = np.where(np.abs(denom) > 1e-12,
+                     0.5 * (lm - lp) / np.where(np.abs(denom) > 1e-12,
+                                                denom, 1.0), 0.0)
+    shift = np.clip(shift, -0.5, 0.5)
+    lag_ref = lag_sel + shift
+    val_ref = vals - 0.25 * (lm - lp) * shift
+    f0s = sr / np.maximum(lag_ref, 1.0)
+    ok = np.isfinite(vals) & (f0s >= fmin) & (f0s <= fmax)
+    # Boersma: R = r(tau) - OctaveCost * log2(MinimumPitch * tau)
+    strength = np.where(
+        ok, val_ref - octave_cost * np.log2(
+            np.maximum(fmin * lag_ref / sr, 1e-6)), -1e9)
+    cand_f0[:, :k] = np.where(ok, f0s, 0.0)
+    cand_str[:, :k] = strength
+    # unvoiced candidate (Boersma eq. 23)
+    ratio = local_peak / global_peak
+    cand_str[:, k] = voicing_threshold + np.maximum(
+        0.0, 2.0 - (ratio / (silence_threshold
+                             / (1.0 + voicing_threshold))))
+    cand_f0[:, k] = 0.0
+
+    # Viterbi over candidates
+    trans_cost = np.zeros((k + 1, k + 1))
+    score = cand_str[0].copy()
+    ptr = np.zeros((t_frames, k + 1), np.int64)
+    for t in range(1, t_frames):
+        f_prev = cand_f0[t - 1]
+        f_cur = cand_f0[t]
+        pv = f_prev[:, None] > 0
+        cv = f_cur[None, :] > 0
+        both = pv & cv
+        jump = np.where(
+            both, octave_jump_cost * np.abs(np.log2(
+                np.maximum(f_prev[:, None], 1e-6)
+                / np.maximum(f_cur[None, :], 1e-6))), 0.0)
+        vuv = np.where(pv ^ cv, vuv_cost, 0.0)
+        trans_cost = jump + vuv
+        total = score[:, None] - trans_cost
+        ptr[t] = np.argmax(total, axis=0)
+        score = total[ptr[t], np.arange(k + 1)] + cand_str[t]
+
+    path = np.zeros(t_frames, np.int64)
+    path[-1] = int(np.argmax(score))
+    for t in range(t_frames - 1, 0, -1):
+        path[t - 1] = ptr[t, path[t]]
+    return cand_f0[np.arange(t_frames), path]

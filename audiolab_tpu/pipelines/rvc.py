@@ -179,6 +179,8 @@ class VoiceConverter:
             return self.rmvpe is not None
         if m == "crepe":
             return self.crepe is not None
+        if m in ("pm", "dio", "harvest"):
+            return True          # host numpy estimators (dsp/f0.py)
         return False
 
     def _f0_one_method(self, method: str, wav16) -> jnp.ndarray:
@@ -189,6 +191,16 @@ class VoiceConverter:
                                        fmax=self.cfg.f0_max)[0]
                     for w in jnp.asarray(wav16)]
             return jnp.stack(rows)
+        if method in ("pm", "dio", "harvest"):
+            # host numpy estimators: pm = Praat-AC (Boersma), dio/harvest
+            # = the DIO-class band estimator (pitch_extraction.py:157-191)
+            from audiolab_tpu.dsp.f0 import f0_dio, f0_pm
+
+            fn = f0_pm if method == "pm" else f0_dio
+            rows = [fn(np.asarray(w), sr=16000, hop=160,
+                       fmin=self.cfg.f0_min, fmax=self.cfg.f0_max)
+                    for w in np.asarray(wav16)]
+            return jnp.asarray(np.stack(rows), jnp.float32)
         # ONE vmapped device call over all chunks (a per-chunk host loop
         # serialises ~30 dispatches on a 4-min track); the result stays
         # on device — no host round trip before _convert_chunk

@@ -163,3 +163,53 @@ def test_pipeline_hybrid_f0():
     x = glide(dur=1.0)[0]
     out = vc.convert(x, sid=0)
     assert out.ndim == 1 and np.isfinite(out).all()
+
+
+def test_f0_pm_steady_tone():
+    """Boersma-AC (praat pm role): steady 220 Hz tone recovered within
+    1 Hz, silence unvoiced."""
+    import numpy as np
+
+    from audiolab_tpu.dsp.f0 import f0_pm
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.concatenate([
+        np.zeros(sr // 4, np.float64),
+        0.5 * np.sin(2 * np.pi * 220.0 * t[: sr // 2]),
+        np.zeros(sr // 4, np.float64),
+    ])
+    f0 = f0_pm(x, sr=sr, hop=160)
+    mid = f0[len(f0) // 2 - 10: len(f0) // 2 + 10]
+    assert np.all(mid > 0), mid
+    assert abs(np.median(mid) - 220.0) < 1.0, np.median(mid)
+    # leading silence: mostly unvoiced
+    head = f0[: sr // 4 // 160 - 3]
+    assert (head == 0).mean() > 0.7, head
+
+
+def test_f0_pm_octave_stability_on_sweep():
+    """Viterbi path keeps a gliding tone continuous (no octave jumps)."""
+    import numpy as np
+
+    from audiolab_tpu.dsp.f0 import f0_pm
+
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    freq = 150.0 * (2.0 ** (t / 2.0))          # 150 -> 300 Hz glide
+    phase = 2 * np.pi * np.cumsum(freq) / sr
+    x = 0.4 * np.sin(phase)
+    f0 = f0_pm(x, sr=sr, hop=160)
+    voiced = f0[5:-5]
+    ratio = voiced[1:] / np.maximum(voiced[:-1], 1e-6)
+    assert np.all((ratio > 0.9) & (ratio < 1.1)), ratio.min()
+
+
+def test_f0_pm_in_rvc_dispatch():
+    import numpy as np
+
+    from audiolab_tpu.dsp.f0 import f0_pm  # noqa: F401 (import works)
+    from audiolab_tpu.pipelines.rvc import RVCPipelineConfig
+
+    cfg = RVCPipelineConfig(sr=48000, f0_method="pm")
+    assert cfg.f0_method == "pm"
