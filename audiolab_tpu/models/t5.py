@@ -39,11 +39,18 @@ class T5Config:
     rel_buckets: int = 32
     rel_max_distance: int = 128
     gated: bool = False     # v1.1 gated-gelu FFN
+    per_layer_bias: bool = False   # UMT5: each layer owns its rel bias
     eps: float = 1e-6
 
 
 def t5_base() -> T5Config:
     return T5Config()
+
+
+def umt5_base() -> T5Config:
+    """ACE-Step's text encoder (pipeline_ace_step.py requires the
+    umt5-base checkpoint dir): gated FFN + per-layer relative bias."""
+    return T5Config(vocab_size=256384, gated=True, per_layer_bias=True)
 
 
 class T5LayerNorm(nn.Module):
@@ -129,13 +136,21 @@ class T5Encoder(nn.Module):
         buckets = jnp.asarray(
             relative_position_buckets(t, t, c.rel_buckets, c.rel_max_distance)
         )
-        # block-0-only relative bias, shared by every layer
-        pos_bias = nn.Embed(c.rel_buckets, c.heads, name="rel_bias")(buckets)
-        bias = jnp.transpose(pos_bias, (2, 0, 1))[None]       # (1, h, t, t)
+        mask_add = 0.0
         if mask is not None:
             neg = jnp.finfo(x.dtype).min
-            bias = bias + jnp.where(mask[:, None, None, :] > 0, 0.0, neg)
+            mask_add = jnp.where(mask[:, None, None, :] > 0, 0.0, neg)
+
+        def rel_bias(name):
+            pos = nn.Embed(c.rel_buckets, c.heads, name=name)(buckets)
+            return jnp.transpose(pos, (2, 0, 1))[None]        # (1, h, t, t)
+
+        if not c.per_layer_bias:
+            # block-0-only relative bias, shared by every layer (T5)
+            bias = rel_bias("rel_bias") + mask_add
         for i in range(c.layers):
+            if c.per_layer_bias:                               # UMT5
+                bias = rel_bias(f"rel_bias_{i}") + mask_add
             h = T5LayerNorm(c.eps, name=f"ln1_{i}")(x)
             x = x + T5SelfAttention(c, name=f"attn_{i}")(h, bias)
             h = T5LayerNorm(c.eps, name=f"ln2_{i}")(x)

@@ -204,7 +204,8 @@ class CheckpointACEStep:
 
     def __init__(self, cfg, params, lyric_params=None,
                  pcfg: ACEStepPipelineConfig | None = None,
-                 decode_fn=None, latent_rate: float = 44100 / 512 / 8):
+                 decode_fn=None, latent_rate: float = 44100 / 512 / 8,
+                 text_encoder=None):
         from audiolab_tpu.models.acestep_dit import (
             ACEStepDiT,
             LyricConformerEncoder,
@@ -219,6 +220,15 @@ class CheckpointACEStep:
         self.pcfg = pcfg or ACEStepPipelineConfig()
         self.decode_fn = decode_fn
         self.latent_rate = latent_rate
+        self.text_encoder = text_encoder  # ACEStepTextEncoder (umt5)
+
+    def text_embeddings(self, texts: list[str], max_length: int = 256):
+        """prompt strings -> (hidden, mask) via the converted umt5-base
+        (pipeline_ace_step.py:327-342); requires ``text_encoder``."""
+        if self.text_encoder is None:
+            raise NotImplementedError(
+                "umt5 text encoder not loaded; pass text_encoder=")
+        return self.text_encoder(texts, max_length)
 
     def encode_cond(self, text_hidden, text_mask, speaker,
                     lyric_tokens=None, lyric_mask=None):
@@ -311,3 +321,35 @@ def random_checkpoint_acestep(seed: int = 0):
                              latent_rate=2.0)
     pipe.lyric_enc = lyr
     return pipe
+
+
+class ACEStepTextEncoder:
+    """Converted umt5-base (models/t5.T5Encoder, per-layer bias) + its
+    sentencepiece tokenizer: prompt strings -> (hidden, mask), the exact
+    role of get_text_embeddings (pipeline_ace_step.py:327-342).
+
+    Load with utils.convert.load_t5_encoder(path, cfg=umt5_base()) and
+    the checkpoint dir's spiece.model."""
+
+    def __init__(self, t5_params, spm_model_path: str, cfg=None):
+        from audiolab_tpu.models.t5 import T5Encoder, umt5_base
+        from audiolab_tpu.utils.spm import SentencePieceProcessor
+
+        self.cfg = cfg or umt5_base()
+        self.model = T5Encoder(self.cfg)
+        self.params = t5_params
+        self.sp = SentencePieceProcessor(spm_model_path)
+        self._eos = self.sp.eos_id() if self.sp.eos_id() >= 0 else 1
+
+    def __call__(self, texts: list[str], max_length: int = 256):
+        enc = [self.sp.encode_as_ids(t)[: max_length - 1] + [self._eos]
+               for t in texts]
+        n = max(len(e) for e in enc)
+        ids = np.zeros((len(texts), n), np.int32)
+        mask = np.zeros((len(texts), n), np.int32)
+        for r, e in enumerate(enc):
+            ids[r, : len(e)] = e
+            mask[r, : len(e)] = 1
+        hidden = self.model.apply({"params": self.params},
+                                  jnp.asarray(ids), jnp.asarray(mask))
+        return hidden, jnp.asarray(mask)

@@ -2711,15 +2711,20 @@ def t5_mapping(template: dict) -> dict[str, tuple[str, str]]:
     the published t5-base checkpoint, not the stable-audio safetensors."""
     m: dict[str, tuple[str, str]] = {
         "emb/embedding": ("direct", "shared.weight"),
-        "rel_bias/embedding": (
-            "direct",
-            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias"
-            ".weight"),
         "final_ln/weight": ("direct", "encoder.final_layer_norm.weight"),
     }
+    if "rel_bias" in template:
+        m["rel_bias/embedding"] = (
+            "direct",
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias"
+            ".weight")
     n = sum(1 for k in template if k.startswith("attn_"))
     for i in range(n):
         b = f"encoder.block.{i}.layer"
+        if f"rel_bias_{i}" in template:  # UMT5 per-layer bias
+            m[f"rel_bias_{i}/embedding"] = (
+                "direct", f"{b}.0.SelfAttention.relative_attention_bias"
+                          ".weight")
         m[f"ln1_{i}/weight"] = ("direct", f"{b}.0.layer_norm.weight")
         m[f"ln2_{i}/weight"] = ("direct", f"{b}.1.layer_norm.weight")
         for p in ("q", "k", "v", "o"):

@@ -161,3 +161,42 @@ def test_t5_prompt_tokenizer(tmp_path):
     assert ids[0, 3:].tolist() == [0, 0, 0]        # padded
     assert ids[1, -1] == 1                          # truncated + </s>
     assert mask[1].sum() == 6
+
+
+def test_umt5_encoder_parity():
+    """UMT5 (per-layer relative bias, gated FFN) — ACE-Step's text encoder
+    (pipeline_ace_step.py requires the umt5-base checkpoint dir); oracle =
+    installed transformers UMT5EncoderModel."""
+    from audiolab_tpu.models.t5 import T5Config, T5Encoder
+    from audiolab_tpu.utils.convert import convert_t5
+
+    torch.manual_seed(99)
+    tcfg = tfm.UMT5Config(
+        vocab_size=48, d_model=32, d_kv=8, d_ff=48, num_layers=3,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20,
+        feed_forward_proj="gated-gelu", dropout_rate=0.0)
+    t_model = tfm.UMT5EncoderModel(tcfg).double().eval()
+    fcfg = T5Config(vocab_size=48, dim=32, d_kv=8, d_ff=48, layers=3,
+                    heads=4, rel_buckets=8, rel_max_distance=20,
+                    gated=True, per_layer_bias=True)
+    f_model = T5Encoder(fcfg)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ids = np.asarray([[5, 9, 20, 33, 1, 0, 0]])
+        mask = np.asarray([[1, 1, 1, 1, 1, 0, 0]])
+        template = jax.eval_shape(
+            lambda: f_model.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 7), jnp.int32))["params"])
+        sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+        params = convert_t5(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(input_ids=torch.from_numpy(ids),
+                          attention_mask=torch.from_numpy(mask)
+                          ).last_hidden_state.numpy() * mask[..., None]
+        out = np.asarray(f_model.apply({"params": params},
+                                       jnp.asarray(ids), jnp.asarray(mask)))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        jax.config.update("jax_enable_x64", False)
