@@ -3189,3 +3189,108 @@ def load_htdemucs_checkpoint(path: str, cfg=None) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_htdemucs(sd, template)
+
+
+# ---------------------------------------------- full-pipeline assemblies
+
+def load_stable_audio_pipeline(model_path: str, t5_path: str,
+                               spm_model_path: str):
+    """One-call assembly of the REAL stable-audio-open stack: the
+    model.safetensors holds the DiT, the Oobleck decoder and the two
+    seconds NumberEmbedders; ``t5_path`` holds published t5-base weights
+    (the checkpoint does not embed them — wheel conditioners.py:341);
+    ``spm_model_path`` is the t5 tokenizer .model.  Returns
+    pipelines.music.StableAudioCheckpointPipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.stable_audio import NumberEmbedder
+    from audiolab_tpu.models.stable_audio_dit import (
+        OobleckConfig,
+        OobleckDecoder,
+        SAODiTConfig,
+        StableAudioDiT,
+    )
+    from audiolab_tpu.models.t5 import T5Config
+    from audiolab_tpu.pipelines.music import StableAudioCheckpointPipeline
+
+    sd = torch_load_weights(model_path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    dit_cfg = SAODiTConfig()
+    dit_tpl = jax.eval_shape(
+        lambda: StableAudioDiT(dit_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 16, 64)), jnp.zeros((1,)),
+            jnp.zeros((1, 4, 768)), jnp.zeros((1, 1536)))["params"])
+    dit_params = convert_sao_dit(sd, dit_tpl)
+    vae_cfg = OobleckConfig()
+    dec_tpl = jax.eval_shape(
+        lambda: OobleckDecoder(vae_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 64)))["params"])
+    dec_params = convert_oobleck(sd, dec_tpl)
+    t5_cfg = T5Config()
+    ne_tpl = jax.eval_shape(
+        lambda: NumberEmbedder(features=t5_cfg.dim).init(
+            jax.random.PRNGKey(0), jnp.zeros((1,)))["params"])
+    ss = convert_sao_number(sd, ne_tpl, "seconds_start")
+    st = convert_sao_number(sd, ne_tpl, "seconds_total")
+    t5_params = load_t5_encoder(t5_path, t5_cfg)
+    return StableAudioCheckpointPipeline(
+        dit_params, dec_params, t5_params, ss, st, spm_model_path,
+        dit_cfg=dit_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg)
+
+
+def load_acestep_pipeline(checkpoint_dir: str):
+    """One-call assembly of the REAL ACE-Step stack from the reference's
+    checkpoint layout (pipeline_ace_step.py:156: music_dcae_f8c8 /
+    music_vocoder / ace_step_transformer / umt5-base dirs).  Returns
+    pipelines.acestep.CheckpointACEStep wired with the DCAE+vocoder
+    decode and the umt5 text encoder."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.adamos_vocoder import AdamosConfig, AdamosVocoder
+    from audiolab_tpu.models.music_dcae import MusicDCAE, dcae_codec_fns
+    from audiolab_tpu.models.t5 import umt5_base
+    from audiolab_tpu.pipelines.acestep import (
+        ACEStepTextEncoder,
+        CheckpointACEStep,
+    )
+
+    def find(d, names):
+        for n in names:
+            p = os.path.join(checkpoint_dir, d, n)
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"{d}: none of {names} in {checkpoint_dir}")
+
+    from audiolab_tpu.models.acestep_dit import ACEStepDiTConfig
+
+    wnames = ("diffusion_pytorch_model.safetensors", "model.safetensors",
+              "pytorch_model.bin", "diffusion_pytorch_model.bin")
+    dit_cfg = ACEStepDiTConfig()
+    dit_params = load_acestep_dit_checkpoint(
+        find("ace_step_transformer", wnames), dit_cfg)
+    lyric_params = load_acestep_lyric_checkpoint(
+        find("ace_step_transformer", wnames))
+    dcae_params, dcae_cfg = load_dcae_checkpoint(
+        os.path.join(checkpoint_dir, "music_dcae_f8c8"))
+    enc_fn, dec_fn = dcae_codec_fns(dcae_params, dcae_cfg)
+    voc_cfg = AdamosConfig()
+    voc = AdamosVocoder(voc_cfg)
+    voc_tpl = jax.eval_shape(
+        lambda: voc.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 8, voc_cfg.input_channels)))["params"])
+    vsd = torch_load_weights(find("music_vocoder", wnames))
+    if hasattr(next(iter(vsd.values())), "numpy"):
+        vsd = {k: v.float().numpy() for k, v in vsd.items()}
+    voc_params = convert_adamos(vsd, voc_tpl)
+    codec = MusicDCAE(encoder_fn=enc_fn, decoder_fn=dec_fn,
+                      vocoder=voc, vocoder_params=voc_params)
+    text_enc = ACEStepTextEncoder(
+        load_t5_encoder(find("umt5-base", wnames), umt5_base()),
+        find("umt5-base", ("spiece.model", "tokenizer.model")))
+    return CheckpointACEStep(dit_cfg, dit_params, lyric_params=lyric_params,
+                             decode_fn=codec.decode, text_encoder=text_enc)

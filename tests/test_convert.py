@@ -103,3 +103,22 @@ def test_whisper_mapping_coverage_and_roundtrip():
     logits = model.apply({"params": params}, jnp.zeros((1, 3000, 80)),
                          jnp.zeros((1, 4), jnp.int32))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_full_pipeline_loaders_fail_cleanly(tmp_path):
+    """The one-call checkpoint assemblies (stable-audio-open, ACE-Step
+    checkpoint dir) surface a clear FileNotFoundError when the published
+    weights are absent (none are downloadable in this environment)."""
+    import pytest
+
+    from audiolab_tpu.utils.convert import (
+        load_acestep_pipeline,
+        load_stable_audio_pipeline,
+    )
+
+    with pytest.raises(FileNotFoundError):
+        load_stable_audio_pipeline(str(tmp_path / "model.safetensors"),
+                                   str(tmp_path / "t5.bin"),
+                                   str(tmp_path / "spiece.model"))
+    with pytest.raises(FileNotFoundError):
+        load_acestep_pipeline(str(tmp_path))
