@@ -79,11 +79,11 @@ def build_separator(cpu, dev):
                (6.9, 14.9), (6.9, 14.9), (6.8, 14.9)][:strength]
     members = []
     raw_apply = lambda p, x: model.apply({"params": p}, x)  # noqa: E731
+    # ONE device param buffer shared by every member: throughput is
+    # weight-independent and a dim-512 member is ~0.6 GB — per-member
+    # copies OOM v5e HBM at ensemble_strength 3 once the RVC stage loads
+    p = jax.device_put(base, dev)
     for i, (wv, wi) in enumerate(weights):
-        # cheap param variation: scale a copy so members differ numerically
-        p = jax.device_put(
-            jax.tree.map(lambda a, s=1.0 + 0.01 * i: a * s, base), dev
-        )
         members.append(
             EnsembleMember(
                 name=f"bs_roformer_{i}",
