@@ -111,8 +111,15 @@ class Attention(nn.Module):
             vf = jax.lax.dynamic_update_slice_in_dim(cache["v"], v.astype(dt), idx, axis=1)
             cache = dict(k=kf, v=vf, index=idx + t)
             causal = False
-            # valid positions: < index + t
-            attn_mask = (jnp.arange(kf.shape[1])[None, :] < idx + t)[:, None, None, :]
+            # causal within the written block: query j (block offset) sees
+            # keys at positions <= idx + j.  For t == 1 this is the plain
+            # "everything written so far" decode mask; for t > 1 (prefill
+            # through the cache) it prevents early prefix positions from
+            # attending to later ones, which would otherwise poison the
+            # cached k/v of every layer past the first.
+            qpos = idx + jnp.arange(t)
+            attn_mask = (jnp.arange(kf.shape[1])[None, None, None, :]
+                         <= qpos[None, None, :, None])
 
         if rep > 1:
             kf = jnp.repeat(kf, rep, axis=2)

@@ -435,6 +435,147 @@ class XttsCheckpointEngine:
         return self.synthesize(text, cond=cond, d_vector=d)
 
 
+# ------------------------------------------- Chatterbox checkpoint engine
+
+def chatterbox_punc_norm(text: str) -> str:
+    """Text cleanup matching the published package's pre-tokenize
+    normalisation (chatterbox tts.py punc_norm): capitalise the first
+    letter, collapse whitespace, map exotic punctuation to plain ASCII,
+    ensure a terminal period."""
+    if not text:
+        return "You need to add some text for me to talk."
+    text = text[0].upper() + text[1:]
+    text = " ".join(text.split())
+    for old, new in (("...", ", "), ("…", ", "), (":", ","), (" - ", ", "),
+                     (";", ", "), ("—", "-"), ("–", "-"), (" ,", ","),
+                     ("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'")):
+        text = text.replace(old, new)
+    if text[-1] not in {".", "!", "?", "-", ","}:
+        text += "."
+    return text
+
+
+class ChatterboxTokenizer:
+    """chatterbox EnTokenizer: HF-tokenizers BPE from the checkpoint's
+    tokenizer.json, spaces mapped to [SPACE] before encoding."""
+
+    def __init__(self, vocab_file: str):
+        from tokenizers import Tokenizer
+
+        self.tokenizer = Tokenizer.from_file(vocab_file)
+
+    def encode(self, text: str) -> list[int]:
+        return self.tokenizer.encode(text.replace(" ", "[SPACE]")).ids
+
+
+class ChatterboxCheckpointEngine:
+    """The converted resemble-ai Chatterbox stack behind one TTS-engine
+    facade (reference layouts/tts.py:381-396 run_chatterbox_tts):
+    text -> punc_norm -> BPE -> T3 AR decode (CFG, exaggeration) ->
+    25 Hz speech tokens -> S3Gen flow+HiFT -> 24 kHz wav.
+
+    The voice comes from the checkpoint's builtin conditionals
+    (``conds.pt``: T3 speaker emb + cond prompt tokens, S3Gen ref dict)
+    or, for cloning, from reference audio: the T3 side embeds it with the
+    converted ve.safetensors VoiceEncoder; the S3Gen side additionally
+    needs its bundled CAMPPlus xvector + S3 speech tokenizer (pass
+    ``ref_dict`` until those converters land — flagged in COVERAGE)."""
+
+    sr_out = 24000
+    voices = ["default"]
+
+    def __init__(self, t3_cfg, t3_params, flow_cfg, flow_params,
+                 hift_cfg, hift_params, ve_params=None, tokenizer=None,
+                 builtin=None, rand_noise=None):
+        from audiolab_tpu.models.chatterbox_s3gen import S3Token2Wav
+        from audiolab_tpu.models.chatterbox_t3 import (VoiceEncoder,
+                                                       VoiceEncoderConfig)
+
+        self.t3_cfg, self.t3_params = t3_cfg, t3_params
+        self.s3gen = S3Token2Wav(flow_cfg, flow_params, hift_cfg,
+                                 hift_params, rand_noise)
+        self.ve = VoiceEncoder(VoiceEncoderConfig())
+        self.ve_params = ve_params
+        self.tokenize = tokenizer or (lambda s: list(
+            np.frombuffer(s.encode()[:500], np.uint8).astype(np.int32)
+            % (t3_cfg.text_vocab - 2) + 1))
+        # builtin: dict(speaker_emb, prompt_tokens?, emotion_adv?,
+        #               ref_tokens?, ref_mel?, ref_xvector?)  [conds.pt]
+        self.builtin = builtin or {}
+
+    def conditioning(self, ref_wav, sr):
+        """Reference audio -> T3 speaker embedding via the converted
+        VoiceEncoder (voice_encoder.py embeds_from_wavs)."""
+        from audiolab_tpu.models.chatterbox_t3 import utterance_embedding
+
+        if self.ve_params is None:
+            raise ValueError("no ve.safetensors loaded; cannot embed "
+                             "reference audio")
+        return utterance_embedding(
+            lambda mels: self.ve.apply({"params": self.ve_params}, mels),
+            np.asarray(ref_wav, np.float32), sr)
+
+    def synthesize(self, text, ref_wav=None, ref_sr=None, speaker_emb=None,
+                   ref_dict=None, exaggeration=0.5, cfg_weight=0.5,
+                   temperature=0.8, max_tokens=500, seed=0, **_):
+        from audiolab_tpu.models.chatterbox_t3 import t3_generate
+
+        c = self.t3_cfg
+        if speaker_emb is None:
+            if ref_wav is not None:
+                speaker_emb = self.conditioning(ref_wav, ref_sr)
+            elif "speaker_emb" in self.builtin:
+                speaker_emb = self.builtin["speaker_emb"]
+            else:
+                speaker_emb = np.zeros((c.speaker_embed_size,), np.float32)
+        ids = self.tokenize(chatterbox_punc_norm(text))
+        ids = np.asarray([c.start_text_token] + list(ids)
+                         + [c.stop_text_token], np.int32)[None]
+        prompt = self.builtin.get("prompt_tokens")
+        tokens = t3_generate(
+            c, self.t3_params, ids, speaker_emb, prompt_tokens=prompt,
+            emotion_adv=float(exaggeration), max_new_tokens=max_tokens,
+            cfg_weight=float(cfg_weight), temperature=float(temperature),
+            seed=seed)
+        # S3Gen's token vocab is the 6561 FSQ codes; drop specials
+        tokens = tokens[:, (tokens[0] < self.s3gen.flow_cfg.token_vocab)]
+        if tokens.shape[1] == 0:
+            tokens = np.zeros((1, 1), np.int32)
+        rd = ref_dict if ref_dict is not None else self.builtin
+        xvec = np.asarray(rd.get("ref_xvector",
+                                 np.zeros((self.s3gen.flow_cfg.xvector_dim,),
+                                          np.float32))).reshape(1, -1)
+        ref_tokens = rd.get("ref_tokens")
+        ref_mel = rd.get("ref_mel")
+        if ref_tokens is not None and ref_mel is not None:
+            tokens = np.concatenate(
+                [np.asarray(ref_tokens, np.int32).reshape(1, -1), tokens],
+                axis=1)
+            wav = self.s3gen.tokens_to_wav(
+                jnp.asarray(tokens), jnp.asarray(xvec),
+                prompt_mel=jnp.asarray(ref_mel, jnp.float32).reshape(
+                    1, -1, self.s3gen.flow_cfg.mel_dim), seed=seed)
+        else:
+            wav = self.s3gen.tokens_to_wav(jnp.asarray(tokens),
+                                           jnp.asarray(xvec), seed=seed)
+        return np.asarray(wav[0]), self.sr_out
+
+    # ---- serve/tts_api backend protocol
+
+    def register_voice(self, name: str, wav, sr: int) -> None:
+        self.voice_store = getattr(self, "voice_store", {})
+        self.voice_store[name] = self.conditioning(wav, sr)
+
+    def generate(self, text: str, voice: str = "default", speed: float = 1.0,
+                 seed: int = 0, exaggeration: float = 0.5,
+                 cfg_weight: float = 0.5, **_):
+        store = getattr(self, "voice_store", {})
+        spk = store.get(voice)
+        return self.synthesize(text, speaker_emb=spk,
+                               exaggeration=exaggeration,
+                               cfg_weight=cfg_weight, seed=seed)
+
+
 def random_xtts_checkpoint(seed: int = 0) -> XttsCheckpointEngine:
     """Tiny random-weight XttsCheckpointEngine (smoke tests)."""
     from audiolab_tpu.models.xtts import (

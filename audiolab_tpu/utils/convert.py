@@ -118,6 +118,8 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
         return np.asarray(sd[key + ".bias"])
     if kind == "direct":
         return np.asarray(sd[key])
+    if kind == "direct_t":
+        return np.asarray(sd[key]).T
     if kind == "gamma":
         return np.asarray(sd[key + ".gamma"])
     if kind == "beta":
@@ -279,6 +281,8 @@ def fabricate(kind: str, key: str, flax_shape: tuple, sd: dict, rng) -> None:
         put(key + ".bias", rng.standard_normal(flax_shape))
     elif kind == "direct":
         put(key, rng.standard_normal(flax_shape))
+    elif kind == "direct_t":
+        put(key, rng.standard_normal(flax_shape[::-1]))
     elif kind == "gamma":
         put(key + ".gamma", rng.standard_normal(flax_shape))
     elif kind == "beta":
@@ -3191,6 +3195,287 @@ def load_htdemucs_checkpoint(path: str, cfg=None) -> dict:
     return convert_htdemucs(sd, template)
 
 
+# ------------------------------------------------------ Chatterbox (T3)
+
+def chatterbox_t3_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax models/chatterbox_t3.T3 tree -> t3_cfg.safetensors names
+    (published chatterbox-tts models/t3/t3.py: a transformers LlamaModel
+    under ``tfmr.`` plus text/speech embeddings, learned position
+    embeddings, T3CondEnc and the two logit heads)."""
+    m: dict[str, tuple[str, str]] = {}
+    m["text_emb/embedding"] = ("direct", "text_emb.weight")
+    m["speech_emb/embedding"] = ("direct", "speech_emb.weight")
+    m["text_pos_emb/embedding"] = ("direct", "text_pos_emb.emb.weight")
+    m["speech_pos_emb/embedding"] = ("direct", "speech_pos_emb.emb.weight")
+    for head in ("text_head", "speech_head"):
+        m[f"{head}/kernel"] = ("dense_w", head)
+        m[f"{head}/bias"] = ("bias", head)
+    ce = template["cond_enc"]
+    m["cond_enc/spkr_enc/kernel"] = ("dense_w", "cond_enc.spkr_enc")
+    m["cond_enc/spkr_enc/bias"] = ("bias", "cond_enc.spkr_enc")
+    m["cond_enc/emotion_adv_fc/kernel"] = ("dense_w",
+                                           "cond_enc.emotion_adv_fc")
+    m["cond_enc/emotion_adv_fc/bias"] = ("bias", "cond_enc.emotion_adv_fc")
+    if "perceiver" in ce:
+        p = "cond_enc.perceiver"
+        m["cond_enc/perceiver/pre_attention_query"] = (
+            "direct", f"{p}.pre_attention_query")
+        for proj in ("to_q", "to_k", "to_v"):
+            m[f"cond_enc/perceiver/attn/{proj}/kernel"] = (
+                "dense_w", f"{p}.attn.{proj}")
+        m["cond_enc/perceiver/attn/to_out/kernel"] = (
+            "dense_w", f"{p}.attn.to_out.0")
+        m["cond_enc/perceiver/attn/to_out/bias"] = (
+            "bias", f"{p}.attn.to_out.0")
+    # LLaMA backbone under the ``tfmr.`` prefix (no embed/head)
+    tf = template["tfmr"]
+    n = sum(1 for k in tf if k.startswith("layer_"))
+    for i in range(n):
+        b = f"tfmr.layers.{i}"
+        p = f"tfmr/layer_{i}"
+        for ours, theirs in (("wq", "q_proj"), ("wk", "k_proj"),
+                             ("wv", "v_proj"), ("wo", "o_proj")):
+            m[f"{p}/attn/{ours}/kernel"] = ("dense_w",
+                                            f"{b}.self_attn.{theirs}")
+        m[f"{p}/attn_norm/weight"] = ("direct", f"{b}.input_layernorm.weight")
+        m[f"{p}/mlp_norm/weight"] = ("direct",
+                                     f"{b}.post_attention_layernorm.weight")
+        for ours, theirs in (("w1", "gate_proj"), ("w3", "up_proj"),
+                             ("w2", "down_proj")):
+            m[f"{p}/mlp/{ours}/kernel"] = ("dense_w", f"{b}.mlp.{theirs}")
+    m["tfmr/final_norm/weight"] = ("direct", "tfmr.norm.weight")
+    return m
+
+
+def convert_chatterbox_t3(state_dict: dict, template: dict,
+                          strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, chatterbox_t3_mapping(template), sd, strict)
+
+
+def voice_encoder_mapping(template: dict) -> dict[str, tuple[str, str]]:
+    """flax VoiceEncoder tree -> ve.safetensors names (Resemblyzer layout:
+    ``lstm.weight_ih_l{k}``/``weight_hh_l{k}``/biases + ``proj``)."""
+    m: dict[str, tuple[str, str]] = {}
+    n = sum(1 for k in template if k.startswith("lstm_l"))
+    for i in range(n):
+        # torch LSTM weights are (4h, in) gate-major — flax wants (in, 4h);
+        # gate order (i, f, g, o) is shared, so a plain transpose suffices
+        m[f"lstm_l{i}/w_ih"] = ("direct_t", f"lstm.weight_ih_l{i}")
+        m[f"lstm_l{i}/w_hh"] = ("direct_t", f"lstm.weight_hh_l{i}")
+        m[f"lstm_l{i}/b_ih"] = ("direct", f"lstm.bias_ih_l{i}")
+        m[f"lstm_l{i}/b_hh"] = ("direct", f"lstm.bias_hh_l{i}")
+    m["proj/kernel"] = ("dense_w", "proj")
+    m["proj/bias"] = ("bias", "proj")
+    return m
+
+
+def convert_voice_encoder(state_dict: dict, template: dict,
+                          strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, voice_encoder_mapping(template), sd, strict)
+
+
+# --------------------------------------------------- Chatterbox (S3Gen)
+
+def _s3gen_conformer_layer(m: dict, flax_p: str, torch_p: str) -> None:
+    """wenet ConformerEncoderLayer (rel-pos attn + SiLU FF, no macaron)."""
+    a = f"{torch_p}.self_attn"
+    for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        m[f"{flax_p}/self_attn/{proj}/kernel"] = ("dense_w", f"{a}.{proj}")
+        m[f"{flax_p}/self_attn/{proj}/bias"] = ("bias", f"{a}.{proj}")
+    m[f"{flax_p}/self_attn/linear_pos/kernel"] = ("dense_w", f"{a}.linear_pos")
+    m[f"{flax_p}/self_attn/pos_bias_u"] = ("direct", f"{a}.pos_bias_u")
+    m[f"{flax_p}/self_attn/pos_bias_v"] = ("direct", f"{a}.pos_bias_v")
+    m[f"{flax_p}/ffn_w1/kernel"] = ("dense_w", f"{torch_p}.feed_forward.w_1")
+    m[f"{flax_p}/ffn_w1/bias"] = ("bias", f"{torch_p}.feed_forward.w_1")
+    m[f"{flax_p}/ffn_w2/kernel"] = ("dense_w", f"{torch_p}.feed_forward.w_2")
+    m[f"{flax_p}/ffn_w2/bias"] = ("bias", f"{torch_p}.feed_forward.w_2")
+    for norm in ("norm_mha", "norm_ff"):
+        m[f"{flax_p}/{norm}/scale"] = ("w", f"{torch_p}.{norm}")
+        m[f"{flax_p}/{norm}/bias"] = ("b", f"{torch_p}.{norm}")
+
+
+def _s3gen_causal_block(m: dict, flax_p: str, torch_p: str) -> None:
+    """CausalBlock1D: causal conv (``block.0``) + LayerNorm (``block.2``)."""
+    m[f"{flax_p}/conv/conv/Conv_0/kernel"] = ("conv_w", f"{torch_p}.block.0")
+    m[f"{flax_p}/conv/conv/Conv_0/bias"] = ("bias", f"{torch_p}.block.0")
+    m[f"{flax_p}/norm/scale"] = ("w", f"{torch_p}.block.2")
+    m[f"{flax_p}/norm/bias"] = ("b", f"{torch_p}.block.2")
+
+
+def _s3gen_resnet_block(m: dict, flax_p: str, torch_p: str) -> None:
+    """matcha CausalResnetBlock1D: mlp.1 + block1/block2 + res_conv."""
+    m[f"{flax_p}/mlp/kernel"] = ("dense_w", f"{torch_p}.mlp.1")
+    m[f"{flax_p}/mlp/bias"] = ("bias", f"{torch_p}.mlp.1")
+    _s3gen_causal_block(m, f"{flax_p}/block1", f"{torch_p}.block1")
+    _s3gen_causal_block(m, f"{flax_p}/block2", f"{torch_p}.block2")
+    m[f"{flax_p}/res_conv/Conv_0/kernel"] = ("conv_w", f"{torch_p}.res_conv")
+    m[f"{flax_p}/res_conv/Conv_0/bias"] = ("bias", f"{torch_p}.res_conv")
+
+
+def _s3gen_transformer_block(m: dict, flax_p: str, torch_p: str) -> None:
+    """diffusers BasicTransformerBlock (self-attn + gelu FF)."""
+    for proj in ("to_q", "to_k", "to_v"):
+        m[f"{flax_p}/{proj}/kernel"] = ("dense_w", f"{torch_p}.attn1.{proj}")
+    m[f"{flax_p}/to_out/kernel"] = ("dense_w", f"{torch_p}.attn1.to_out.0")
+    m[f"{flax_p}/to_out/bias"] = ("bias", f"{torch_p}.attn1.to_out.0")
+    for norm in ("norm1", "norm3"):
+        m[f"{flax_p}/{norm}/scale"] = ("w", f"{torch_p}.{norm}")
+        m[f"{flax_p}/{norm}/bias"] = ("b", f"{torch_p}.{norm}")
+    m[f"{flax_p}/ff_in/kernel"] = ("dense_w", f"{torch_p}.ff.net.0.proj")
+    m[f"{flax_p}/ff_in/bias"] = ("bias", f"{torch_p}.ff.net.0.proj")
+    m[f"{flax_p}/ff_out/kernel"] = ("dense_w", f"{torch_p}.ff.net.2")
+    m[f"{flax_p}/ff_out/bias"] = ("bias", f"{torch_p}.ff.net.2")
+
+
+def s3gen_flow_mapping(template: dict, prefix: str = "") -> dict:
+    """flax chatterbox_s3gen.CausalMaskedDiffWithXvec tree ->
+    s3gen.safetensors ``flow.*`` names (chatterbox-tts models/s3gen/
+    {flow,decoder}.py; layouts/tts.py:381)."""
+    m: dict[str, tuple[str, str]] = {}
+    m["input_embedding/embedding"] = ("direct", f"{prefix}input_embedding.weight")
+    for lin in ("spk_embed_affine_layer", "encoder_proj"):
+        m[f"{lin}/kernel"] = ("dense_w", f"{prefix}{lin}")
+        m[f"{lin}/bias"] = ("bias", f"{prefix}{lin}")
+    enc = template["encoder"]
+    for emb in ("embed", "up_embed"):
+        m[f"encoder/{emb}/out0/kernel"] = ("dense_w",
+                                           f"{prefix}encoder.{emb}.out.0")
+        m[f"encoder/{emb}/out0/bias"] = ("bias", f"{prefix}encoder.{emb}.out.0")
+        m[f"encoder/{emb}/out1/scale"] = ("w", f"{prefix}encoder.{emb}.out.1")
+        m[f"encoder/{emb}/out1/bias"] = ("b", f"{prefix}encoder.{emb}.out.1")
+    for conv in ("conv1", "conv2"):
+        p = f"{prefix}encoder.pre_lookahead_layer.{conv}"
+        m[f"encoder/pre_lookahead_layer/{conv}/Conv_0/kernel"] = ("conv_w", p)
+        m[f"encoder/pre_lookahead_layer/{conv}/Conv_0/bias"] = ("bias", p)
+    m["encoder/up_layer/conv/Conv_0/kernel"] = ("conv_w",
+                                                f"{prefix}encoder.up_layer.conv")
+    m["encoder/up_layer/conv/Conv_0/bias"] = ("bias",
+                                              f"{prefix}encoder.up_layer.conv")
+    for group, tname in (("encoders", "encoders"),
+                         ("up_encoders", "up_encoders")):
+        n = sum(1 for k in enc if k.startswith(f"{group}_"))
+        for i in range(n):
+            _s3gen_conformer_layer(m, f"encoder/{group}_{i}",
+                                   f"{prefix}encoder.{tname}.{i}")
+    m["encoder/after_norm/scale"] = ("w", f"{prefix}encoder.after_norm")
+    m["encoder/after_norm/bias"] = ("b", f"{prefix}encoder.after_norm")
+
+    est = template["decoder"]["estimator"]
+    te = f"{prefix}decoder.estimator"
+    m["decoder/estimator/time_mlp_1/kernel"] = ("dense_w", f"{te}.time_mlp.linear_1")
+    m["decoder/estimator/time_mlp_1/bias"] = ("bias", f"{te}.time_mlp.linear_1")
+    m["decoder/estimator/time_mlp_2/kernel"] = ("dense_w", f"{te}.time_mlp.linear_2")
+    m["decoder/estimator/time_mlp_2/bias"] = ("bias", f"{te}.time_mlp.linear_2")
+    _s3gen_resnet_block(m, "decoder/estimator/down_resnet",
+                        f"{te}.down_blocks.0.0")
+    n_tb = sum(1 for k in est if k.startswith("down_tb_"))
+    for i in range(n_tb):
+        _s3gen_transformer_block(m, f"decoder/estimator/down_tb_{i}",
+                                 f"{te}.down_blocks.0.1.{i}")
+    m["decoder/estimator/downsample/conv/Conv_0/kernel"] = (
+        "conv_w", f"{te}.down_blocks.0.2")
+    m["decoder/estimator/downsample/conv/Conv_0/bias"] = (
+        "bias", f"{te}.down_blocks.0.2")
+    n_mid = sum(1 for k in est if k.startswith("mid_resnet_"))
+    for mb in range(n_mid):
+        _s3gen_resnet_block(m, f"decoder/estimator/mid_resnet_{mb}",
+                            f"{te}.mid_blocks.{mb}.0")
+        for i in range(n_tb):
+            _s3gen_transformer_block(m, f"decoder/estimator/mid_tb_{mb}_{i}",
+                                     f"{te}.mid_blocks.{mb}.1.{i}")
+    _s3gen_resnet_block(m, "decoder/estimator/up_resnet",
+                        f"{te}.up_blocks.0.0")
+    for i in range(n_tb):
+        _s3gen_transformer_block(m, f"decoder/estimator/up_tb_{i}",
+                                 f"{te}.up_blocks.0.1.{i}")
+    m["decoder/estimator/upsample/conv/Conv_0/kernel"] = (
+        "conv_w", f"{te}.up_blocks.0.2")
+    m["decoder/estimator/upsample/conv/Conv_0/bias"] = (
+        "bias", f"{te}.up_blocks.0.2")
+    _s3gen_causal_block(m, "decoder/estimator/final_block",
+                        f"{te}.final_block")
+    m["decoder/estimator/final_proj/Conv_0/kernel"] = ("conv_w",
+                                                       f"{te}.final_proj")
+    m["decoder/estimator/final_proj/Conv_0/bias"] = ("bias",
+                                                     f"{te}.final_proj")
+    return m
+
+
+def hift_mapping(template: dict, prefix: str = "") -> dict:
+    """flax chatterbox_s3gen.HiFTGenerator tree -> s3gen.safetensors
+    ``mel2wav.*`` names (cosyvoice-style hifigan generator)."""
+    m: dict[str, tuple[str, str]] = {}
+    for i in range(5):
+        p = f"{prefix}f0_predictor.condnet.{2 * i}"
+        m[f"f0_predictor/condnet_{i}/Conv_0/kernel"] = ("convwn_w", p)
+        m[f"f0_predictor/condnet_{i}/Conv_0/bias"] = ("bias", p)
+    m["f0_predictor/classifier/kernel"] = ("dense_w",
+                                           f"{prefix}f0_predictor.classifier")
+    m["f0_predictor/classifier/bias"] = ("bias",
+                                         f"{prefix}f0_predictor.classifier")
+    m["m_source_linear/kernel"] = ("dense_w", f"{prefix}m_source.l_linear")
+    m["m_source_linear/bias"] = ("bias", f"{prefix}m_source.l_linear")
+    for conv in ("conv_pre", "conv_post"):
+        m[f"{conv}/Conv_0/kernel"] = ("convwn_w", f"{prefix}{conv}")
+        m[f"{conv}/Conv_0/bias"] = ("bias", f"{prefix}{conv}")
+
+    def resblock(flax_p: str, torch_p: str, n_dil: int) -> None:
+        for j in range(n_dil):
+            for cv in ("convs1", "convs2"):
+                m[f"{flax_p}/{cv}_{j}/Conv_0/kernel"] = (
+                    "convwn_w", f"{torch_p}.{cv}.{j}")
+                m[f"{flax_p}/{cv}_{j}/Conv_0/bias"] = (
+                    "bias", f"{torch_p}.{cv}.{j}")
+            m[f"{flax_p}/act1_{j}/alpha"] = (
+                "direct", f"{torch_p}.activations1.{j}.alpha")
+            m[f"{flax_p}/act2_{j}/alpha"] = (
+                "direct", f"{torch_p}.activations2.{j}.alpha")
+
+    n_up = sum(1 for k in template if k.startswith("ups_"))
+    n_k = len({k.rsplit("_", 1)[1] for k in template
+               if k.startswith("resblocks_")})
+    for i in range(n_up):
+        m[f"ups_{i}/ConvTranspose_0/kernel"] = ("convTwn_w", f"{prefix}ups.{i}")
+        m[f"ups_{i}/ConvTranspose_0/bias"] = ("bias", f"{prefix}ups.{i}")
+        m[f"source_downs_{i}/Conv_0/kernel"] = ("conv_w",
+                                                f"{prefix}source_downs.{i}")
+        m[f"source_downs_{i}/Conv_0/bias"] = ("bias",
+                                              f"{prefix}source_downs.{i}")
+        sr = template[f"source_resblocks_{i}"]
+        resblock(f"source_resblocks_{i}", f"{prefix}source_resblocks.{i}",
+                 sum(1 for k in sr if k.startswith("convs1_")))
+        for j in range(n_k):
+            rb = template[f"resblocks_{i}_{j}"]
+            resblock(f"resblocks_{i}_{j}",
+                     f"{prefix}resblocks.{i * n_k + j}",
+                     sum(1 for k in rb if k.startswith("convs1_")))
+    return m
+
+
+def convert_s3gen_flow(state_dict: dict, template: dict, strict: bool = True,
+                       prefix: str = "") -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, s3gen_flow_mapping(template, prefix), sd,
+                     strict)
+
+
+def convert_hift(state_dict: dict, template: dict, strict: bool = True,
+                 prefix: str = "") -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, hift_mapping(template, prefix), sd, strict)
+
+
+def convert_s3gen(state_dict: dict, flow_template: dict, hift_template: dict,
+                  strict: bool = True) -> tuple[dict, dict]:
+    """Split one s3gen.safetensors state dict on its ``flow.`` /
+    ``mel2wav.`` prefixes and fill both flax trees."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return (convert_s3gen_flow(sd, flow_template, strict, prefix="flow."),
+            convert_hift(sd, hift_template, strict, prefix="mel2wav."))
+
+
 # ---------------------------------------------- full-pipeline assemblies
 
 def load_stable_audio_pipeline(model_path: str, t5_path: str,
@@ -3294,3 +3579,117 @@ def load_acestep_pipeline(checkpoint_dir: str):
         find("umt5-base", ("spiece.model", "tokenizer.model")))
     return CheckpointACEStep(dit_cfg, dit_params, lyric_params=lyric_params,
                              decode_fn=codec.decode, text_encoder=text_enc)
+
+
+def load_chatterbox_pipeline(checkpoint_dir: str):
+    """One-call assembly of the REAL resemble-ai Chatterbox stack from its
+    published layout (reference layouts/tts.py:12,381:
+    ``ChatterboxTTS.from_pretrained`` pulls ve.safetensors,
+    t3_cfg.safetensors, s3gen.safetensors, tokenizer.json and the builtin
+    voice conds.pt).  Returns pipelines.tts.ChatterboxCheckpointEngine."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.chatterbox_s3gen import FlowConfig, HiFTConfig
+    from audiolab_tpu.models.chatterbox_s3gen import (
+        CausalMaskedDiffWithXvec,
+        HiFTGenerator,
+    )
+    from audiolab_tpu.models.chatterbox_t3 import (
+        T3,
+        T3CkptConfig,
+        VoiceEncoder,
+    )
+    from audiolab_tpu.pipelines.tts import (
+        ChatterboxCheckpointEngine,
+        ChatterboxTokenizer,
+    )
+
+    def path(name):
+        p = os.path.join(checkpoint_dir, name)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"{name} not found in {checkpoint_dir}")
+        return p
+
+    t3_cfg = T3CkptConfig()
+    t3 = T3(t3_cfg, max_seq_len=4096)
+    t3_tpl = jax.eval_shape(
+        lambda: t3.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                        jnp.zeros((1, 5), jnp.int32),
+                        jnp.zeros((1, t3_cfg.speaker_embed_size)),
+                        jnp.zeros((1, 3), jnp.int32),
+                        jnp.zeros((1,)))["params"])
+    t3_params = convert_chatterbox_t3(
+        torch_load_weights(path("t3_cfg.safetensors")), t3_tpl)
+
+    ve = VoiceEncoder()
+    ve_tpl = jax.eval_shape(
+        lambda: ve.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, ve.cfg.n_mels)))["params"])
+    ve_params = convert_voice_encoder(
+        torch_load_weights(path("ve.safetensors")), ve_tpl)
+
+    flow_cfg, hift_cfg = FlowConfig(), HiFTConfig()
+    flow_tpl = jax.eval_shape(
+        lambda: CausalMaskedDiffWithXvec(flow_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 3), jnp.int32),
+            jnp.zeros((1, flow_cfg.xvector_dim)),
+            jnp.zeros((1, 2, flow_cfg.mel_dim)),
+            jnp.zeros((1, 6, flow_cfg.mel_dim)))["params"])
+    hift_tpl = jax.eval_shape(
+        lambda: HiFTGenerator(hift_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 4, hift_cfg.in_channels)),
+            jax.random.PRNGKey(1))["params"])
+    # the safetensors also bundles the S3 speech tokenizer and CAMPPlus
+    # speaker encoder (ref-audio cloning side) — extra keys are ignored,
+    # only flow.* / mel2wav.* fill these two trees
+    sgen_sd = torch_load_weights(path("s3gen.safetensors"))
+    flow_params, hift_params = convert_s3gen(sgen_sd, flow_tpl, hift_tpl)
+
+    tokenizer = None
+    tok_path = os.path.join(checkpoint_dir, "tokenizer.json")
+    if os.path.exists(tok_path):
+        tokenizer = ChatterboxTokenizer(tok_path).encode
+
+    builtin = {}
+    conds_path = os.path.join(checkpoint_dir, "conds.pt")
+    if os.path.exists(conds_path):
+        cd = torch_load_weights(conds_path)
+
+        def pick(d, *keys):
+            for k in keys:
+                if k in d:
+                    v = d[k]
+                    return np.asarray(v.float().numpy()
+                                      if hasattr(v, "numpy") else v)
+            return None
+
+        flat = {}
+        for k, v in (cd.items() if isinstance(cd, dict) else []):
+            if isinstance(v, dict):
+                for kk, vv in v.items():
+                    flat[f"{k}.{kk}"] = vv
+            else:
+                flat[k] = v
+        spk = pick(flat, "t3.speaker_emb", "speaker_emb")
+        if spk is not None:
+            builtin["speaker_emb"] = spk.reshape(-1)
+        pt = pick(flat, "t3.cond_prompt_speech_tokens",
+                  "cond_prompt_speech_tokens")
+        if pt is not None:
+            builtin["prompt_tokens"] = pt.reshape(1, -1).astype(np.int32)
+        rt = pick(flat, "gen.prompt_token", "prompt_token")
+        if rt is not None:
+            builtin["ref_tokens"] = rt.reshape(1, -1).astype(np.int32)
+        rm = pick(flat, "gen.prompt_feat", "prompt_feat")
+        if rm is not None:
+            builtin["ref_mel"] = rm.reshape(1, -1, flow_cfg.mel_dim)
+        xv = pick(flat, "gen.embedding", "embedding")
+        if xv is not None:
+            builtin["ref_xvector"] = xv.reshape(-1)
+
+    return ChatterboxCheckpointEngine(
+        t3_cfg, t3_params, flow_cfg, flow_params, hift_cfg, hift_params,
+        ve_params=ve_params, tokenizer=tokenizer, builtin=builtin)
