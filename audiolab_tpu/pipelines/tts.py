@@ -477,16 +477,19 @@ class ChatterboxCheckpointEngine:
     The voice comes from the checkpoint's builtin conditionals
     (``conds.pt``: T3 speaker emb + cond prompt tokens, S3Gen ref dict)
     or, for cloning, from reference audio: the T3 side embeds it with the
-    converted ve.safetensors VoiceEncoder; the S3Gen side additionally
-    needs its bundled CAMPPlus xvector + S3 speech tokenizer (pass
-    ``ref_dict`` until those converters land — flagged in COVERAGE)."""
+    converted ve.safetensors VoiceEncoder and the S3Gen side with the
+    bundled CAMPPlus xvector (``speaker_encoder.``, models/campplus.py);
+    the ref-side S3 speech-token prompt additionally needs the bundled
+    S3 tokenizer (pass ``ref_dict`` until that converter lands — flagged
+    in COVERAGE; without it ref cloning runs the flow prompt-free)."""
 
     sr_out = 24000
     voices = ["default"]
 
     def __init__(self, t3_cfg, t3_params, flow_cfg, flow_params,
                  hift_cfg, hift_params, ve_params=None, tokenizer=None,
-                 builtin=None, rand_noise=None):
+                 builtin=None, rand_noise=None, campplus_params=None,
+                 campplus_cfg=None):
         from audiolab_tpu.models.chatterbox_s3gen import S3Token2Wav
         from audiolab_tpu.models.chatterbox_t3 import (VoiceEncoder,
                                                        VoiceEncoderConfig)
@@ -496,6 +499,8 @@ class ChatterboxCheckpointEngine:
                                  hift_params, rand_noise)
         self.ve = VoiceEncoder(VoiceEncoderConfig())
         self.ve_params = ve_params
+        self.campplus_params = campplus_params
+        self.campplus_cfg = campplus_cfg
         self.tokenize = tokenizer or (lambda s: list(
             np.frombuffer(s.encode()[:500], np.uint8).astype(np.int32)
             % (t3_cfg.text_vocab - 2) + 1))
@@ -504,16 +509,29 @@ class ChatterboxCheckpointEngine:
         self.builtin = builtin or {}
 
     def conditioning(self, ref_wav, sr):
-        """Reference audio -> T3 speaker embedding via the converted
-        VoiceEncoder (voice_encoder.py embeds_from_wavs)."""
+        """Reference audio -> (T3 speaker embedding, S3Gen xvector):
+        the converted VoiceEncoder (voice_encoder.py embeds_from_wavs)
+        and, when speaker_encoder.* converted, the CAMPPlus 192-d
+        xvector over 16 kHz kaldi fbank (s3gen embed_ref)."""
+        from audiolab_tpu.kernels.resample import resample_poly_np
         from audiolab_tpu.models.chatterbox_t3 import utterance_embedding
 
         if self.ve_params is None:
             raise ValueError("no ve.safetensors loaded; cannot embed "
                              "reference audio")
-        return utterance_embedding(
+        wav = np.asarray(ref_wav, np.float32)
+        spk = utterance_embedding(
             lambda mels: self.ve.apply({"params": self.ve_params}, mels),
-            np.asarray(ref_wav, np.float32), sr)
+            wav, sr)
+        xvec = None
+        if self.campplus_params is not None:
+            from audiolab_tpu.models.campplus import (CAMPPlusConfig,
+                                                      campplus_xvector)
+
+            w16 = resample_poly_np(wav, sr, 16000) if sr != 16000 else wav
+            xvec = campplus_xvector(self.campplus_params, w16,
+                                    self.campplus_cfg or CAMPPlusConfig())
+        return spk, xvec
 
     def synthesize(self, text, ref_wav=None, ref_sr=None, speaker_emb=None,
                    ref_dict=None, exaggeration=0.5, cfg_weight=0.5,
@@ -521,13 +539,16 @@ class ChatterboxCheckpointEngine:
         from audiolab_tpu.models.chatterbox_t3 import t3_generate
 
         c = self.t3_cfg
+        ref_xvec = None
         if speaker_emb is None:
             if ref_wav is not None:
-                speaker_emb = self.conditioning(ref_wav, ref_sr)
+                speaker_emb, ref_xvec = self.conditioning(ref_wav, ref_sr)
             elif "speaker_emb" in self.builtin:
                 speaker_emb = self.builtin["speaker_emb"]
             else:
                 speaker_emb = np.zeros((c.speaker_embed_size,), np.float32)
+        elif isinstance(speaker_emb, tuple):
+            speaker_emb, ref_xvec = speaker_emb
         ids = self.tokenize(chatterbox_punc_norm(text))
         ids = np.asarray([c.start_text_token] + list(ids)
                          + [c.stop_text_token], np.int32)[None]
@@ -542,9 +563,17 @@ class ChatterboxCheckpointEngine:
         if tokens.shape[1] == 0:
             tokens = np.zeros((1, 1), np.int32)
         rd = ref_dict if ref_dict is not None else self.builtin
-        xvec = np.asarray(rd.get("ref_xvector",
-                                 np.zeros((self.s3gen.flow_cfg.xvector_dim,),
-                                          np.float32))).reshape(1, -1)
+        if ref_xvec is not None:
+            # cloning: CAMPPlus xvector of the reference audio wins over
+            # the builtin voice's; ref token/mel prompts need the S3
+            # tokenizer, so the flow runs prompt-free in that case
+            xvec = np.asarray(ref_xvec).reshape(1, -1)
+            rd = ref_dict or {}
+        else:
+            xvec = np.asarray(
+                rd.get("ref_xvector",
+                       np.zeros((self.s3gen.flow_cfg.xvector_dim,),
+                                np.float32))).reshape(1, -1)
         ref_tokens = rd.get("ref_tokens")
         ref_mel = rd.get("ref_mel")
         if ref_tokens is not None and ref_mel is not None:

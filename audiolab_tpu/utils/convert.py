@@ -3643,10 +3643,22 @@ def load_chatterbox_pipeline(checkpoint_dir: str):
             jax.random.PRNGKey(0), jnp.zeros((1, 4, hift_cfg.in_channels)),
             jax.random.PRNGKey(1))["params"])
     # the safetensors also bundles the S3 speech tokenizer and CAMPPlus
-    # speaker encoder (ref-audio cloning side) — extra keys are ignored,
-    # only flow.* / mel2wav.* fill these two trees
+    # speaker encoder — extra keys are ignored by the flow/hift fills;
+    # the CAMPPlus (speaker_encoder.*) converts separately for ref-audio
+    # xvectors
     sgen_sd = torch_load_weights(path("s3gen.safetensors"))
     flow_params, hift_params = convert_s3gen(sgen_sd, flow_tpl, hift_tpl)
+    campplus_params = None
+    if any(k.startswith("speaker_encoder.") for k in sgen_sd):
+        from audiolab_tpu.models.campplus import CAMPPlus, CAMPPlusConfig
+
+        cp_cfg = CAMPPlusConfig()
+        cp_tpl = jax.eval_shape(
+            lambda: CAMPPlus(cp_cfg).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 32, cp_cfg.feat_dim)))["params"])
+        campplus_params = convert_campplus(sgen_sd, cp_tpl,
+                                           prefix="speaker_encoder.")
 
     tokenizer = None
     tok_path = os.path.join(checkpoint_dir, "tokenizer.json")
@@ -3692,4 +3704,85 @@ def load_chatterbox_pipeline(checkpoint_dir: str):
 
     return ChatterboxCheckpointEngine(
         t3_cfg, t3_params, flow_cfg, flow_params, hift_cfg, hift_params,
-        ve_params=ve_params, tokenizer=tokenizer, builtin=builtin)
+        ve_params=ve_params, tokenizer=tokenizer, builtin=builtin,
+        campplus_params=campplus_params)
+
+
+# --------------------------------------------------------------- CAMPPlus
+
+def _bn_map(m: dict, flax_p: str, torch_p: str, affine: bool = True) -> None:
+    """Frozen BatchNorm -> BNInfer params (running stats + affine)."""
+    m[f"{flax_p}/mean"] = ("direct", f"{torch_p}.running_mean")
+    m[f"{flax_p}/var"] = ("direct", f"{torch_p}.running_var")
+    if affine:
+        m[f"{flax_p}/scale"] = ("w", torch_p)
+        m[f"{flax_p}/bias"] = ("b", torch_p)
+
+
+def campplus_mapping(template: dict, prefix: str = "") -> dict:
+    """flax models/campplus.CAMPPlus tree -> 3D-Speaker CAMPPlus state
+    dict (the chatterbox s3gen.safetensors bundles it under
+    ``speaker_encoder.``)."""
+    p = prefix
+    m: dict = {}
+    m["head/conv1/kernel"] = ("conv2_w", f"{p}head.conv1")
+    _bn_map(m, "head/bn1", f"{p}head.bn1")
+    for li, layer in enumerate(("layer1", "layer2")):
+        for bi in range(2):
+            fp, tp = f"head/{layer}_{bi}", f"{p}head.{layer}.{bi}"
+            m[f"{fp}/conv1/kernel"] = ("conv2_w", f"{tp}.conv1")
+            _bn_map(m, f"{fp}/bn1", f"{tp}.bn1")
+            m[f"{fp}/conv2/kernel"] = ("conv2_w", f"{tp}.conv2")
+            _bn_map(m, f"{fp}/bn2", f"{tp}.bn2")
+            if bi == 0:  # stride-2 block carries the projection shortcut
+                m[f"{fp}/shortcut_conv/kernel"] = ("conv2_w",
+                                                   f"{tp}.shortcut.0")
+                _bn_map(m, f"{fp}/shortcut_bn", f"{tp}.shortcut.1")
+    m["head/conv2/kernel"] = ("conv2_w", f"{p}head.conv2")
+    _bn_map(m, "head/bn2", f"{p}head.bn2")
+
+    m["tdnn_linear/Conv_0/kernel"] = ("conv_w", f"{p}xvector.tdnn.linear")
+    _bn_map(m, "tdnn_nonlinear/batchnorm",
+            f"{p}xvector.tdnn.nonlinear.batchnorm")
+    blocks = {}
+    for k in template:
+        if k.startswith("block"):
+            b, t = k.split("_", 1)
+            blocks.setdefault(int(b[5:]), set()).add(int(t[5:]))
+    for bi in sorted(blocks):
+        for li in sorted(blocks[bi]):
+            fp = f"block{bi}_tdnnd{li}"
+            tp = f"{p}xvector.block{bi}.tdnnd{li}"
+            _bn_map(m, f"{fp}/nonlinear1/batchnorm",
+                    f"{tp}.nonlinear1.batchnorm")
+            m[f"{fp}/linear1/Conv_0/kernel"] = ("conv_w", f"{tp}.linear1")
+            _bn_map(m, f"{fp}/nonlinear2/batchnorm",
+                    f"{tp}.nonlinear2.batchnorm")
+            cl = f"{tp}.cam_layer"
+            m[f"{fp}/cam_layer/linear_local/Conv_0/kernel"] = (
+                "conv_w", f"{cl}.linear_local")
+            m[f"{fp}/cam_layer/linear1/Conv_0/kernel"] = ("conv_w",
+                                                          f"{cl}.linear1")
+            m[f"{fp}/cam_layer/linear1/Conv_0/bias"] = ("bias",
+                                                        f"{cl}.linear1")
+            m[f"{fp}/cam_layer/linear2/Conv_0/kernel"] = ("conv_w",
+                                                          f"{cl}.linear2")
+            m[f"{fp}/cam_layer/linear2/Conv_0/bias"] = ("bias",
+                                                        f"{cl}.linear2")
+        _bn_map(m, f"transit{bi}_nonlinear/batchnorm",
+                f"{p}xvector.transit{bi}.nonlinear.batchnorm")
+        m[f"transit{bi}_linear/Conv_0/kernel"] = (
+            "conv_w", f"{p}xvector.transit{bi}.linear")
+    _bn_map(m, "out_nonlinear/batchnorm",
+            f"{p}xvector.out_nonlinear.batchnorm")
+    m["dense_linear/kernel"] = ("dense1x1_w", f"{p}xvector.dense.linear")
+    _bn_map(m, "dense_nonlinear",
+            f"{p}xvector.dense.nonlinear.batchnorm", affine=False)
+    return m
+
+
+def convert_campplus(state_dict: dict, template: dict, strict: bool = True,
+                     prefix: str = "") -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, campplus_mapping(template, prefix), sd,
+                     strict)

@@ -78,3 +78,29 @@ def test_synthesize_with_builtin_ref_dict():
     }
     wav, sr = eng.synthesize("prompted", max_tokens=5, seed=2)
     assert sr == 24000 and wav.shape[0] > 0 and np.isfinite(wav).all()
+
+
+def test_synthesize_cloning_path():
+    """ref audio -> VoiceEncoder spk emb + CAMPPlus xvector -> synth."""
+    from audiolab_tpu.models.campplus import CAMPPlus
+    from audiolab_tpu.models.chatterbox_t3 import (VoiceEncoder,
+                                                   VoiceEncoderConfig)
+    from tests.test_campplus_parity import TINY as TINY_CP
+
+    eng = _engine()
+    ve = VoiceEncoder(VoiceEncoderConfig())
+    eng.ve_params = ve.init(jax.random.PRNGKey(7),
+                            jnp.zeros((1, 20, 40)))["params"]
+    eng.campplus_params = CAMPPlus(TINY_CP).init(
+        jax.random.PRNGKey(8), jnp.zeros((1, 24, 16)))["params"]
+    eng.campplus_cfg = TINY_CP
+    ref = np.random.default_rng(4).standard_normal(16000).astype(np.float32)
+    spk, xvec = eng.conditioning(ref, 16000)
+    assert spk.shape == (256,) and xvec.shape == (12,)
+    assert np.isfinite(spk).all() and np.isfinite(xvec).all()
+    # the real checkpoint's T3 takes the 256-d VoiceEncoder embedding
+    # directly; the tiny test config is 8-d, so feed the (spk, xvec)
+    # tuple path with a sliced embedding
+    wav, sr = eng.synthesize("clone me", speaker_emb=(spk[:8], xvec),
+                             max_tokens=5, seed=3)
+    assert sr == 24000 and wav.shape[0] > 0 and np.isfinite(wav).all()
