@@ -580,6 +580,23 @@ class HiFTGenerator(nn.Module):
         return self.decode(mel, self.source_stft(source))
 
 
+def s3gen_ref_mel(wav24k) -> jnp.ndarray:
+    """CosyVoice/Chatterbox mel_extractor for the flow's prompt_feat
+    (matcha mel_spectrogram: 24 kHz, n_fft 1920, hop 480, win 1920,
+    80 slaney mels fmin 0 fmax 8000, manual (n_fft-hop)/2 reflect pad +
+    center=False, log clamp 1e-5): (b, n) -> (b, t, 80)."""
+    from audiolab_tpu.kernels.mel import log_mel, mel_spectrogram
+
+    x = jnp.asarray(wav24k, jnp.float32)
+    pad = (1920 - 480) // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    mel = mel_spectrogram(x, sr=24000, n_fft=1920, hop=480,
+                          win_length=1920, n_mels=80, fmin=0.0,
+                          fmax=8000.0, htk=False, norm="slaney",
+                          power=1.0, center=False)
+    return log_mel(mel)
+
+
 # ------------------------------------------------------------- assembly
 
 class S3Token2Wav:

@@ -476,12 +476,12 @@ class ChatterboxCheckpointEngine:
 
     The voice comes from the checkpoint's builtin conditionals
     (``conds.pt``: T3 speaker emb + cond prompt tokens, S3Gen ref dict)
-    or, for cloning, from reference audio: the T3 side embeds it with the
-    converted ve.safetensors VoiceEncoder and the S3Gen side with the
-    bundled CAMPPlus xvector (``speaker_encoder.``, models/campplus.py);
-    the ref-side S3 speech-token prompt additionally needs the bundled
-    S3 tokenizer (pass ``ref_dict`` until that converter lands — flagged
-    in COVERAGE; without it ref cloning runs the flow prompt-free)."""
+    or, for cloning, from reference audio — all three bundled encoders
+    convert: the ve.safetensors VoiceEncoder (T3 speaker emb), the
+    CAMPPlus xvector (``speaker_encoder.``, models/campplus.py) and the
+    S3 speech tokenizer (``tokenizer.``, models/s3tokenizer.py) whose
+    25 Hz ids prompt both T3 and the S3Gen flow alongside the 24 kHz
+    ref mel (s3gen embed_ref)."""
 
     sr_out = 24000
     voices = ["default"]
@@ -489,7 +489,7 @@ class ChatterboxCheckpointEngine:
     def __init__(self, t3_cfg, t3_params, flow_cfg, flow_params,
                  hift_cfg, hift_params, ve_params=None, tokenizer=None,
                  builtin=None, rand_noise=None, campplus_params=None,
-                 campplus_cfg=None):
+                 campplus_cfg=None, s3tok_params=None, s3tok_cfg=None):
         from audiolab_tpu.models.chatterbox_s3gen import S3Token2Wav
         from audiolab_tpu.models.chatterbox_t3 import (VoiceEncoder,
                                                        VoiceEncoderConfig)
@@ -501,6 +501,8 @@ class ChatterboxCheckpointEngine:
         self.ve_params = ve_params
         self.campplus_params = campplus_params
         self.campplus_cfg = campplus_cfg
+        self.s3tok_params = s3tok_params
+        self.s3tok_cfg = s3tok_cfg
         self.tokenize = tokenizer or (lambda s: list(
             np.frombuffer(s.encode()[:500], np.uint8).astype(np.int32)
             % (t3_cfg.text_vocab - 2) + 1))
@@ -509,10 +511,12 @@ class ChatterboxCheckpointEngine:
         self.builtin = builtin or {}
 
     def conditioning(self, ref_wav, sr):
-        """Reference audio -> (T3 speaker embedding, S3Gen xvector):
-        the converted VoiceEncoder (voice_encoder.py embeds_from_wavs)
-        and, when speaker_encoder.* converted, the CAMPPlus 192-d
-        xvector over 16 kHz kaldi fbank (s3gen embed_ref)."""
+        """Reference audio -> (T3 speaker embedding, S3Gen ref dict).
+
+        speaker emb: converted VoiceEncoder (voice_encoder.py
+        embeds_from_wavs).  ref dict (s3gen embed_ref): CAMPPlus 192-d
+        xvector over 16 kHz kaldi fbank, S3 tokenizer 25 Hz ids, and the
+        24 kHz prompt mel trimmed to 2 frames/token."""
         from audiolab_tpu.kernels.resample import resample_poly_np
         from audiolab_tpu.models.chatterbox_t3 import utterance_embedding
 
@@ -523,15 +527,31 @@ class ChatterboxCheckpointEngine:
         spk = utterance_embedding(
             lambda mels: self.ve.apply({"params": self.ve_params}, mels),
             wav, sr)
-        xvec = None
+        rd = {}
+        w16 = resample_poly_np(wav, sr, 16000) if sr != 16000 else wav
         if self.campplus_params is not None:
             from audiolab_tpu.models.campplus import (CAMPPlusConfig,
                                                       campplus_xvector)
 
-            w16 = resample_poly_np(wav, sr, 16000) if sr != 16000 else wav
-            xvec = campplus_xvector(self.campplus_params, w16,
-                                    self.campplus_cfg or CAMPPlusConfig())
-        return spk, xvec
+            rd["ref_xvector"] = campplus_xvector(
+                self.campplus_params, w16,
+                self.campplus_cfg or CAMPPlusConfig())
+        if self.s3tok_params is not None:
+            from audiolab_tpu.models.chatterbox_s3gen import s3gen_ref_mel
+            from audiolab_tpu.models.s3tokenizer import (S3TokenizerConfig,
+                                                         tokenize_wav)
+
+            tokens = tokenize_wav(self.s3tok_params, w16,
+                                  self.s3tok_cfg or S3TokenizerConfig())
+            w24 = resample_poly_np(wav, sr, 24000) if sr != 24000 else wav
+            # 80 mels at checkpoint scale; sliced for tiny test configs
+            mel = np.asarray(s3gen_ref_mel(
+                w24[None]))[..., : self.s3gen.flow_cfg.mel_dim]
+            # cosyvoice frontend aligns feat to 2 frames per token
+            n_tok = min(tokens.shape[1], mel.shape[1] // 2)
+            rd["ref_tokens"] = tokens[:, :n_tok]
+            rd["ref_mel"] = mel[:, : 2 * n_tok]
+        return spk, rd
 
     def synthesize(self, text, ref_wav=None, ref_sr=None, speaker_emb=None,
                    ref_dict=None, exaggeration=0.5, cfg_weight=0.5,
@@ -539,20 +559,28 @@ class ChatterboxCheckpointEngine:
         from audiolab_tpu.models.chatterbox_t3 import t3_generate
 
         c = self.t3_cfg
-        ref_xvec = None
+        ref_rd = None
         if speaker_emb is None:
             if ref_wav is not None:
-                speaker_emb, ref_xvec = self.conditioning(ref_wav, ref_sr)
+                speaker_emb, ref_rd = self.conditioning(ref_wav, ref_sr)
             elif "speaker_emb" in self.builtin:
                 speaker_emb = self.builtin["speaker_emb"]
             else:
                 speaker_emb = np.zeros((c.speaker_embed_size,), np.float32)
         elif isinstance(speaker_emb, tuple):
-            speaker_emb, ref_xvec = speaker_emb
+            speaker_emb, ref_rd = speaker_emb
+            if ref_rd is not None and not isinstance(ref_rd, dict):
+                ref_rd = {"ref_xvector": ref_rd}
         ids = self.tokenize(chatterbox_punc_norm(text))
         ids = np.asarray([c.start_text_token] + list(ids)
                          + [c.stop_text_token], np.int32)[None]
-        prompt = self.builtin.get("prompt_tokens")
+        if ref_rd is not None and "ref_tokens" in ref_rd:
+            # cloned voice: the reference's speech tokens prompt T3 too
+            # (t3.py cond_prompt_speech_tokens, capped at 150)
+            prompt = np.asarray(ref_rd["ref_tokens"],
+                                np.int32)[:, : c.speech_cond_prompt_len]
+        else:
+            prompt = self.builtin.get("prompt_tokens")
         tokens = t3_generate(
             c, self.t3_params, ids, speaker_emb, prompt_tokens=prompt,
             emotion_adv=float(exaggeration), max_new_tokens=max_tokens,
@@ -562,18 +590,16 @@ class ChatterboxCheckpointEngine:
         tokens = tokens[:, (tokens[0] < self.s3gen.flow_cfg.token_vocab)]
         if tokens.shape[1] == 0:
             tokens = np.zeros((1, 1), np.int32)
-        rd = ref_dict if ref_dict is not None else self.builtin
-        if ref_xvec is not None:
-            # cloning: CAMPPlus xvector of the reference audio wins over
-            # the builtin voice's; ref token/mel prompts need the S3
-            # tokenizer, so the flow runs prompt-free in that case
-            xvec = np.asarray(ref_xvec).reshape(1, -1)
-            rd = ref_dict or {}
+        if ref_dict is not None:
+            rd = ref_dict
+        elif ref_rd is not None:
+            rd = ref_rd  # cloning: the reference's own embeddings/prompts
         else:
-            xvec = np.asarray(
-                rd.get("ref_xvector",
-                       np.zeros((self.s3gen.flow_cfg.xvector_dim,),
-                                np.float32))).reshape(1, -1)
+            rd = self.builtin
+        xvec = np.asarray(
+            rd.get("ref_xvector",
+                   np.zeros((self.s3gen.flow_cfg.xvector_dim,),
+                            np.float32))).reshape(1, -1)
         ref_tokens = rd.get("ref_tokens")
         ref_mel = rd.get("ref_mel")
         if ref_tokens is not None and ref_mel is not None:

@@ -3659,6 +3659,25 @@ def load_chatterbox_pipeline(checkpoint_dir: str):
                 jnp.zeros((1, 32, cp_cfg.feat_dim)))["params"])
         campplus_params = convert_campplus(sgen_sd, cp_tpl,
                                            prefix="speaker_encoder.")
+    s3tok_params = s3tok_cfg = None
+    if any(k.startswith("tokenizer.encoder.") for k in sgen_sd):
+        import re as _re
+
+        from audiolab_tpu.models.s3tokenizer import (S3TokenizerConfig,
+                                                     S3TokenizerV2)
+
+        n_layer = 1 + max(
+            int(m.group(1)) for k in sgen_sd
+            if (m := _re.match(r"tokenizer\.encoder\.blocks\.(\d+)\.", k)))
+        w = np.asarray(sgen_sd["tokenizer.encoder.conv1.weight"])
+        s3tok_cfg = S3TokenizerConfig(n_mels=w.shape[1], n_state=w.shape[0],
+                                      n_layer=n_layer)
+        st_tpl = jax.eval_shape(
+            lambda: S3TokenizerV2(s3tok_cfg).init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 16, s3tok_cfg.n_mels)))["params"])
+        s3tok_params = convert_s3tokenizer(sgen_sd, st_tpl,
+                                           prefix="tokenizer.")
 
     tokenizer = None
     tok_path = os.path.join(checkpoint_dir, "tokenizer.json")
@@ -3705,7 +3724,8 @@ def load_chatterbox_pipeline(checkpoint_dir: str):
     return ChatterboxCheckpointEngine(
         t3_cfg, t3_params, flow_cfg, flow_params, hift_cfg, hift_params,
         ve_params=ve_params, tokenizer=tokenizer, builtin=builtin,
-        campplus_params=campplus_params)
+        campplus_params=campplus_params, s3tok_params=s3tok_params,
+        s3tok_cfg=s3tok_cfg)
 
 
 # --------------------------------------------------------------- CAMPPlus
@@ -3786,3 +3806,51 @@ def convert_campplus(state_dict: dict, template: dict, strict: bool = True,
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     return fill_tree(template, campplus_mapping(template, prefix), sd,
                      strict)
+
+
+# ----------------------------------------------------------- S3Tokenizer
+
+def s3tokenizer_mapping(template: dict, prefix: str = "",
+                        fsq_prefix: str = "quantizer.vq") -> dict:
+    """flax models/s3tokenizer.S3TokenizerV2 tree -> the s3tokenizer
+    package's state dict (bundled under ``tokenizer.`` in chatterbox's
+    s3gen.safetensors)."""
+    p = prefix
+    m: dict = {}
+    for cv in ("conv1", "conv2"):
+        m[f"encoder/{cv}/kernel"] = ("conv_w", f"{p}encoder.{cv}")
+        m[f"encoder/{cv}/bias"] = ("bias", f"{p}encoder.{cv}")
+    n_layers = sum(1 for k in template["encoder"] if k.startswith("block_"))
+    for i in range(n_layers):
+        fp, tp = f"encoder/block_{i}", f"{p}encoder.blocks.{i}"
+        for proj, bias in (("query", True), ("key", False),
+                           ("value", True), ("out", True)):
+            m[f"{fp}/attn/{proj}/kernel"] = ("dense_w", f"{tp}.attn.{proj}")
+            if bias:
+                m[f"{fp}/attn/{proj}/bias"] = ("bias", f"{tp}.attn.{proj}")
+        m[f"{fp}/attn/fsmn_kernel"] = ("dwconv_w", f"{tp}.attn.fsmn_block")
+        for ln in ("attn_ln", "mlp_ln"):
+            m[f"{fp}/{ln}/scale"] = ("w", f"{tp}.{ln}")
+            m[f"{fp}/{ln}/bias"] = ("b", f"{tp}.{ln}")
+        m[f"{fp}/mlp_0/kernel"] = ("dense_w", f"{tp}.mlp.0")
+        m[f"{fp}/mlp_0/bias"] = ("bias", f"{tp}.mlp.0")
+        m[f"{fp}/mlp_2/kernel"] = ("dense_w", f"{tp}.mlp.2")
+        m[f"{fp}/mlp_2/bias"] = ("bias", f"{tp}.mlp.2")
+    m["encoder/ln_post/scale"] = ("w", f"{p}encoder.ln_post")
+    m["encoder/ln_post/bias"] = ("b", f"{p}encoder.ln_post")
+    m["project_down/kernel"] = ("dense_w", f"{p}{fsq_prefix}.project_down")
+    m["project_down/bias"] = ("bias", f"{p}{fsq_prefix}.project_down")
+    return m
+
+
+def convert_s3tokenizer(state_dict: dict, template: dict,
+                        strict: bool = True, prefix: str = "") -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # the FSQ projection has appeared under a few module spellings
+    fsq = "quantizer.vq"
+    for cand in ("quantizer.vq", "quantizer._codebook", "quantizer"):
+        if f"{prefix}{cand}.project_down.weight" in sd:
+            fsq = cand
+            break
+    return fill_tree(template, s3tokenizer_mapping(template, prefix, fsq),
+                     sd, strict)

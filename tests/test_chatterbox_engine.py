@@ -81,10 +81,13 @@ def test_synthesize_with_builtin_ref_dict():
 
 
 def test_synthesize_cloning_path():
-    """ref audio -> VoiceEncoder spk emb + CAMPPlus xvector -> synth."""
+    """ref audio -> VoiceEncoder spk emb + CAMPPlus xvector + S3
+    tokenizer ref prompts -> synth."""
     from audiolab_tpu.models.campplus import CAMPPlus
     from audiolab_tpu.models.chatterbox_t3 import (VoiceEncoder,
                                                    VoiceEncoderConfig)
+    from audiolab_tpu.models.s3tokenizer import (S3TokenizerConfig,
+                                                 S3TokenizerV2)
     from tests.test_campplus_parity import TINY as TINY_CP
 
     eng = _engine()
@@ -94,13 +97,23 @@ def test_synthesize_cloning_path():
     eng.campplus_params = CAMPPlus(TINY_CP).init(
         jax.random.PRNGKey(8), jnp.zeros((1, 24, 16)))["params"]
     eng.campplus_cfg = TINY_CP
+    # tiny S3 tokenizer emitting ids inside the flow vocab (30) so ref
+    # prompts are consumable end to end
+    st_cfg = S3TokenizerConfig(n_mels=128, n_state=32, n_head=4,
+                               n_layer=1, n_ctx=256, fsmn_kernel=7,
+                               fsq_dim=3)
+    eng.s3tok_params = S3TokenizerV2(st_cfg).init(
+        jax.random.PRNGKey(9), jnp.zeros((1, 20, 128)))["params"]
+    eng.s3tok_cfg = st_cfg
     ref = np.random.default_rng(4).standard_normal(16000).astype(np.float32)
-    spk, xvec = eng.conditioning(ref, 16000)
-    assert spk.shape == (256,) and xvec.shape == (12,)
-    assert np.isfinite(spk).all() and np.isfinite(xvec).all()
+    spk, rd = eng.conditioning(ref, 16000)
+    assert spk.shape == (256,) and rd["ref_xvector"].shape == (12,)
+    assert rd["ref_tokens"].shape[1] > 0
+    assert rd["ref_mel"].shape[1] == 2 * rd["ref_tokens"].shape[1]
+    assert (rd["ref_tokens"] < 27).all()  # 3^3 fsq codes
     # the real checkpoint's T3 takes the 256-d VoiceEncoder embedding
-    # directly; the tiny test config is 8-d, so feed the (spk, xvec)
+    # directly; the tiny test config is 8-d, so feed the (spk, rd)
     # tuple path with a sliced embedding
-    wav, sr = eng.synthesize("clone me", speaker_emb=(spk[:8], xvec),
+    wav, sr = eng.synthesize("clone me", speaker_emb=(spk[:8], rd),
                              max_tokens=5, seed=3)
     assert sr == 24000 and wav.shape[0] > 0 and np.isfinite(wav).all()
