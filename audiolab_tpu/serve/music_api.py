@@ -54,6 +54,69 @@ def register(router) -> None:
     def acestep_lora(_params, body):
         return _generate("acestep", body)
 
+    @router.post("/api/v1/acestep/task",
+                 "ACE-Step retake/repaint/edit/extend on an input clip")
+    def acestep_task(_params, body):
+        """Reference layouts/acestep.py Retake/Repaint/Edit/Extend tabs
+        (process_retake/process_repaint/process_edit/process_extend):
+        task-specific re-generation anchored to an uploaded clip."""
+        import base64 as b64
+        import os
+        import tempfile
+        import uuid
+
+        import numpy as np
+
+        task = body.get("task", "retake")
+        if task not in ("retake", "repaint", "edit", "extend"):
+            raise ValueError(f"unknown acestep task {task!r}")
+        be = _BACKENDS.get("acestep")
+        if be is None or not hasattr(be, task):
+            raise NotImplementedError(
+                f"acestep backend not loaded or lacks {task!r}")
+        files = body.get("files", [])
+        if not files:
+            raise ValueError("no input clip")
+        from audiolab_tpu.core.audio_io import read_audio, write_wav
+        from audiolab_tpu.serve.files import register_file
+        from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
+
+        s = dict(body.get("settings", {}))
+        prompt = body.get("prompt") or body.get("tags") or ""
+        lyrics = s.pop("lyrics", "")
+        seed = int(s.pop("seed", 0))
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, "in.wav")
+            with open(p, "wb") as fh:
+                fh.write(b64.b64decode(files[0]["content"]))
+            audio = np.asarray(read_audio(p).to_mono().samples[0])
+        with INFERENCE_LOCK:
+            if task == "retake":
+                y, sr = be.retake(audio, prompt, lyrics,
+                                  variance=float(s.get("variance", 0.5)),
+                                  seed=seed)
+            elif task == "repaint":
+                y, sr = be.repaint(audio, prompt,
+                                   float(s.get("start_s", 0.0)),
+                                   float(s.get("end_s", 5.0)),
+                                   lyrics, seed=seed)
+            elif task == "edit":
+                y, sr = be.edit(audio, prompt, lyrics,
+                                strength=float(s.get("strength", 0.7)),
+                                seed=seed)
+            else:
+                y, sr = be.extend(audio, prompt,
+                                  left_s=float(s.get("left_s", 0.0)),
+                                  right_s=float(s.get("right_s", 10.0)),
+                                  lyrics=lyrics, seed=seed)
+        out_dir = os.path.join(tempfile.gettempdir(), "audiolab_generated")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"acestep_{task}_{uuid.uuid4().hex[:8]}.wav")
+        write_wav(out, y, sr)
+        return {"audio": b64.b64encode(open(out, "rb").read()).decode(),
+                "format": "wav", "sample_rate": sr, "task": task,
+                "file_id": register_file(out)}
+
     @router.post("/api/v1/audio/generate", "Stable-Audio text-to-audio")
     def stable_audio(_params, body):
         return _generate("stable_audio", body)

@@ -96,6 +96,28 @@ def register(router, output_root: str) -> None:
         )
         return {"job_id": job_id}
 
+    @router.post("/api/v1/rvc/resume", "Resume training an existing voice")
+    def resume(_params, body):
+        """Reference layouts/rvc_train.py: training restarts from the
+        latest checkpoint in the experiment dir (train/trainer.py
+        restore_train_state) — re-run with the persisted dataset, more
+        epochs, no re-upload."""
+        from audiolab_tpu.train.rvc_train import train_from_request
+
+        name = body.get("name", "voice")
+        dataset_dir = os.path.join(os.path.dirname(output_root),
+                                   "datasets", name)
+        if not os.path.isdir(dataset_dir) or not os.listdir(dataset_dir):
+            raise FileNotFoundError(
+                f"no persisted dataset for {name!r}; train first")
+        files = [os.path.join(dataset_dir, f)
+                 for f in sorted(os.listdir(dataset_dir))]
+        settings = {k: v for k, v in dict(body.get("settings", {})).items()
+                    if not k.endswith(("_path", "_dir"))}
+        job_id = submit_job(train_from_request, files, name, models_dir,
+                            settings)
+        return {"job_id": job_id, "resumed": True}
+
     @router.post("/api/v1/rvc/build_index", "Build a retrieval index from an exp dir")
     def build_index(_params, body):
         from audiolab_tpu.train.trainer import build_index as _build

@@ -107,3 +107,42 @@ def test_align_endpoint(router, tmp_path):
     assert "master_sentences" in res["report"]
     wav = base64.b64decode(res["content"])
     assert len(wav) > 1000
+
+
+def test_acestep_task_endpoints(router, tmp_path):
+    """Retake/repaint/edit/extend routes (reference layouts/acestep.py
+    specialized tabs) against the tiny random pipeline."""
+    from audiolab_tpu.pipelines.acestep import random_acestep
+    from audiolab_tpu.serve import music_api
+
+    music_api.register_backend("acestep", random_acestep())
+    clip = _wav_b64(tmp_path, "src.wav", seconds=1.0, sr=8000)
+
+    code, resp = router.dispatch(
+        "POST", "/api/v1/acestep/task",
+        {"task": "retake", "prompt": "synth", "files": [clip],
+         "settings": {"variance": 0.4, "seed": 1}})
+    assert code == 200 and resp["task"] == "retake" and resp["audio"]
+
+    code, resp = router.dispatch(
+        "POST", "/api/v1/acestep/task",
+        {"task": "repaint", "prompt": "synth", "files": [clip],
+         "settings": {"start_s": 0.2, "end_s": 0.6}})
+    assert code == 200 and resp["task"] == "repaint" and resp["audio"]
+
+    code, resp = router.dispatch(
+        "POST", "/api/v1/acestep/task",
+        {"task": "extend", "prompt": "synth", "files": [clip],
+         "settings": {"right_s": 0.5}})
+    assert code == 200 and resp["task"] == "extend"
+
+    code, resp = router.dispatch(
+        "POST", "/api/v1/acestep/task",
+        {"task": "nope", "files": [clip]})
+    assert code >= 400
+
+
+def test_rvc_resume_requires_dataset(router):
+    code, resp = router.dispatch("POST", "/api/v1/rvc/resume",
+                                 {"name": "never-trained"})
+    assert code == 404
