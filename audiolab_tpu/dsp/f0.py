@@ -1,10 +1,11 @@
 """DSP f0 estimation (YIN) — fully vectorized on device.
 
 The reference offers 11 f0 methods (modules/rvc/pitch_extraction.py:24-352):
-pm/harvest/dio are C++ host libraries, crepe/rmvpe are neural.  Per SURVEY
-§2.5 the portable plan is: neural RMVPE (models/rmvpe.py) as default + this
-pure-DSP YIN as the dependency-free baseline/fallback and for harmony's pyin
-role (handlers/harmony.py:9-20).
+pm/harvest/dio are C++ host libraries, crepe/rmvpe are neural.  Here: neural
+RMVPE (models/rmvpe.py) as default, this pure-DSP YIN as the device-side
+baseline (and harmony's pyin role, handlers/harmony.py:9-20), plus faithful
+host implementations of Praat-AC (``f0_pm``), WORLD DIO (``f0_dio``), WORLD
+Harvest (``f0_harvest``) and StoneMask refinement (``stonemask``) below.
 
 All frames are processed in parallel: framing -> FFT cross-correlation ->
 cumulative-mean-normalized difference -> thresholded lag pick, one jitted
@@ -137,69 +138,312 @@ def merge_f0(stack: jnp.ndarray, merge_type: str = "median") -> jnp.ndarray:
     return jnp.where(n_voiced * 2 > stack.shape[0], merged, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# WORLD-family estimators (dio / harvest / stonemask)
+#
+# The reference's dio & harvest methods call the pyworld C++ library and then
+# refine with pyworld.stonemask (modules/rvc/pitch_extraction.py:172-191,
+# frame_period = 1000*hop/sr).  pyworld is not available here, so these are
+# faithful host-numpy implementations of the published WORLD algorithms
+# (Morise 2009 DIO, Morise 2017 Harvest, StoneMask IF refinement) rather
+# than bindings: half/24th-octave filter channels, four-interval candidate
+# events, stability scoring, the four contour fix steps, and harmonic
+# instantaneous-frequency refinement.  Gated by accuracy tests on synthetic
+# known-f0 signals (tests/test_f0_world.py) since no oracle wheel exists.
+# ---------------------------------------------------------------------------
+
+
+def _nuttall(n: int) -> np.ndarray:
+    t = np.arange(n) * (2.0 * np.pi / max(n - 1, 1))
+    return (0.355768 - 0.487396 * np.cos(t) + 0.144232 * np.cos(2 * t)
+            - 0.012604 * np.cos(3 * t))
+
+
+def _filter_signal(x: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Zero-phase-ish FFT convolution, trimmed to len(x) with the kernel
+    delay removed (WORLD applies its FIRs the same way)."""
+    n = len(x)
+    m = len(kernel)
+    nfft = int(2 ** np.ceil(np.log2(n + m)))
+    y = np.fft.irfft(np.fft.rfft(x, nfft) * np.fft.rfft(kernel, nfft), nfft)
+    d = m // 2
+    return y[d:d + n]
+
+
+def _four_interval_candidates(
+    y: np.ndarray, sr: int, centers: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """The DIO/Harvest event detector: from one filtered channel, build four
+    independent f0 contours — negative-going zero crossings, positive-going
+    zero crossings, peak intervals and dip intervals — interpolated to frame
+    times.  Returns (4, T) f0 tracks or None if any event list is too short.
+    """
+    tracks = []
+    for sig in (y, -y, np.diff(y, prepend=y[:1]),
+                -np.diff(y, prepend=y[:1])):
+        pos = sig > 0.0
+        rise = np.nonzero(~pos[:-1] & pos[1:])[0]
+        if len(rise) < 3:
+            return None
+        frac = sig[rise] / np.maximum(np.abs(sig[rise] - sig[rise + 1]), 1e-12)
+        locs = rise + np.clip(frac, 0.0, 1.0)
+        periods = np.diff(locs)
+        good = periods > 0
+        if good.sum() < 2:
+            return None
+        mids = 0.5 * (locs[:-1] + locs[1:])[good]
+        f0s = sr / periods[good]
+        tracks.append(np.interp(centers, mids, f0s, left=f0s[0], right=f0s[-1]))
+    return np.stack(tracks)
+
+
+def _channel_candidates(
+    x: np.ndarray, sr: int, centers: np.ndarray, boundary_f0: float,
+    fmin: float, fmax: float, bandpass: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One WORLD channel: filter around/below ``boundary_f0`` and score the
+    agreement of the four interval contours.  Returns (f0_candidate (T,),
+    deviation score (T,) — lower is better, inf = invalid)."""
+    half_len = max(2, int(round(sr / boundary_f0 / 2.0)))
+    filt = _nuttall(4 * half_len)
+    if bandpass:  # Harvest: Nuttall-windowed cosine centred at boundary_f0
+        t = (np.arange(4 * half_len) - 2.0 * half_len) / sr
+        filt = filt * np.cos(2.0 * np.pi * boundary_f0 * t)
+    filt = filt / (np.abs(filt).sum() + 1e-12)
+    y = _filter_signal(x, filt)
+    tr = _four_interval_candidates(y, sr, centers)
+    T = len(centers)
+    if tr is None:
+        return np.zeros(T), np.full(T, np.inf)
+    mean = tr.mean(axis=0)
+    dev = np.sqrt(((tr - mean) ** 2).sum(axis=0) / 3.0) / np.maximum(mean, 1e-6)
+    lo = boundary_f0 / 2.0 if not bandpass else boundary_f0 * 0.6
+    hi = boundary_f0 if not bandpass else boundary_f0 * 1.2
+    ok = (mean >= max(lo, fmin)) & (mean <= min(hi, fmax))
+    return np.where(ok, mean, 0.0), np.where(ok, dev, np.inf)
+
+
+def _fix_f0_contour(
+    best: np.ndarray, cand_all: np.ndarray, hop_s: float, fmin: float,
+    allowed_range: float = 0.1,
+) -> np.ndarray:
+    """WORLD's FixF0Contour: (1) zero frames that jump more than
+    ``allowed_range`` relative to their neighbour, (2) drop voiced islands
+    shorter than the minimum voice range, (3)+(4) extend every voiced
+    section forward/backward by re-selecting, among ALL channel candidates
+    of the neighbouring frame, the one closest to the edge f0."""
+    f0 = best.copy()
+    T = len(f0)
+    vrm = int(0.5 + 1.0 / hop_s / fmin) * 2 + 1  # min voiced run (frames)
+
+    # step 1: rapid-change removal
+    prev = np.concatenate([[0.0], f0[:-1]])
+    jump = np.abs(f0 - prev) / np.maximum(f0, 1e-6)
+    f0 = np.where((prev > 0) & (f0 > 0) & (jump > allowed_range), 0.0, f0)
+
+    # step 2: short-segment removal
+    voiced = f0 > 0
+    out = f0.copy()
+    i = 0
+    while i < T:
+        if voiced[i]:
+            j = i
+            while j < T and voiced[j]:
+                j += 1
+            if j - i < vrm:
+                out[i:j] = 0.0
+            i = j
+        else:
+            i += 1
+    f0 = out
+
+    # steps 3+4: extend sections using the nearest channel candidate
+    def _extend(f0v: np.ndarray, forward: bool) -> np.ndarray:
+        g = f0v if forward else f0v[::-1]
+        cand = cand_all if forward else cand_all[:, ::-1]
+        g = g.copy()
+        for t in range(1, T):
+            if g[t] == 0.0 and g[t - 1] > 0.0:
+                ref = g[t - 1]
+                c = cand[:, t]
+                d = np.abs(c - ref) / ref
+                d = np.where(c > 0, d, np.inf)
+                k = int(np.argmin(d))
+                if d[k] < allowed_range:
+                    g[t] = c[k]
+        return g if forward else g[::-1]
+
+    fwd = _extend(f0, True)
+    bwd = _extend(f0, False)
+    # keep extensions only where both directions agree (WORLD takes the
+    # intersection of step-3 and step-4 results)
+    agree = (fwd > 0) & (bwd > 0) & \
+        (np.abs(fwd - bwd) / np.maximum(fwd, 1e-6) < allowed_range)
+    return np.where(f0 > 0, f0, np.where(agree, 0.5 * (fwd + bwd), 0.0))
+
+
+def stonemask(
+    x: np.ndarray,
+    f0: np.ndarray,
+    sr: int = 16000,
+    hop: int = 160,
+) -> np.ndarray:
+    """WORLD StoneMask refinement (pyworld.stonemask in the reference,
+    pitch_extraction.py:180,190): per voiced frame, window ~3 periods,
+    estimate instantaneous frequency at each harmonic via Flanagan's
+    equation (spectrum + derivative-window spectrum), and replace f0 with
+    the amplitude-weighted mean of IF_h / h.  Two passes: 2 harmonics to
+    fix the period, then 6 for the final estimate."""
+    x = np.asarray(x, np.float64)
+    f0 = np.asarray(f0, np.float64)
+    n = len(x)
+    out = f0.copy()
+
+    def _fix(pos: int, cur: float, n_harm: int) -> float:
+        half = int(1.5 * sr / cur + 1)
+        idx = np.clip(np.arange(-half, half + 1) + pos, 0, n - 1)
+        tt = np.arange(-half, half + 1) / sr
+        wlen = (2 * half + 1) / sr
+        main = 0.42 + 0.5 * np.cos(2 * np.pi * tt / wlen) \
+            + 0.08 * np.cos(4 * np.pi * tt / wlen)
+        diffw = -(np.pi / wlen) * np.sin(2 * np.pi * tt / wlen) \
+            - (0.16 * np.pi / wlen) * np.sin(4 * np.pi * tt / wlen)
+        seg = x[idx]
+        nfft = int(2 ** np.ceil(np.log2(2 * half + 2) + 1))
+        S = np.fft.rfft(seg * main, nfft)
+        dS = np.fft.rfft(seg * diffw, nfft)
+        power = S.real ** 2 + S.imag ** 2
+        num_i = S.real * dS.imag - S.imag * dS.real
+        freqs = np.arange(len(S)) * sr / nfft
+        inst = freqs + np.where(power > 1e-12, num_i / np.maximum(power, 1e-12), 0.0) \
+            * sr / (2.0 * np.pi)
+        hbins = np.clip(np.round(cur * np.arange(1, n_harm + 1) * nfft / sr
+                                 ).astype(int), 0, len(S) - 1)
+        amp = np.sqrt(power[hbins])
+        if_h = inst[hbins] / np.arange(1, n_harm + 1)
+        denom = amp.sum()
+        return float((amp * if_h).sum() / denom) if denom > 1e-12 else 0.0
+
+    for t in range(len(f0)):
+        if f0[t] <= 0.0:
+            continue
+        pos = t * hop
+        n_h = max(1, min(int(sr / 2.0 / f0[t]), 2))
+        tent = _fix(pos, f0[t], n_h)
+        if tent <= 0.0:
+            continue
+        n_h = max(1, min(int(sr / 2.0 / tent), 6))
+        ref = _fix(pos, tent, n_h)
+        # reject implausible refinements (WORLD keeps the original there)
+        if ref > 0.0 and abs(ref - f0[t]) / f0[t] < 0.2:
+            out[t] = ref
+    return out
+
+
 def f0_dio(
     x: np.ndarray,
     sr: int = 16000,
     hop: int = 160,
     fmin: float = 50.0,
     fmax: float = 1100.0,
+    refine: bool = True,
 ) -> np.ndarray:
-    """Host (numpy) DIO-class estimator: zero-crossing candidates from
-    octave-spaced low-pass bands + normalized-autocorrelation scoring and
-    parabolic refinement (a portable stand-in for pyworld.dio+stonemask,
-    reference pitch_extraction.py:172-191; kept host-side for parity
-    testing and the hybrid merge, per SURVEY §2.5)."""
+    """WORLD DIO (+StoneMask) — the reference's ``dio`` method
+    (pitch_extraction.py:182-191: pyworld.dio then pyworld.stonemask).
+
+    Half-octave Nuttall low-pass channels; each channel contributes one
+    candidate per frame from the agreement of its four interval event
+    trains; the most stable candidate wins; then the four WORLD contour
+    fix steps and instantaneous-frequency refinement."""
     x = np.asarray(x, np.float64)
     n = len(x)
     t_frames = n // hop + 1
     centers = np.arange(t_frames) * hop
 
-    # candidate bands: low-pass at fc, f0 candidate from rising-zero-crossing
-    # intervals interpolated to frame times
-    spec = np.fft.rfft(x)
-    freqs_bin = np.fft.rfftfreq(n, 1.0 / sr)
-    n_bands = max(2, int(np.ceil(np.log2(fmax / fmin))) + 1)
-    cand = np.zeros((n_bands, t_frames))
+    n_bands = max(2, int(np.ceil(2.0 * np.log2(fmax / fmin))))
+    cands, scores = [], []
     for bi in range(n_bands):
-        fc = fmin * (2.0 ** (bi + 1))
-        lp = np.fft.irfft(np.where(freqs_bin <= fc, spec, 0.0), n)
-        sgn = lp > 0
-        rise = np.nonzero(~sgn[:-1] & sgn[1:])[0]
-        if len(rise) < 2:
-            continue
-        # sub-sample crossing positions
-        frac = lp[rise] / (lp[rise] - lp[rise + 1])
-        pos = rise + frac
-        periods = np.diff(pos)
-        mid = 0.5 * (pos[:-1] + pos[1:])
-        f0c = sr / np.maximum(periods, 1e-6)
-        cand[bi] = np.interp(centers, mid, f0c,
-                             left=f0c[0], right=f0c[-1])
+        boundary = fmin * (2.0 ** ((bi + 1) / 2.0))
+        c, s = _channel_candidates(x, sr, centers, boundary, fmin, fmax,
+                                   bandpass=False)
+        cands.append(c)
+        scores.append(s)
+    cand_all = np.stack(cands)           # (C, T)
+    score_all = np.stack(scores)
 
-    # score candidates by normalized autocorrelation at the candidate lag
-    w = 2 * hop * 4
-    xp = np.pad(x, (w // 2, w))
-    frames = xp[centers[:, None] + np.arange(w)[None, :]]
-    frames = frames - frames.mean(axis=1, keepdims=True)
-    e = (frames * frames).sum(axis=1) + 1e-12
+    best_ch = np.argmin(score_all, axis=0)
+    rows = np.arange(t_frames)
+    best = cand_all[best_ch, rows]
+    best_score = score_all[best_ch, rows]
+    # voicing: a stable periodic structure has tiny inter-event deviation
+    best = np.where(np.isfinite(best_score) & (best_score < 0.06), best, 0.0)
 
-    best = np.zeros(t_frames)
-    best_score = np.full(t_frames, -1.0)
-    for bi in range(n_bands):
-        f0c = cand[bi]
-        valid = (f0c >= fmin) & (f0c <= fmax)
-        lag = np.clip((sr / np.maximum(f0c, 1.0)).astype(int), 1, w // 2)
-        idx = np.arange(w - w // 2)
-        shifted = frames[np.arange(t_frames)[:, None], idx[None, :] + lag[:, None]]
-        head = frames[:, : w - w // 2]
-        r = (head * shifted).sum(axis=1)
-        score = np.where(valid, r / e, -1.0)
-        take = score > best_score
-        best[take] = f0c[take]
-        best_score[take] = score[take]
+    best = _fix_f0_contour(best, cand_all, hop / sr, fmin)
+    if refine:
+        best = stonemask(x, best, sr, hop)
+    return np.where((best >= fmin) & (best <= fmax), best, 0.0)
 
-    voiced = best_score > 0.35
-    return np.where(voiced, best, 0.0)
+
+def f0_harvest(
+    x: np.ndarray,
+    sr: int = 16000,
+    hop: int = 160,
+    fmin: float = 50.0,
+    fmax: float = 1100.0,
+    channels_per_octave: float = 12.0,
+    refine: bool = True,
+) -> np.ndarray:
+    """WORLD Harvest (+StoneMask) — the reference's ``harvest`` method
+    (pitch_extraction.py:172-180).  Unlike DIO's low-pass half-octave
+    banks, Harvest band-passes densely spaced channels (Nuttall-windowed
+    cosine), keeps EVERY agreeing channel's candidate, IF-refines each
+    candidate, and picks the best per frame by refined stability before
+    the shared contour fix steps and a final zero-phase smoothing."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    t_frames = n // hop + 1
+    centers = np.arange(t_frames) * hop
+
+    n_ch = max(2, int(np.ceil(channels_per_octave * np.log2(fmax / fmin))))
+    cands, scores = [], []
+    for ci in range(n_ch):
+        boundary = fmin * (2.0 ** ((ci + 1) / channels_per_octave))
+        c, s = _channel_candidates(x, sr, centers, boundary, fmin, fmax,
+                                   bandpass=True)
+        cands.append(c)
+        scores.append(s)
+    cand_all = np.stack(cands)
+    score_all = np.stack(scores)
+
+    # Harvest validity is stricter per channel (the band-pass makes each
+    # channel ring at its centre, so only near-agreeing events count)
+    valid = np.isfinite(score_all) & (score_all < 0.12)
+    cand_all = np.where(valid, cand_all, 0.0)
+    score_all = np.where(valid, score_all, np.inf)
+
+    best_ch = np.argmin(score_all, axis=0)
+    rows = np.arange(t_frames)
+    best = cand_all[best_ch, rows]
+    best_score = score_all[best_ch, rows]
+    best = np.where(np.isfinite(best_score), best, 0.0)
+
+    best = _fix_f0_contour(best, cand_all, hop / sr, fmin,
+                           allowed_range=0.18)
+    if refine:
+        best = stonemask(x, best, sr, hop)
+
+    # final smoothing of voiced runs (Harvest's SmoothF0Contour): short
+    # zero-phase moving average applied inside each voiced segment
+    sm = best.copy()
+    k = 3
+    pad = np.pad(best, (k, k), mode="edge")
+    win = np.ones(2 * k + 1) / (2 * k + 1)
+    avg = np.convolve(pad, win, mode="valid")
+    run_ok = np.ones_like(best, bool)
+    for off in range(-k, k + 1):
+        run_ok &= np.roll(best > 0, off)
+    sm = np.where(run_ok, avg, sm)
+    return np.where((sm >= fmin) & (sm <= fmax), sm, 0.0)
 
 
 def f0_pm(

@@ -192,11 +192,11 @@ class VoiceConverter:
                     for w in jnp.asarray(wav16)]
             return jnp.stack(rows)
         if method in ("pm", "dio", "harvest"):
-            # host numpy estimators: pm = Praat-AC (Boersma), dio/harvest
-            # = the DIO-class band estimator (pitch_extraction.py:157-191)
-            from audiolab_tpu.dsp.f0 import f0_dio, f0_pm
+            # host numpy estimators: pm = Praat-AC (Boersma), dio/harvest =
+            # WORLD DIO/Harvest + StoneMask (pitch_extraction.py:157-191)
+            from audiolab_tpu.dsp.f0 import f0_dio, f0_harvest, f0_pm
 
-            fn = f0_pm if method == "pm" else f0_dio
+            fn = {"pm": f0_pm, "dio": f0_dio, "harvest": f0_harvest}[method]
             rows = [fn(np.asarray(w), sr=16000, hop=160,
                        fmin=self.cfg.f0_min, fmax=self.cfg.f0_max)
                     for w in np.asarray(wav16)]
