@@ -119,6 +119,12 @@ class StemSeparator:
         overlap = int(self.overlap_seconds * self.sr)
         plan = plan_chunks(n, chunk, overlap)
         db = max(1, min(self.device_batch, plan.count))
+        # balance the batch over the group count: 35 chunks at device_batch
+        # 8 would pad to 5 groups x 8 = 40 slots (14% wasted MXU time);
+        # 5 groups x 7 covers them exactly.  Never exceeds device_batch,
+        # so HBM stays bounded by the configured shape.
+        n_groups = -(-plan.count // db)
+        db = -(-plan.count // n_groups)
         if self.mesh is not None:  # keep shards equal across the dp axis
             dp = self.mesh.shape["dp"]
             db += (-db) % dp
