@@ -19,7 +19,11 @@ tests (no real checkpoints are downloadable in this environment)."""
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 # kinds: how a flax leaf derives from torch tensors
 #   conv_w      kernel of plain Conv1d        <- key + ".weight"
@@ -3854,3 +3858,113 @@ def convert_s3tokenizer(state_dict: dict, template: dict,
             break
     return fill_tree(template, s3tokenizer_mapping(template, prefix, fsq),
                      sd, strict)
+
+
+# ---------------------------------------------------------------- YuE assembly
+
+def load_hf_dir_weights(d: str) -> dict:
+    """Merge an HF checkpoint directory's weights (single model.safetensors
+    / pytorch_model.bin, or sharded via model.safetensors.index.json) into
+    one numpy state dict."""
+    import glob
+    import json
+    import os
+
+    idx = os.path.join(d, "model.safetensors.index.json")
+    paths: list[str]
+    if os.path.exists(idx):
+        with open(idx) as f:
+            paths = sorted({os.path.join(d, v)
+                            for v in json.load(f)["weight_map"].values()})
+    else:
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                paths = [p]
+                break
+        else:
+            paths = sorted(glob.glob(os.path.join(d, "*.safetensors")))
+            if not paths:
+                raise FileNotFoundError(f"no weights in {d}")
+    sd: dict = {}
+    for p in paths:
+        part = torch_load_weights(p)
+        sd.update({k: (v.float().numpy() if hasattr(v, "float")
+                       else np.asarray(v)) for k, v in part.items()})
+    return sd
+
+
+def lm_config_from_hf_dir(d: str, **overrides):
+    """LLaMA-family config.json -> models/lm.LMConfig."""
+    import json
+    import os
+
+    from audiolab_tpu.models.lm import LMConfig
+
+    with open(os.path.join(d, "config.json")) as f:
+        c = json.load(f)
+    heads = c["num_attention_heads"]
+    kw = dict(
+        vocab_size=c["vocab_size"], dim=c["hidden_size"],
+        n_layers=c["num_hidden_layers"], n_heads=heads,
+        n_kv_heads=c.get("num_key_value_heads", heads),
+        ffn_dim=c["intermediate_size"],
+        rope_theta=float(c.get("rope_theta", 10000.0)),
+        norm_eps=float(c.get("rms_norm_eps", 1e-5)),
+        max_seq_len=int(c.get("max_position_embeddings", 4096)),
+        tie_embeddings=bool(c.get("tie_word_embeddings", False)),
+    )
+    kw.update(overrides)
+    return LMConfig(**kw)
+
+
+def load_yue_pipeline(stage1_dir: str, stage2_dir: str, xcodec_path: str,
+                      tokenizer_model: str | None = None,
+                      xcodec_cfg=None, vocab=None):
+    """One-call assembly of the REAL YuE stack: stage-1 + stage-2 HF LLaMA
+    checkpoint dirs (the reference loads them with AutoModelForCausalLM,
+    modules/yue/inference/infer.py:245), the xcodec_mini_infer final.pth,
+    and the mm tokenizer.model (_MMSentencePieceTokenizer,
+    mmtokenizer.py:238).  Returns models/yue.YuEPipeline with the
+    checkpoint-faithful xcodec decode path wired."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.codecs import (
+        CodecConfig,
+        SoundStreamCodec,
+        XCodecConfig,
+        XCodecDecoder,
+    )
+    from audiolab_tpu.models.lm import TransformerLM
+    from audiolab_tpu.models.mm_vocab import MMTokenizer
+    from audiolab_tpu.models.yue import YuEConfig, YuEPipeline, YuEVocab
+
+    def load_stage(d):
+        cfg = lm_config_from_hf_dir(d)
+        model = TransformerLM(cfg)
+        template = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4), jnp.int32)))["params"]
+        return cfg, convert_llama(load_hf_dir_weights(d), template)
+
+    s1_cfg, s1p = load_stage(stage1_dir)
+    s2_cfg, s2p = load_stage(stage2_dir)
+
+    vocab = vocab or YuEVocab()
+    if s1_cfg.vocab_size != vocab.size:
+        logger.warning(
+            "stage-1 vocab %d != mm-v0.2 layout %d; codec id offsets may "
+            "not line up", s1_cfg.vocab_size, vocab.size)
+
+    xcfg = xcodec_cfg or XCodecConfig()
+    xdec = XCodecDecoder(xcfg)
+    xp = load_xcodec_checkpoint(xcodec_path, xcfg)
+    tok = (MMTokenizer(model_file=tokenizer_model)
+           if tokenizer_model else None)
+    cfg = YuEConfig(vocab=vocab, stage1=s1_cfg, stage2=s2_cfg)
+    # the SoundStreamCodec instance only supplies frame-rate metadata on
+    # the xcodec decode path; its params are never touched there
+    codec = SoundStreamCodec(CodecConfig())
+    return YuEPipeline(cfg, s1p, s2p, codec, None,
+                       xcodec=xdec, xcodec_params=xp, tokenizer=tok)
