@@ -297,46 +297,59 @@ def stonemask(
     x = np.asarray(x, np.float64)
     f0 = np.asarray(f0, np.float64)
     n = len(x)
-    out = f0.copy()
+    voiced = f0 > 0.0
+    if not voiced.any():
+        return f0.copy()
+    vt = np.flatnonzero(voiced)
+    pos = vt * hop
 
-    def _fix(pos: int, cur: float, n_harm: int) -> float:
-        half = int(1.5 * sr / cur + 1)
-        idx = np.clip(np.arange(-half, half + 1) + pos, 0, n - 1)
-        tt = np.arange(-half, half + 1) / sr
-        wlen = (2 * half + 1) / sr
-        main = 0.42 + 0.5 * np.cos(2 * np.pi * tt / wlen) \
-            + 0.08 * np.cos(4 * np.pi * tt / wlen)
-        diffw = -(np.pi / wlen) * np.sin(2 * np.pi * tt / wlen) \
-            - (0.16 * np.pi / wlen) * np.sin(4 * np.pi * tt / wlen)
-        seg = x[idx]
-        nfft = int(2 ** np.ceil(np.log2(2 * half + 2) + 1))
-        S = np.fft.rfft(seg * main, nfft)
-        dS = np.fft.rfft(seg * diffw, nfft)
+    # all voiced frames refined in ONE batched pass per iteration: shared
+    # max-length window grid, per-frame Blackman window truncated to its
+    # own ~3 periods by masking, two batched rFFTs (pyworld's loop is C++;
+    # a per-frame python loop here was ~50x slower than the signal)
+    max_half = int(1.5 * sr / max(f0[vt].min(), 1.0) + 1)
+    nfft = int(2 ** np.ceil(np.log2(2 * max_half + 2) + 1))
+    offs = np.arange(-max_half, max_half + 1)
+    idx = np.clip(pos[:, None] + offs[None, :], 0, n - 1)
+    seg = x[idx]                                    # (V, 2*max_half+1)
+    tt = offs / sr
+    harm = np.arange(1, 7)
+
+    def _fix(cur: np.ndarray, max_harm: int) -> np.ndarray:
+        half = (1.5 * sr / cur + 1).astype(int)
+        wlen = (2 * half + 1) / sr                  # (V,)
+        inside = np.abs(offs)[None, :] <= half[:, None]
+        ph = 2 * np.pi * tt[None, :] / wlen[:, None]
+        main = (0.42 + 0.5 * np.cos(ph) + 0.08 * np.cos(2 * ph)) * inside
+        diffw = (-(np.pi / wlen[:, None]) * np.sin(ph)
+                 - (0.16 * np.pi / wlen[:, None]) * np.sin(2 * ph)) * inside
+        S = np.fft.rfft(seg * main, nfft, axis=-1)
+        dS = np.fft.rfft(seg * diffw, nfft, axis=-1)
         power = S.real ** 2 + S.imag ** 2
         num_i = S.real * dS.imag - S.imag * dS.real
-        freqs = np.arange(len(S)) * sr / nfft
-        inst = freqs + np.where(power > 1e-12, num_i / np.maximum(power, 1e-12), 0.0) \
+        freqs = np.arange(S.shape[-1]) * sr / nfft
+        inst = freqs[None, :] + np.where(
+            power > 1e-12, num_i / np.maximum(power, 1e-12), 0.0) \
             * sr / (2.0 * np.pi)
-        hbins = np.clip(np.round(cur * np.arange(1, n_harm + 1) * nfft / sr
-                                 ).astype(int), 0, len(S) - 1)
-        amp = np.sqrt(power[hbins])
-        if_h = inst[hbins] / np.arange(1, n_harm + 1)
-        denom = amp.sum()
-        return float((amp * if_h).sum() / denom) if denom > 1e-12 else 0.0
+        hbins = np.clip(np.round(cur[:, None] * harm[None, :] * nfft / sr
+                                 ).astype(int), 0, S.shape[-1] - 1)
+        rows = np.arange(len(cur))[:, None]
+        n_harm = np.clip((sr / 2.0 / cur).astype(int), 1, max_harm)
+        hmask = harm[None, :] <= n_harm[:, None]
+        amp = np.sqrt(power[rows, hbins]) * hmask
+        if_h = inst[rows, hbins] / harm[None, :]
+        denom = amp.sum(axis=-1)
+        return np.where(denom > 1e-12, (amp * if_h).sum(axis=-1)
+                        / np.maximum(denom, 1e-12), 0.0)
 
-    for t in range(len(f0)):
-        if f0[t] <= 0.0:
-            continue
-        pos = t * hop
-        n_h = max(1, min(int(sr / 2.0 / f0[t]), 2))
-        tent = _fix(pos, f0[t], n_h)
-        if tent <= 0.0:
-            continue
-        n_h = max(1, min(int(sr / 2.0 / tent), 6))
-        ref = _fix(pos, tent, n_h)
-        # reject implausible refinements (WORLD keeps the original there)
-        if ref > 0.0 and abs(ref - f0[t]) / f0[t] < 0.2:
-            out[t] = ref
+    cur = f0[vt]
+    tent = _fix(cur, 2)
+    tent = np.where(tent > 0.0, tent, cur)
+    ref = _fix(tent, 6)
+    # reject implausible refinements (WORLD keeps the original there)
+    ok = (ref > 0.0) & (np.abs(ref - cur) / cur < 0.2)
+    out = f0.copy()
+    out[vt] = np.where(ok, ref, cur)
     return out
 
 
