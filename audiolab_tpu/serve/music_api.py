@@ -117,6 +117,71 @@ def register(router) -> None:
                 "format": "wav", "sample_rate": sr, "task": task,
                 "file_id": register_file(out)}
 
+    @router.post("/api/v1/acestep/lora/train",
+                 "Train an ACE-Step LoRA adapter (async job)")
+    def acestep_lora_train(_params, body):
+        """Reference layouts/acestep.py LoRA train tab (:1609, trainer.py):
+        clips + prompts -> flow-match LoRA fine-tune of the DiT, returned
+        as a downloadable adapter.  Poll /api/v1/rvc/job/{id}."""
+        import base64 as b64
+        import os
+        import tempfile
+        import uuid
+
+        import numpy as np
+
+        be = _BACKENDS.get("acestep")
+        if be is None or not hasattr(be, "base_params"):
+            raise NotImplementedError("acestep backend not loaded")
+        clips = body.get("clips") or []
+        if not clips:
+            raise ValueError("no training clips (clips: [{content, prompt, "
+                             "lyrics}])")
+        from audiolab_tpu.core.audio_io import read_audio
+        from audiolab_tpu.serve.files import register_file
+        from audiolab_tpu.serve.rvc_api import submit_job, update_job
+
+        dataset = []
+        with tempfile.TemporaryDirectory() as tmp:
+            for i, c in enumerate(clips):
+                p = os.path.join(tmp, f"clip_{i}.wav")
+                with open(p, "wb") as fh:
+                    fh.write(b64.b64decode(c["content"]))
+                audio = np.asarray(read_audio(p).to_mono().samples[0])
+                dataset.append((audio, c.get("prompt", ""),
+                                c.get("lyrics", "[inst]")))
+
+        s = dict(body.get("settings", {}))
+        steps = int(s.get("steps", 100))
+        rank = int(s.get("rank", 8))
+        lr = float(s.get("lr", 1e-4))
+
+        def run(job_id=None):
+            from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
+            from audiolab_tpu.train.acestep_lora import (
+                LoRATrainConfig,
+                save_lora,
+                train_lora,
+            )
+
+            cfg = LoRATrainConfig(steps=steps, rank=rank, lr=lr,
+                                  ssl_coeff=0.0)
+            with INFERENCE_LOCK:
+                out = train_lora(
+                    be, dataset, cfg,
+                    callback=lambda i, msg, total: update_job(
+                        job_id, i / max(total, 1), msg))
+            out_dir = os.path.join(tempfile.gettempdir(),
+                                   "audiolab_generated")
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir,
+                                f"acestep_lora_{uuid.uuid4().hex[:8]}.npz")
+            save_lora(path, out["lora"])
+            return {"loss": out["loss"], "lora_path": path,
+                    "file_id": register_file(path)}
+
+        return {"job_id": submit_job(run)}
+
     @router.post("/api/v1/audio/generate", "Stable-Audio text-to-audio")
     def stable_audio(_params, body):
         return _generate("stable_audio", body)

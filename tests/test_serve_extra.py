@@ -146,3 +146,39 @@ def test_rvc_resume_requires_dataset(router):
     code, resp = router.dispatch("POST", "/api/v1/rvc/resume",
                                  {"name": "never-trained"})
     assert code == 404
+
+
+def test_acestep_lora_train_endpoint(router, tmp_path):
+    """/api/v1/acestep/lora/train: async LoRA job over uploaded clips
+    (reference layouts/acestep.py LoRA train tab :1609)."""
+    import time
+
+    from audiolab_tpu.pipelines.acestep import random_acestep
+    from audiolab_tpu.serve import music_api
+
+    music_api.register_backend("acestep", random_acestep())
+    clip = _wav_b64(tmp_path, "train.wav", seconds=1.0, sr=8000)
+    code, resp = router.dispatch(
+        "POST", "/api/v1/acestep/lora/train",
+        {"clips": [{"content": clip["content"], "prompt": "synth",
+                    "lyrics": "[inst]"}],
+         "settings": {"steps": 2, "rank": 2}})
+    assert code == 200 and resp["job_id"]
+
+    deadline = time.time() + 120
+    info = None
+    while time.time() < deadline:
+        code, info = router.dispatch(
+            "GET", f"/api/v1/rvc/job/{resp['job_id']}", {})
+        assert code == 200
+        if info["status"] in ("done", "error"):
+            break
+        time.sleep(0.5)
+    assert info and info["status"] == "done", info
+    assert os.path.exists(info["result"]["lora_path"])
+    assert np.isfinite(info["result"]["loss"])
+
+    # no clips -> client error
+    code, _ = router.dispatch("POST", "/api/v1/acestep/lora/train",
+                              {"clips": []})
+    assert code >= 400
