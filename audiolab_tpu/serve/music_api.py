@@ -19,11 +19,15 @@ def _generate(name: str, body: dict) -> dict:
         raise NotImplementedError(
             f"generation backend {name!r} not loaded; available: {sorted(_BACKENDS)}"
         )
+    return _generate_with(_BACKENDS[name], body, name=name)
+
+
+def _generate_with(backend, body: dict, name: str = "gen") -> dict:
     prompt = body.get("prompt") or body.get("tags") or ""
     from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
 
     with INFERENCE_LOCK:
-        samples, sr = _BACKENDS[name].generate(prompt, **body.get("settings", {}))
+        samples, sr = backend.generate(prompt, **body.get("settings", {}))
     from audiolab_tpu.core.audio_io import write_wav
     from audiolab_tpu.serve.files import register_file
     import os, tempfile
@@ -52,7 +56,31 @@ def register(router) -> None:
 
     @router.post("/api/v1/acestep/lora/generate", "ACE-Step with LoRA adapter")
     def acestep_lora(_params, body):
-        return _generate("acestep", body)
+        """Merge a trained adapter (path or file_id from /lora/train) into
+        the DiT for this request (reference pipeline_ace_step.py:1408
+        load_lora), then generate."""
+        lp = body.get("lora_path")
+        fid = body.get("lora_file_id") or body.get("file_id")
+        if not lp and fid:
+            from audiolab_tpu.serve.files import get_file
+
+            lp = get_file(fid)
+        if not lp:
+            return _generate("acestep", body)  # no adapter -> base weights
+        be = _BACKENDS.get("acestep")
+        if be is None or not hasattr(be, "base_params"):
+            raise NotImplementedError("acestep backend not loaded")
+        import copy
+
+        from audiolab_tpu.train.acestep_lora import load_lora, lora_apply
+
+        alpha = float(body.get("settings", {}).get("lora_alpha", 1.0))
+        adapted = copy.copy(be)
+        merged = dict(be.base_params)
+        merged["dit"] = lora_apply(be.base_params["dit"], load_lora(lp),
+                                   alpha)
+        adapted.params = merged
+        return _generate_with(adapted, body)
 
     @router.post("/api/v1/acestep/task",
                  "ACE-Step retake/repaint/edit/extend on an input clip")

@@ -182,3 +182,10 @@ def test_acestep_lora_train_endpoint(router, tmp_path):
     code, _ = router.dispatch("POST", "/api/v1/acestep/lora/train",
                               {"clips": []})
     assert code >= 400
+
+    # the trained adapter actually merges into generation
+    code, gen = router.dispatch(
+        "POST", "/api/v1/acestep/lora/generate",
+        {"prompt": "synth", "lora_file_id": info["result"]["file_id"],
+         "settings": {"duration": 1.0}})
+    assert code == 200 and gen["audio"]
