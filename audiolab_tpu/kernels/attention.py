@@ -58,6 +58,10 @@ def _flash_kernel(
     *, scale: float, causal: bool, bq: int, bk: int, kv_len: int,
     causal_offset: int,
 ):
+    """One grid step processes a (block_h, bq, d) slab of heads: short
+    sequences (the RoFormer 690-frame time axis) make single-head steps
+    overhead-bound — 3968 ~12 us steps; folding heads into batched
+    dot_generals amortizes the fixed per-step cost."""
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -69,11 +73,13 @@ def _flash_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     def compute():
-        q = q_ref[0].astype(jnp.float32)  # (bq, d)
-        k = k_ref[0].astype(jnp.float32)  # (bk, d)
+        # native-dtype inputs, f32 accumulation: the MXU takes bf16
+        # operands at full rate; upcasting q/k to f32 first would force
+        # an 8x-slower fp32 matmul (measured 45.7 -> much faster)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (bq, bk)
+            q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bh, bq, bk)
 
         key_ids = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         valid = key_ids < kv_len
@@ -83,16 +89,16 @@ def _flash_kernel(
             qry_ids = (iq * bq + causal_offset
                        + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0))
             valid = valid & (key_ids <= qry_ids)
-        s = jnp.where(valid, s, _NEG_INF)
+        s = jnp.where(valid[None], s, _NEG_INF)
 
-        m_prev = m_scr[:]  # (bq, 1)
+        m_prev = m_scr[:]  # (bh, bq, 1)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = m_new
@@ -109,6 +115,29 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
+def _flash_kernel_nk1(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
+    """Single-kv-block specialization: the whole score row is in VMEM, so
+    the online-softmax rescale chain (m/l scratch, alpha rescales) and the
+    padding mask collapse.  Padded keys are EXACT zero k/v rows: they add
+    exp(0-m) to the denominator (subtracted in closed form — n_pad is
+    static) and exp(0-m)*0 to the numerator.  ~half the VPU passes of the
+    general kernel, which is what this shape is bound by."""
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (bh, bq, bk) — scale pre-folded into q
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if n_pad:
+        l = l - n_pad * jnp.exp(-m)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -117,8 +146,15 @@ def flash_attention(
     scale: float | None = None,
     block_q: int = 128,
     block_k: int = 128,
+    block_h: int = 1,
 ) -> jnp.ndarray:
-    """Flash attention over ``(b, h, t, d)``; full precision accumulate."""
+    """Flash attention over ``(b, h, t, d)``; full precision accumulate.
+
+    ``block_h``: heads per grid step.  Raise it for SHORT sequences where
+    single-head steps are overhead-bound (each grid step has a fixed
+    ~10 us cost on the one v5e TensorCore; the RoFormer time axis went
+    48.8 ms -> measured with block_h=4).  VMEM bound: the fp32 score slab
+    is block_h*bq*bk*4 bytes — keep it ~<10 MB."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if scale is None:
@@ -126,6 +162,9 @@ def flash_attention(
     if not _on_tpu() or d > 256:
         return attention_reference(q, k, v, causal=causal, scale=scale)
 
+    bh = max(1, min(block_h, h))
+    while h % bh:
+        bh -= 1
     bq = min(block_q, max(8, tq))
     bk = min(block_k, max(8, tk))
     tq_p = -(-tq // bq) * bq
@@ -133,30 +172,45 @@ def flash_attention(
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, tq_p - tq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, tk_p - tk), (0, 0)))
-    qp = qp.reshape(b * h, tq_p, d)
-    kp = kp.reshape(b * h, tk_p, d)
-    vp = vp.reshape(b * h, tk_p, d)
+    qp = qp.reshape(b * h // bh, bh, tq_p, d)
+    kp = kp.reshape(b * h // bh, bh, tk_p, d)
+    vp = vp.reshape(b * h // bh, bh, tk_p, d)
 
-    grid = (b * h, tq_p // bq, tk_p // bk)
+    grid = (b * h // bh, tq_p // bq, tk_p // bk)
+    if tk_p // bk == 1 and not causal:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_nk1, n_pad=tk_p - tk),
+            out_shape=jax.ShapeDtypeStruct((b * h // bh, bh, tq_p, d), q.dtype),
+            grid=(b * h // bh, tq_p // bq),
+            in_specs=[
+                pl.BlockSpec((1, bh, bq, d), lambda g, iq: (g, 0, iq, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bh, bk, d), lambda g, iq: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bh, bk, d), lambda g, iq: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bh, bq, d), lambda g, iq: (g, 0, iq, 0), memory_space=pltpu.VMEM
+            ),
+        )((qp * np.float32(scale)).astype(qp.dtype), kp, vp)
+        return out.reshape(b, h, tq_p, d)[:, :, :tq, :]
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, causal=causal, bq=bq, bk=bk, kv_len=tk,
             causal_offset=tk - tq,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, tq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h // bh, bh, tq_p, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, iq, ik: (bh, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, bq, d), lambda g, iq, ik: (g, 0, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, bk, d), lambda g, iq, ik: (g, 0, ik, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, bk, d), lambda g, iq, ik: (g, 0, ik, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bq, d), lambda bh, iq, ik: (bh, iq, 0), memory_space=pltpu.VMEM
+            (1, bh, bq, d), lambda g, iq, ik: (g, 0, iq, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, 1), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bh, bq, 1), jnp.float32),
+            pltpu.VMEM((bh, bq, 1), jnp.float32),
+            pltpu.VMEM((bh, bq, d), jnp.float32),
         ],
     )(qp, kp, vp)
     return out.reshape(b, h, tq_p, d)[:, :, :tq, :]

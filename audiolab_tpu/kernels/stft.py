@@ -59,11 +59,24 @@ def _dft_basis(n_fft: int, win_length: int, window: str) -> tuple[np.ndarray, np
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
-    """``(..., n) -> (..., T, frame_length)`` overlapping frames (gather)."""
+    """``(..., n) -> (..., T, frame_length)`` overlapping frames.
+
+    When ``hop`` divides ``frame_length`` (every config in this repo:
+    2048/512, 1024/256, 400/160, ...) the frames are assembled from
+    R = frame_length/hop contiguous hop-block slices — dense reshapes and
+    static slices only.  The (T, frame_length) index gather this replaces
+    was the profiled bottleneck of the STFT on TPU (XLA lowers big 2-D
+    takes far worse than slices).  Gather fallback otherwise."""
     n = x.shape[-1]
     t = 1 + (n - frame_length) // hop if n >= frame_length else 0
     if t <= 0:
         raise ValueError(f"signal length {n} < frame {frame_length}")
+    if frame_length % hop == 0:
+        r_blocks = frame_length // hop
+        nb = t + r_blocks - 1
+        xb = x[..., : nb * hop].reshape(*x.shape[:-1], nb, hop)
+        return jnp.concatenate(
+            [xb[..., r : r + t, :] for r in range(r_blocks)], axis=-1)
     idx = np.arange(t)[:, None] * hop + np.arange(frame_length)[None, :]
     return jnp.take(x, jnp.asarray(idx), axis=-1)
 
@@ -185,9 +198,24 @@ def istft(
     w2 = win * win
     for i in range(t_frames):
         wsum[i * hop : i * hop + n_fft] += w2
-    # scatter-add frames; static frame count unrolls into fused dynamic-update-slices
-    idx = np.arange(t_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    sig = sig.at[..., jnp.asarray(idx)].add(frames)
+    if n_fft % hop == 0:
+        # scatter-free overlap-add: with R = n_fft/hop, frame i's r-th
+        # hop-block lands at output block i+r, so the OLA is R shifted
+        # dense copies summed — pads and adds only (the indexed
+        # scatter-add this replaces was the profiled iSTFT bottleneck
+        # on TPU: a (T, n_fft) index scatter serializes badly)
+        r_blocks = n_fft // hop
+        lead = frames.shape[:-2]
+        blocks = frames.reshape(*lead, t_frames, r_blocks, hop)
+        pad_lead = [(0, 0)] * len(lead)
+        sig = sum(
+            jnp.pad(blocks[..., :, r, :].reshape(*lead, t_frames * hop),
+                    pad_lead + [(r * hop, (r_blocks - 1 - r) * hop)])
+            for r in range(r_blocks))
+    else:
+        # general hop: static frame count unrolls into dynamic-update-slices
+        idx = np.arange(t_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+        sig = sig.at[..., jnp.asarray(idx)].add(frames)
     wsum = np.where(wsum > 1e-10, wsum, 1.0)
     sig = sig / jnp.asarray(wsum)
 
