@@ -279,3 +279,26 @@ def test_bigvgan_shapes():
     params2 = model.init(jax.random.PRNGKey(1), mel, g)["params"]
     y2 = model.apply({"params": params2}, mel, g)
     assert y2.shape == y.shape
+
+
+def test_flash_attention_tpu_paths(rng):
+    """TPU-only gate for the two Pallas specializations: block_h head
+    batching (general online-softmax kernel) and the single-kv-block nk1
+    fast path with its closed-form padding correction.  Both must match
+    the XLA reference at bf16 tolerance (measured max|err| 1.17e-2 at the
+    RoFormer shape; layout/padding bugs would be O(1))."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("Pallas paths lower only on TPU")
+    q = jnp.asarray(rng.standard_normal((4, 4, 90, 64)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((4, 4, 90, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((4, 4, 90, 64)), jnp.bfloat16)
+    ref = np.asarray(attention_reference(q, k, v).astype(jnp.float32))
+    # nk1 path (single kv block, padded 90 -> 128), heads batched
+    for bh in (1, 2, 4):
+        out = flash_attention(q, k, v, block_q=128, block_k=128, block_h=bh)
+        np.testing.assert_allclose(
+            np.asarray(out.astype(jnp.float32)), ref, atol=3e-2)
+    # general online-softmax path (2 kv blocks), heads batched
+    out = flash_attention(q, k, v, block_q=128, block_k=64, block_h=2)
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)), ref, atol=3e-2)
