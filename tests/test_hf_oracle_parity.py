@@ -215,3 +215,70 @@ def test_whisper_vs_transformers():
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_mamba2_mixer_vs_transformers():
+    """Zonos hybrid-backbone Mamba2 mixer (models/zonos.py Mamba2Block —
+    the TPU associative-scan replacement for the mamba_ssm CUDA kernels,
+    modules/zonos/backbone.py:4-6) vs the INSTALLED transformers
+    Mamba2Mixer: one layer, same weights, fp64 teacher-forced parity.
+    transformers' layout IS the mamba_ssm/Zonos checkpoint layout
+    (in_proj fused [z|xBC|dt], depthwise conv over (x,B,C), per-head
+    A_log/D/dt_bias, gated RMSNorm), so this independently validates
+    both the block structure and the selective-scan kernel."""
+    from dataclasses import replace as dc_replace
+
+    from transformers import Mamba2Config
+    from transformers.models.mamba2.modeling_mamba2 import Mamba2Mixer
+
+    from audiolab_tpu.models.zonos import Mamba2Block, ZonosConfig
+
+    torch.manual_seed(730)
+    hf_cfg = Mamba2Config(
+        hidden_size=32, state_size=16, head_dim=8, expand=2,
+        conv_kernel=4, n_groups=1, chunk_size=8, num_heads=8,
+        use_conv_bias=True, time_step_limit=(0.0, float("inf")))
+    mixer = Mamba2Mixer(hf_cfg, layer_idx=0).double().eval()
+    with torch.no_grad():
+        for p in mixer.parameters():
+            p.copy_(p.float().double())
+
+    cfg = ZonosConfig(dim=32, d_state=16, d_conv=4, expand=2,
+                      headdim=8, mixer="mamba2")
+    block = Mamba2Block(cfg)
+
+    sd = {k: v.detach().numpy() for k, v in mixer.state_dict().items()}
+    params = {
+        "in_proj": {"kernel": sd["in_proj.weight"].T},
+        "conv_w": sd["conv1d.weight"][:, 0, :].T,   # (dim,1,k) -> (k, dim)
+        "conv_b": sd["conv1d.bias"],
+        "dt_bias": sd["dt_bias"],
+        "a_log": sd["A_log"],
+        "d_skip": sd["D"],
+        "norm_w": sd["norm.weight"],
+        "out_proj": {"kernel": sd["out_proj.weight"].T},
+    }
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = np.random.default_rng(731).standard_normal((2, 16, 32)) * 0.5
+        with torch.no_grad():
+            ref = mixer(torch.from_numpy(x)).numpy()
+        params64 = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), params)
+        out = block.apply({"params": params64}, jnp.asarray(x))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+        # the single-token decode step must agree with the full scan
+        state = block.apply({"params": params64}, 2,
+                            method=Mamba2Block.init_state)
+        outs = []
+        for t in range(x.shape[1]):
+            y, state = block.apply({"params": params64},
+                                   jnp.asarray(x[:, t]), state,
+                                   method=Mamba2Block.step)
+            outs.append(np.asarray(y))
+        np.testing.assert_allclose(np.stack(outs, 1), ref, atol=1e-5)
+    finally:
+        jax.config.update("jax_enable_x64", False)
