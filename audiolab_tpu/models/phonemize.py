@@ -7,8 +7,13 @@ to espeak's output distribution than raw characters, and the conditioner
 interface is unchanged (ids < 256).  Swap in espeak via ctypes when the
 library is present.
 
-Not a linguistics-grade G2P: rules cover the high-frequency digraphs,
-magic-e, and common suffixes; unknown sequences fall back to letter sounds.
+Three tiers, mirroring how espeak resolves a word (dictionary, then
+letter-to-sound rules): (1) an exceptions lexicon with the highest-frequency
+irregular English words — function words alone cover roughly half of running
+text; (2) voicing-aware suffix handling (-ed -> D/T/IH D, -s/-es ->
+Z/S/IH Z, -tion/-ture/-ous/...); (3) ordered letter-to-sound rules with
+magic-e, soft c/g, silent letters and doubled-consonant collapse.  Falls
+back to letter sounds for anything else.
 """
 
 from __future__ import annotations
@@ -26,19 +31,100 @@ PHONEMES = [
 ]
 PHONE_ID = {p: i + 1 for i, p in enumerate(PHONEMES)}  # 0 = pad
 
+# exceptions lexicon: highest-frequency irregular words (CMUdict-style
+# ARPAbet, stress dropped).  espeak resolves these from its dictionary
+# before its letter-to-sound rules; the top ~150 function/irregular words
+# cover ~half of running English text.
+_LEXICON: dict[str, list[str]] = {w: p.split() for w, p in {
+    "the": "DH AH", "of": "AH V", "to": "T UW", "a": "AH", "and": "AE N D",
+    "is": "IH Z", "was": "W AH Z", "are": "AA R", "were": "W ER",
+    "be": "B IY", "been": "B IH N", "as": "AE Z", "his": "HH IH Z",
+    "has": "HH AE Z", "have": "HH AE V", "had": "HH AE D",
+    "he": "HH IY", "she": "SH IY", "we": "W IY", "me": "M IY",
+    "they": "DH EY", "them": "DH EH M", "their": "DH EH R",
+    "there": "DH EH R", "these": "DH IY Z", "those": "DH OW Z",
+    "this": "DH IH S", "that": "DH AE T", "then": "DH EH N",
+    "than": "DH AE N", "thus": "DH AH S", "though": "DH OW",
+    "through": "TH R UW", "thought": "TH AO T", "three": "TH R IY",
+    "with": "W IH DH", "what": "W AH T", "who": "HH UW",
+    "whom": "HH UW M", "whose": "HH UW Z", "why": "W AY",
+    "where": "W EH R", "when": "W EH N", "which": "W IH CH",
+    "one": "W AH N", "once": "W AH N S", "two": "T UW", "four": "F AO R",
+    "eight": "EY T", "do": "D UW", "does": "D AH Z", "done": "D AH N",
+    "don't": "D OW N T", "been": "B IH N", "said": "S EH D",
+    "says": "S EH Z", "would": "W UH D", "could": "K UH D",
+    "should": "SH UH D", "you": "Y UW", "your": "Y AO R", "i": "AY",
+    "my": "M AY", "by": "B AY", "any": "EH N IY", "many": "M EH N IY",
+    "some": "S AH M", "come": "K AH M", "son": "S AH N",
+    "from": "F R AH M", "front": "F R AH N T", "month": "M AH N TH",
+    "other": "AH DH ER", "mother": "M AH DH ER", "brother": "B R AH DH ER",
+    "father": "F AA DH ER", "another": "AH N AH DH ER",
+    "love": "L AH V", "above": "AH B AH V", "give": "G IH V",
+    "live": "L IH V", "gone": "G AO N", "only": "OW N L IY",
+    "people": "P IY P AH L", "water": "W AO T ER", "again": "AH G EH N",
+    "against": "AH G EH N S T", "great": "G R EY T", "break": "B R EY K",
+    "pretty": "P R IH T IY", "busy": "B IH Z IY", "very": "V EH R IY",
+    "every": "EH V R IY", "eye": "AY", "eyes": "AY Z",
+    "woman": "W UH M AH N", "women": "W IH M AH N", "world": "W ER L D",
+    "word": "W ER D", "work": "W ER K", "worse": "W ER S",
+    "hour": "AW ER", "honest": "AA N AH S T", "honor": "AA N ER",
+    "heart": "HH AA R T", "iron": "AY ER N", "island": "AY L AH N D",
+    "enough": "IH N AH F", "rough": "R AH F", "tough": "T AH F",
+    "laugh": "L AE F", "cough": "K AO F", "because": "B IH K AO Z",
+    "want": "W AA N T", "watch": "W AA CH", "was": "W AH Z",
+    "put": "P UH T", "push": "P UH SH", "pull": "P UH L",
+    "full": "F UH L", "sure": "SH UH R", "sugar": "SH UH G ER",
+    "move": "M UW V", "prove": "P R UW V", "lose": "L UW Z",
+    "whole": "HH OW L", "own": "OW N", "most": "M OW S T",
+    "both": "B OW TH", "old": "OW L D", "cold": "K OW L D",
+    "find": "F AY N D", "kind": "K AY N D", "mind": "M AY N D",
+    "wild": "W AY L D", "child": "CH AY L D", "climb": "K L AY M",
+    "comb": "K OW M", "lamb": "L AE M", "thumb": "TH AH M",
+    "debt": "D EH T", "doubt": "D AW T", "listen": "L IH S AH N",
+    "often": "AO F AH N", "castle": "K AE S AH L",
+    "answer": "AE N S ER", "sword": "S AO R D", "two": "T UW",
+    "friend": "F R EH N D", "earth": "ER TH", "early": "ER L IY",
+    "learn": "L ER N", "heard": "HH ER D", "year": "Y IH R",
+    "here": "HH IH R", "there": "DH EH R", "they're": "DH EH R",
+    "you're": "Y UH R", "it's": "IH T S", "its": "IH T S",
+    "music": "M Y UW Z IH K", "use": "Y UW Z", "used": "Y UW Z D",
+    "usual": "Y UW ZH UW AH L", "human": "HH Y UW M AH N",
+    "beautiful": "B Y UW T AH F AH L", "future": "F Y UW CH ER",
+    "new": "N UW", "few": "F Y UW", "view": "V Y UW",
+    "voice": "V OY S", "noise": "N OY Z", "good": "G UH D",
+    "book": "B UH K", "look": "L UH K", "took": "T UH K",
+    "foot": "F UH T", "stood": "S T UH D", "blood": "B L AH D",
+    "flood": "F L AH D", "door": "D AO R", "floor": "F L AO R",
+    "idea": "AY D IY AH", "area": "EH R IY AH", "real": "R IY L",
+    "really": "R IH L IY", "being": "B IY IH NG", "busy": "B IH Z IY",
+    "minute": "M IH N AH T", "says": "S EH Z", "ocean": "OW SH AH N",
+    "machine": "M AH SH IY N", "special": "S P EH SH AH L",
+    "social": "S OW SH AH L", "sun": "S AH N", "son": "S AH N",
+}.items()}
+
 # ordered digraph/trigraph rules (longest first)
 _RULES = [
-    ("tch", ["CH"]), ("igh", ["AY"]), ("eigh", ["EY"]), ("ough", ["AO"]),
+    ("tch", ["CH"]), ("eigh", ["EY"]), ("igh", ["AY"]), ("ough", ["AO"]),
+    ("augh", ["AO"]), ("dge", ["JH"]),
     ("tion", ["SH", "AH", "N"]), ("sion", ["ZH", "AH", "N"]),
+    ("cious", ["SH", "AH", "S"]), ("tious", ["SH", "AH", "S"]),
+    ("ture", ["CH", "ER"]), ("sure", ["ZH", "ER"]),
     ("ing", ["IH", "NG"]), ("qu", ["K", "W"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("wh", ["W"]), ("ck", ["K"]), ("ng", ["NG"]), ("kn", ["N"]),
-    ("wr", ["R"]), ("oo", ["UW"]), ("ee", ["IY"]), ("ea", ["IY"]),
+    ("wr", ["R"]), ("gn", ["N"]), ("mb", ["M"]),
+    ("oo", ["UW"]), ("ee", ["IY"]), ("ea", ["IY"]),
     ("ai", ["EY"]), ("ay", ["EY"]), ("oa", ["OW"]), ("ow", ["OW"]),
     ("ou", ["AW"]), ("oi", ["OY"]), ("oy", ["OY"]), ("au", ["AO"]),
-    ("aw", ["AO"]), ("ar", ["AA", "R"]), ("er", ["ER"]), ("ir", ["ER"]),
-    ("ur", ["ER"]), ("or", ["AO", "R"]),
+    ("aw", ["AO"]), ("ew", ["UW"]), ("ue", ["UW"]), ("ui", ["UW"]),
+    ("ie", ["IY"]), ("ei", ["IY"]),
+    ("ar", ["AA", "R"]), ("er", ["ER"]), ("ir", ["ER"]),
+    ("ur", ["ER"]), ("or", ["AO", "R"]), ("ore", ["AO", "R"]),
+    ("air", ["EH", "R"]), ("ear", ["IH", "R"]),
 ]
+
+_VOICELESS = {"P", "T", "K", "F", "TH", "S", "SH", "CH", "HH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
 
 _LETTER = {
     "a": ["AE"], "b": ["B"], "c": ["K"], "d": ["D"], "e": ["EH"],
@@ -65,10 +151,29 @@ def normalize_text(text: str) -> str:
     return " ".join(text.split())
 
 
-def word_to_phonemes(word: str) -> list[str]:
-    word = word.strip("'-")
-    if not word:
-        return []
+def _letter_to_sound(word: str) -> list[str]:
+    """Tier-3 ordered letter-to-sound pass over one (suffix-stripped) word."""
+    # derivational endings that the magic-e rule would otherwise mangle
+    if len(word) > 4 and word.endswith(("ture", "sure")):
+        stem = _letter_to_sound(word[:-4])
+        # open-syllable stem vowel goes long ("na|ture" -> N EY CH ER)
+        if (stem and word[-5] in _LONG_VOWEL
+                and stem[-1] == _LETTER[word[-5]][0]):
+            stem[-1] = _LONG_VOWEL[word[-5]]
+        return stem + (["CH", "ER"] if word.endswith("ture")
+                       else ["ZH", "ER"])
+    if len(word) > 3 and word.endswith("le") and word[-3] not in "aeiouy":
+        # syllabic -le: single consonant = open syllable, long vowel
+        # ("ta|ble", "ti|tle"); doubled consonant keeps it short ("little")
+        stem_w = word[:-2]
+        stem = _letter_to_sound(stem_w)
+        if (len(stem_w) >= 2 and stem_w[-1] != stem_w[-2]
+                and stem_w[-2] in _LONG_VOWEL and len(stem) >= 2
+                and stem[-2] == _LETTER[stem_w[-2]][0]):
+            stem[-2] = _LONG_VOWEL[stem_w[-2]]
+        return stem + ["AH", "L"]
+    # collapse doubled consonants (letter -> one sound: "little", "happy")
+    word = re.sub(r"([bcdfgklmnprstvz])\1", r"\1", word)
     # magic-e: drop final silent e, lengthen the preceding vowel
     long_vowel_at = None
     if (len(word) >= 3 and word.endswith("e") and word[-2] not in "aeiou"
@@ -93,10 +198,52 @@ def word_to_phonemes(word: str) -> list[str]:
                 out.append("S")          # soft c
             elif ch == "g" and i + 1 < len(word) and word[i + 1] in "eiy":
                 out.append("JH")         # soft g
+            elif (ch == "s" and 0 < i < len(word) - 1
+                  and word[i - 1] in "aeiou" and word[i + 1] in "aeiou"):
+                out.append("Z")          # intervocalic s ("music", "rose")
+            elif ch == "y" and i == len(word) - 1 and len(word) > 1:
+                out.append("IY")         # final y ("happy")
+            elif ch == "y" and 0 < i:
+                out.append("IH")         # medial y as vowel ("system")
             else:
                 out.extend(_LETTER.get(ch, []))
             i += 1
     return out
+
+
+def word_to_phonemes(word: str) -> list[str]:
+    word = word.strip("'-")
+    if not word:
+        return []
+    if word in _LEXICON:
+        return list(_LEXICON[word])
+
+    # voicing-aware inflection suffixes (espeak resolves the stem first):
+    # -ed -> IH D after t/d, T after voiceless, D after voiced
+    # -s/-es -> IH Z after sibilants, S after voiceless, Z after voiced
+    if word.endswith("ed") and len(word) > 3:
+        stem_w = word[:-2]
+        # "loved"/"hoped": the stem keeps its silent e ("love" + d)
+        if stem_w[-1] not in "aeiouy" and len(stem_w) >= 2 \
+                and stem_w[-2] in "aeiou":
+            stem = word_to_phonemes(stem_w + "e")
+        else:
+            stem = word_to_phonemes(stem_w)
+        if stem:
+            if stem[-1] in ("T", "D"):
+                return stem + ["IH", "D"]
+            return stem + (["T"] if stem[-1] in _VOICELESS else ["D"])
+    if word.endswith("s") and not word.endswith("ss") and len(word) > 2:
+        # "-es" belongs to the suffix only after sibilant stems
+        # ("boxes", "churches"); otherwise strip the bare "s" ("notes")
+        es = (word.endswith("es") and len(word) > 3
+              and word[-3] in "sxzh")
+        stem = word_to_phonemes(word[:-2] if es else word[:-1])
+        if stem:
+            if stem[-1] in _SIBILANT:
+                return stem + ["IH", "Z"]
+            return stem + (["S"] if stem[-1] in _VOICELESS else ["Z"])
+    return _letter_to_sound(word)
 
 
 def phonemize(text: str) -> list[str]:

@@ -35,3 +35,31 @@ def test_phonemize_ids_bounds():
     assert ids.dtype == np.int32
     assert ids.min() >= 1 and ids.max() <= len(PHONE_ID)
     assert len(ids) > 10
+
+
+def test_g2p_pronunciations():
+    """Three-tier G2P gate (espeak stand-in quality): lexicon irregulars,
+    voicing-aware inflections, and letter-to-sound syllable rules must
+    produce CMUdict-class (stress-less ARPAbet) pronunciations."""
+    from audiolab_tpu.models.phonemize import word_to_phonemes
+
+    cases = {
+        # tier 1: irregular lexicon (function words ~half of running text)
+        "the": "DH AH", "one": "W AH N", "through": "TH R UW",
+        "women": "W IH M AH N", "enough": "IH N AH F",
+        # tier 2: voicing-aware -ed / -s / -es
+        "loved": "L AH V D", "hoped": "HH OW P T",
+        "wanted": "W AA N T IH D", "notes": "N OW T S",
+        "dogs": "D AA G Z", "cats": "K AE T S",
+        "boxes": "B AA K S IH Z", "churches": "CH ER CH IH Z",
+        # tier 3: letter-to-sound (magic-e, -le open/closed, -ture,
+        # soft c/g, intervocalic s, doubled consonants)
+        "happy": "HH AE P IY", "little": "L IH T AH L",
+        "table": "T EY B AH L", "title": "T AY T AH L",
+        "music": "M Y UW Z IH K", "nature": "N EY CH ER",
+        "measure": "M IY ZH ER", "city": "S IH T IY",
+    }
+    misses = {w: " ".join(word_to_phonemes(w))
+              for w, want in cases.items()
+              if " ".join(word_to_phonemes(w)) != want}
+    assert not misses, misses
