@@ -63,7 +63,8 @@ def bench_attention(dev) -> dict:
         for _ in range(3))
     t_flash = timeit(lambda a, b, c: flash_attention(a, b, c,
                                                      block_q=768,
-                                                     block_k=768), q, k, v)
+                                                     block_k=768,
+                                                     block_h=2), q, k, v)
     t_xla = timeit(attention_reference, q, k, v)
     log(f"[micro] flash {t_flash * 1e3:.1f} ms vs xla {t_xla * 1e3:.1f} ms "
         f"({t_xla / t_flash:.2f}x) @ {shape}")
