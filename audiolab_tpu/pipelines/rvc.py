@@ -312,4 +312,57 @@ class VoiceConverter:
         peak = float(jnp.abs(y).max())
         if peak > 0.99:
             y = y * (0.99 / peak)
-        return np.asarray(y, dtype=np.float32)
+        result = np.asarray(y, dtype=np.float32)
+        self._debug_dump(x, result)
+        return result
+
+    def _debug_dump(self, x16, out) -> None:
+        """Env-gated intermediate-audio dump (reference debug_clone_audio,
+        pipeline.py:78-104: SAVE_DEBUG_AUDIO writes each step's audio).
+        Set AUDIOLAB_SAVE_DEBUG_AUDIO=<dir> to capture the high-passed
+        16 kHz input and the converted output of every call."""
+        import os
+
+        dbg = os.environ.get("AUDIOLAB_SAVE_DEBUG_AUDIO")
+        if not dbg:
+            return
+        import time as _time
+
+        from audiolab_tpu.core.audio_io import write_wav
+
+        os.makedirs(dbg, exist_ok=True)
+        tag = f"{int(_time.time() * 1000) % 10**9:09d}"
+        write_wav(os.path.join(dbg, f"{tag}_input16k_hp.wav"),
+                  np.asarray(x16, np.float32), 16000)
+        write_wav(os.path.join(dbg, f"{tag}_converted.wav"),
+                  np.asarray(out, np.float32), self.synth_cfg.sr)
+
+    def sweep_convert(
+        self,
+        audio16k: np.ndarray,
+        out_dir: str,
+        sid: int = 0,
+        index_rates=(0.0, 0.5, 0.75),
+        protects=(0.2, 0.33, 0.5),
+        transposes=(0,),
+        name: str = "sweep",
+    ) -> list[str]:
+        """Parameter-sweep listening harness (reference test_clone,
+        pipeline.py:659-795: one output file per parameter combination).
+        Returns the written paths; filenames encode the combination."""
+        import itertools
+        import os
+
+        from audiolab_tpu.core.audio_io import write_wav
+
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for ir, pr, tr in itertools.product(index_rates, protects,
+                                            transposes):
+            y = self.convert(audio16k, sid=sid, transpose=tr,
+                             index_rate=ir, protect=pr)
+            p = os.path.join(
+                out_dir, f"{name}_ir{ir:g}_pr{pr:g}_tr{tr:+d}.wav")
+            write_wav(p, y, self.synth_cfg.sr)
+            paths.append(p)
+        return paths

@@ -108,3 +108,27 @@ def test_convert_with_rmvpe_f0(converter):
     x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
     y = conv.convert(x, sid=0, transpose=2, index_rate=0.0)
     assert np.isfinite(y).all() and len(y) > 0
+
+
+def test_debug_dump_and_sweep(converter, tmp_path, monkeypatch):
+    """Reference debug mechanisms: SAVE_DEBUG_AUDIO-style intermediate dump
+    (pipeline.py:78-104) and the test_clone parameter sweep harness
+    (pipeline.py:659-795)."""
+    import os
+
+    vc = converter
+    sr = 16000
+    x = (0.3 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+
+    dbg = tmp_path / "dbg"
+    monkeypatch.setenv("AUDIOLAB_SAVE_DEBUG_AUDIO", str(dbg))
+    vc.convert(x, sid=0)
+    wavs = sorted(os.listdir(dbg))
+    assert any("input16k_hp" in w for w in wavs)
+    assert any("converted" in w for w in wavs)
+
+    monkeypatch.delenv("AUDIOLAB_SAVE_DEBUG_AUDIO")
+    paths = vc.sweep_convert(x, str(tmp_path / "sweep"),
+                             index_rates=(0.0,), protects=(0.2, 0.5))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+    assert "pr0.2" in paths[0] and "pr0.5" in paths[1]
