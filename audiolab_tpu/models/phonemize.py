@@ -235,9 +235,10 @@ def word_to_phonemes(word: str) -> list[str]:
             return stem + (["T"] if stem[-1] in _VOICELESS else ["D"])
     if word.endswith("s") and not word.endswith("ss") and len(word) > 2:
         # "-es" belongs to the suffix only after sibilant stems
-        # ("boxes", "churches"); otherwise strip the bare "s" ("notes")
+        # ("boxes", "churches"); otherwise strip the bare "s" ("notes").
+        # A bare-s stem that's a known lexicon word wins ("uses" -> "use")
         es = (word.endswith("es") and len(word) > 3
-              and word[-3] in "sxzh")
+              and word[-3] in "sxzh" and word[:-1] not in _LEXICON)
         stem = word_to_phonemes(word[:-2] if es else word[:-1])
         if stem:
             if stem[-1] in _SIBILANT:
