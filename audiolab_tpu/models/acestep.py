@@ -19,6 +19,7 @@ A/B factors) — no module surgery."""
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -193,22 +194,51 @@ class ACEStepModel(nn.Module):
 
 # ------------------------------------------------------------------ APG guidance
 
-def apg(cond: jnp.ndarray, uncond: jnp.ndarray, x: jnp.ndarray,
-        scale: float, momentum: jnp.ndarray, beta: float = -0.75,
-        eta: float = 0.0, norm_threshold: float = 2.5):
-    """Adaptive projected guidance (apg_guidance.py semantics): the CFG
-    delta is momentum-filtered, norm-clipped, and split into components
-    parallel/orthogonal to x; only ``eta`` of the parallel part is kept."""
+def apg(cond: jnp.ndarray, uncond: jnp.ndarray, scale: float,
+        momentum: jnp.ndarray, beta: float = -0.75,
+        eta: float = 0.0, norm_threshold: float = 2.5,
+        channels: int | None = None):
+    """Adaptive projected guidance (apg_guidance.py:33-57 apg_forward):
+    the CFG delta is momentum-filtered (MomentumBuffer, beta=-0.75),
+    norm-clipped at ``norm_threshold``, and split into components
+    parallel/orthogonal to **pred_cond** (project() with v1=pred_cond);
+    only ``eta`` of the parallel part survives.
+
+    ``channels``: the checkpoint latents are torch (b, c, h, t) with
+    norm/projection dims=[-1, -2] (per-(b, c) over (h, t)).  Our sampler
+    layout is (b, t, c*h); passing ``channels=c`` reproduces the
+    per-channel reduction exactly.  ``None`` reduces over everything but
+    batch (the in-repo speed model's convention)."""
     diff = cond - uncond
     momentum = beta * momentum + diff          # negative-momentum filter
-    d = momentum
-    norm = jnp.linalg.norm(d.reshape(d.shape[0], -1), axis=-1)[:, None, None]
-    d = d * jnp.minimum(1.0, norm_threshold / (norm + 1e-8))
-    xn = x / (jnp.linalg.norm(x.reshape(x.shape[0], -1), axis=-1)[:, None, None] + 1e-8)
-    parallel = jnp.sum(d * xn, axis=(1, 2), keepdims=True) * xn
-    orthogonal = d - parallel
-    guided = cond + (scale - 1.0) * (orthogonal + eta * parallel)
-    return guided, momentum
+    if channels is not None:
+        b, t, f = diff.shape
+        dr = momentum.reshape(b, t, channels, f // channels)
+        cr = cond.reshape(b, t, channels, f // channels)
+        red = (1, 3)                           # == torch dims (-1, -2)
+    else:
+        dr, cr = momentum[..., None], cond[..., None]
+        red = (1, 2)
+    norm = jnp.sqrt(jnp.sum(dr * dr, axis=red, keepdims=True))
+    dr = dr * jnp.minimum(1.0, norm_threshold / (norm + 1e-15))
+    cn = cr / (jnp.sqrt(jnp.sum(cr * cr, axis=red, keepdims=True)) + 1e-12)
+    parallel = jnp.sum(dr * cn, axis=red, keepdims=True) * cn
+    orthogonal = dr - parallel
+    upd = (orthogonal + eta * parallel).reshape(cond.shape)
+    return cond + (scale - 1.0) * upd, momentum
+
+
+def acestep_sigmas(steps: int, shift: float = 3.0,
+                   num_train_timesteps: int = 1000) -> jnp.ndarray:
+    """The checkpoint sampler's sigma schedule
+    (schedulers/scheduling_flow_match_euler_discrete.py:198-217 with
+    shift=3.0 as built by pipeline_ace_step.py:870-885): base sigmas
+    linspace(1, 1/1000, steps), time-shifted s' = shift*s/(1+(shift-1)s),
+    with a final 0 appended.  The DiT consumes sigma*1000 as its
+    timestep."""
+    base = jnp.linspace(1.0, 1.0 / num_train_timesteps, steps)
+    shifted = shift * base / (1.0 + (shift - 1.0) * base)
+    return jnp.concatenate([shifted, jnp.zeros((1,))])
 
 
 # ------------------------------------------------------------------ sampling (flow matching)
@@ -228,6 +258,15 @@ def fm_sample(
     repaint_mask: jnp.ndarray | None = None,   # (b, t, 1): 1 = regenerate
     z_ref: jnp.ndarray | None = None,          # kept where mask==0
     velocity2_fn=None,   # optional (z2, t2) -> v2 override (2b doubled batch)
+    sigmas: jnp.ndarray | None = None,    # explicit (steps+1,) schedule
+    timestep_scale: float = 1.0,          # DiT timestep = sigma * this
+    omega_scale: float | None = None,     # scheduler omega (mean-shift step)
+    guidance_interval: float = 1.0,
+    guidance_interval_decay: float = 0.0,
+    min_guidance_scale: float = 3.0,
+    velocity_cond_fn=None,     # (z, t_b) -> v, single batch (ERG split)
+    velocity_uncond_fn=None,
+    apg_channels: int | None = None,
 ) -> jnp.ndarray:
     """Flow-matching ODE solve z_1 (noise) -> z_0 (data), CFG double batch.
 
@@ -237,19 +276,59 @@ def fm_sample(
     ``velocity2_fn`` lets another backbone (e.g. the checkpoint-faithful
     models/acestep_dit.ACEStepDiT via pipelines.acestep.CheckpointACEStep)
     reuse this scan; ``model``/``params``/``context2`` then only size the
-    batch (pass z_init explicitly)."""
+    batch (pass z_init explicitly).
+
+    Checkpoint-sampler semantics (pipeline_ace_step.py text2music loop):
+
+    - ``sigmas`` — pass :func:`acestep_sigmas` for the shift-3 schedule;
+      ``timestep_scale=1000`` feeds the DiT sigma*1000 as upstream does.
+    - ``omega_scale`` — the custom FlowMatchEulerDiscreteScheduler.step
+      ``omega`` (:290-336): dx = (sigma_next-sigma)*v is mean-shifted,
+      (dx - mean)*logistic(omega) + mean, logistic L=0.9 U=1.1 k=0.1.
+    - ``guidance_interval`` — CFG only on the middle fraction of steps
+      (:1065-1066 start/end idx); outside, the conditional velocity alone
+      drives the step and the APG momentum buffer is NOT updated.
+    - ``guidance_interval_decay``/``min_guidance_scale`` — linear decay of
+      the scale across the interval (:1200-1211).
+    - ``velocity_cond_fn``/``velocity_uncond_fn`` — separate forwards when
+      cond and uncond need different module behavior (ERG temperature
+      guidance); overrides the doubled-batch path.
+    """
     b = context2.shape[0] // 2
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     if z_init is not None:
         z = z_init
     else:
         z = jax.random.normal(rng, (b, t_latent, model.cfg.dcae.latent_dim))
-    ts = jnp.linspace(t_start, 0.0, steps + 1)
+    if sigmas is not None:
+        ts = jnp.asarray(sigmas)
+        steps = int(ts.shape[0]) - 1
+    else:
+        ts = jnp.linspace(t_start, 0.0, steps + 1)
     momentum0 = jnp.zeros_like(z)
 
-    def vel(z, t):
+    # guidance interval (pipeline_ace_step.py:1065-1066)
+    if guidance_interval < 1.0:
+        start_idx = int(steps * ((1.0 - guidance_interval) / 2.0))
+        end_idx = int(steps * (guidance_interval / 2.0 + 0.5))
+    else:
+        start_idx, end_idx = 0, steps
+
+    scales = np.full(steps, guidance_scale, np.float32)
+    if guidance_interval_decay > 0 and end_idx - start_idx > 1:
+        for i in range(start_idx, end_idx):
+            progress = (i - start_idx) / (end_idx - start_idx - 1)
+            scales[i] = guidance_scale - (
+                guidance_scale - min_guidance_scale
+            ) * progress * guidance_interval_decay
+    scales = jnp.asarray(scales)
+
+    def vel_both(z, t):
+        if velocity_cond_fn is not None:
+            tb = jnp.full((b,), t * timestep_scale)
+            return velocity_cond_fn(z, tb), velocity_uncond_fn(z, tb)
         z2 = jnp.concatenate([z, z], axis=0)
-        tb = jnp.full((2 * b,), t)
+        tb = jnp.full((2 * b,), t * timestep_scale)
         if velocity2_fn is not None:
             v = velocity2_fn(z2, tb)
         else:
@@ -257,41 +336,71 @@ def fm_sample(
                             method=ACEStepModel.velocity)
         return jnp.split(v, 2, axis=0)
 
-    def guide(vc, vu, z, mom):
+    def vel_cond(z, t):
+        if velocity_cond_fn is not None:
+            return velocity_cond_fn(z, jnp.full((b,), t * timestep_scale))
+        return vel_both(z, t)[0]
+
+    def guide(vc, vu, mom, scale):
         if use_apg:
-            return apg(vc, vu, z, guidance_scale, mom)
-        return vu + guidance_scale * (vc - vu), mom
+            return apg(vc, vu, scale, mom, channels=apg_channels)
+        return vu + scale * (vc - vu), mom
 
-    def body(carry, i):
-        z, mom, rng = carry
-        t_cur, t_next = ts[i], ts[i + 1]
-        dt = t_next - t_cur
-        vc, vu = vel(z, t_cur)
-        v, mom = guide(vc, vu, z, mom)
-        if scheduler == "heun":
-            z_e = z + dt * v
-            vc2, vu2 = vel(z_e, t_next)
-            v2, mom = guide(vc2, vu2, z_e, mom)
-            z = z + dt * 0.5 * (v + v2)
-        elif scheduler == "pingpong":
-            # stochastic: step to the x0 estimate, then re-noise to t_next
-            x0 = z - t_cur * v
-            rng, k = jax.random.split(rng)
-            eps = jax.random.normal(k, z.shape)
-            z = (1.0 - t_next) * x0 + t_next * eps
-        else:  # euler
-            z = z + dt * v
-        if repaint_mask is not None and z_ref is not None:
-            # keep reference content outside the repaint region at its
-            # matching noise level
-            rng, k = jax.random.split(rng)
-            eps = jax.random.normal(k, z.shape)
-            z_keep = (1.0 - t_next) * z_ref + t_next * eps
-            z = repaint_mask * z + (1.0 - repaint_mask) * z_keep
-        return (z, mom, rng), None
+    if omega_scale is not None:
+        # logistic_function(omega, L=0.9, U=1.1, x_0=0, k=0.1)
+        omega = 0.9 + 0.2 / (1.0 + math.exp(-0.1 * omega_scale))
 
-    (z, _, _), _ = jax.lax.scan(body, (z, momentum0, rng), jnp.arange(steps))
-    return z
+    def euler_dx(v, dt):
+        dx = dt * v
+        if omega_scale is not None:
+            m = jnp.mean(dx)            # global mean, matching dx.mean()
+            dx = (dx - m) * omega + m
+        return dx
+
+    def make_body(guided: bool):
+        def body(carry, i):
+            z, mom, rng = carry
+            t_cur, t_next = ts[i], ts[i + 1]
+            dt = t_next - t_cur
+            if guided:
+                vc, vu = vel_both(z, t_cur)
+                v, mom = guide(vc, vu, mom, scales[i])
+            else:
+                v = vel_cond(z, t_cur)
+            if scheduler == "heun":
+                z_e = z + dt * v
+                if guided:
+                    vc2, vu2 = vel_both(z_e, t_next)
+                    v2, mom = guide(vc2, vu2, mom, scales[i])
+                else:
+                    v2 = vel_cond(z_e, t_next)
+                z = z + dt * 0.5 * (v + v2)
+            elif scheduler == "pingpong":
+                # stochastic: step to the x0 estimate, then re-noise
+                x0 = z - t_cur * v
+                rng, k = jax.random.split(rng)
+                eps = jax.random.normal(k, z.shape)
+                z = (1.0 - t_next) * x0 + t_next * eps
+            else:  # euler
+                z = z + euler_dx(v, dt)
+            if repaint_mask is not None and z_ref is not None:
+                # keep reference content outside the repaint region at its
+                # matching noise level
+                rng, k = jax.random.split(rng)
+                eps = jax.random.normal(k, z.shape)
+                z_keep = (1.0 - t_next) * z_ref + t_next * eps
+                z = repaint_mask * z + (1.0 - repaint_mask) * z_keep
+            return (z, mom, rng), None
+        return body
+
+    carry = (z, momentum0, rng)
+    phases = ((0, start_idx, False), (start_idx, end_idx, True),
+              (end_idx, steps, False))
+    for lo, hi, guided in phases:
+        if hi > lo:
+            carry, _ = jax.lax.scan(make_body(guided), carry,
+                                    jnp.arange(lo, hi))
+    return carry[0]
 
 
 # ------------------------------------------------------------------ LoRA

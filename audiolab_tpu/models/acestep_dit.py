@@ -118,9 +118,12 @@ class LiteLASelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, cos, sin):
+    def __call__(self, x, mask, cos, sin, q_scale: float = 1.0):
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x)
+        # q_scale reproduces the ERG "temperature" forward hook upstream
+        # registers on to_q (pipeline_ace_step.py forward_diffusion_with_
+        # temperature: output *= tau)
+        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x) * q_scale
         k = nn.Dense(inner, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, dtype=self.dtype, name="to_v")(x)
         q, k, v = (_split_heads(a, self.heads) for a in (q, k, v))
@@ -152,9 +155,10 @@ class SoftmaxCrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, enc, mask, enc_mask, cos, sin, cos_c, sin_c):
+    def __call__(self, x, enc, mask, enc_mask, cos, sin, cos_c, sin_c,
+                 q_scale: float = 1.0):
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x)
+        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x) * q_scale
         k = nn.Dense(inner, dtype=self.dtype, name="to_k")(enc)
         v = nn.Dense(inner, dtype=self.dtype, name="to_v")(enc)
         q, k, v = (_split_heads(a, self.heads) for a in (q, k, v))
@@ -201,7 +205,8 @@ class LinearTransformerBlock(nn.Module):
     cfg: ACEStepDiTConfig
 
     @nn.compact
-    def __call__(self, x, enc, mask, enc_mask, cos, sin, cos_c, sin_c, temb):
+    def __call__(self, x, enc, mask, enc_mask, cos, sin, cos_c, sin_c, temb,
+                 q_scale: float = 1.0):
         c = self.cfg
         dim = c.inner_dim
         table = self.param(
@@ -213,13 +218,14 @@ class LinearTransformerBlock(nn.Module):
 
         h = _rms(x) * (1 + sc_msa) + s_msa
         a = LiteLASelfAttention(c.num_attention_heads, c.attention_head_dim,
-                                c.jdtype, name="attn")(h, mask, cos, sin)
+                                c.jdtype, name="attn")(h, mask, cos, sin,
+                                                       q_scale)
         x = x + g_msa * a
         # cross attention reads the RAW residual stream (no norm) —
         # attention.py:306-315
         a = SoftmaxCrossAttention(c.num_attention_heads, c.attention_head_dim,
                                   c.jdtype, name="cross_attn")(
-            x, enc, mask, enc_mask, cos, sin, cos_c, sin_c)
+            x, enc, mask, enc_mask, cos, sin, cos_c, sin_c, q_scale)
         x = x + a
         h = _rms(x) * (1 + sc_mlp) + s_mlp
         f = GLUMBConv(int(dim * c.mlp_ratio), dim, c.jdtype, name="ff")(h)
@@ -352,10 +358,16 @@ class ACEStepDiT(nn.Module):
                 jnp.concatenate(masks, axis=1))
 
     def decode(self, latent, attention_mask, enc, enc_mask, timestep,
-               return_hidden: bool = False):
+               return_hidden: bool = False, q_tau: float = 1.0,
+               q_tau_blocks: tuple = ()):
         """latent (b, c, 16, t) -> velocity (b, c, 16, t); optionally also
         the SSL-projected inner states (REPA losses,
-        ace_step_transformer.py:419-525)."""
+        ace_step_transformer.py:419-525).
+
+        ``q_tau``/``q_tau_blocks`` reproduce ERG diffusion guidance
+        (pipeline_ace_step.py forward_diffusion_with_temperature: to_q
+        output scaled by tau=0.01 on self+cross attention of blocks
+        range(15, 20)) for the unconditional forward."""
         c = self.cfg
         output_length = latent.shape[-1]
         embedded_t = self.time_embedding(timestep)
@@ -368,7 +380,8 @@ class ACEStepDiT(nn.Module):
         inner = []
         for i, blk in enumerate(self.blocks):
             x = blk(x, enc, attention_mask, enc_mask, cos, sin, cos_c,
-                    sin_c, temb)
+                    sin_c, temb,
+                    q_scale=q_tau if i in q_tau_blocks else 1.0)
             for d in c.ssl_encoder_depths:
                 if i == d:
                     inner.append(x)
@@ -416,12 +429,14 @@ class RelPosSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, pos):
+    def __call__(self, x, mask, pos, q_scale: float = 1.0):
         d_model = x.shape[-1]
         h = self.heads
         dk = d_model // h
         b, t, _ = x.shape
-        q = nn.Dense(d_model, dtype=self.dtype, name="linear_q")(x)
+        # ERG lyric hook point: upstream scales linear_q's OUTPUT (before
+        # the pos_bias_u/v additions) — forward_encoder_with_temperature
+        q = nn.Dense(d_model, dtype=self.dtype, name="linear_q")(x) * q_scale
         k = nn.Dense(d_model, dtype=self.dtype, name="linear_k")(x)
         v = nn.Dense(d_model, dtype=self.dtype, name="linear_v")(x)
         p = nn.Dense(d_model, use_bias=False, dtype=self.dtype,
@@ -466,7 +481,8 @@ class LyricConformerEncoder(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, mask=None):  # x (b, t, in_dim), mask (b, t)
+    def __call__(self, x, mask=None, q_tau: float = 1.0,
+                 q_tau_layers: tuple = ()):  # x (b, t, in_dim), mask (b, t)
         dt = jnp.dtype(self.dtype)
         x = nn.Dense(self.dim, dtype=dt, name="embed_lin")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="embed_norm")(x)
@@ -474,8 +490,9 @@ class LyricConformerEncoder(nn.Module):
         pos = espnet_rel_pe(x.shape[1], self.dim).astype(dt)
         for i in range(self.num_blocks):
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm_mha_{i}")(x)
-            x = x + RelPosSelfAttention(self.heads, dt,
-                                        name=f"attn_{i}")(h, mask, pos)
+            x = x + RelPosSelfAttention(self.heads, dt, name=f"attn_{i}")(
+                h, mask, pos,
+                q_scale=q_tau if i in q_tau_layers else 1.0)
             h = nn.LayerNorm(epsilon=1e-5, name=f"norm_ff_{i}")(x)
             h = nn.Dense(self.ffn_dim, dtype=dt, name=f"ff_w1_{i}")(h)
             h = nn.Dense(self.dim, dtype=dt, name=f"ff_w2_{i}")(nn.silu(h))

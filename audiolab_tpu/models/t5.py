@@ -92,13 +92,17 @@ class T5SelfAttention(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, x, bias):
-        """x (b,t,d); bias (b|1, h, t, t) already includes the mask."""
+    def __call__(self, x, bias, q_scale: float = 1.0):
+        """x (b,t,d); bias (b|1, h, t, t) already includes the mask.
+
+        ``q_scale`` reproduces ACE-Step's ERG-tag hook on SelfAttention.q
+        (pipeline_ace_step.py get_text_embeddings_null: tau=0.01 on
+        encoder blocks 8-9 of umt5-base)."""
         c = self.cfg
         inner = c.heads * c.d_kv
         dn = lambda name: nn.Dense(inner, use_bias=False, name=name)  # noqa: E731
         b, t, _ = x.shape
-        q = dn("q")(x).reshape(b, t, c.heads, c.d_kv)
+        q = (dn("q")(x) * q_scale).reshape(b, t, c.heads, c.d_kv)
         k = dn("k")(x).reshape(b, t, c.heads, c.d_kv)
         v = dn("v")(x).reshape(b, t, c.heads, c.d_kv)
         # NO 1/sqrt(d_kv) scaling — T5 folds it into the weights
@@ -129,7 +133,8 @@ class T5Encoder(nn.Module):
     cfg: T5Config
 
     @nn.compact
-    def __call__(self, ids, mask=None):
+    def __call__(self, ids, mask=None, q_tau: float = 1.0,
+                 q_tau_layers: tuple = ()):
         c = self.cfg
         t = ids.shape[1]
         x = nn.Embed(c.vocab_size, c.dim, name="emb")(ids)
@@ -152,7 +157,8 @@ class T5Encoder(nn.Module):
             if c.per_layer_bias:                               # UMT5
                 bias = rel_bias(f"rel_bias_{i}") + mask_add
             h = T5LayerNorm(c.eps, name=f"ln1_{i}")(x)
-            x = x + T5SelfAttention(c, name=f"attn_{i}")(h, bias)
+            x = x + T5SelfAttention(c, name=f"attn_{i}")(
+                h, bias, q_scale=q_tau if i in q_tau_layers else 1.0)
             h = T5LayerNorm(c.eps, name=f"ln2_{i}")(x)
             x = x + T5FFN(c, name=f"ffn_{i}")(h)
         x = T5LayerNorm(c.eps, name="final_ln")(x)

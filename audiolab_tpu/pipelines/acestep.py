@@ -37,6 +37,25 @@ class ACEStepPipelineConfig:
     scheduler: str = "euler"
     guidance_scale: float = 7.5
     use_apg: bool = True
+    # checkpoint-sampler knobs (pipeline_ace_step.py __call__ defaults);
+    # the speed pipeline leaves them off
+    shift: float | None = None            # 3.0 for the published sampler
+    omega_scale: float | None = None      # 10.0 upstream
+    guidance_interval: float = 1.0        # 0.5 upstream
+    guidance_interval_decay: float = 0.0
+    min_guidance_scale: float = 3.0
+    use_erg_tag: bool = True
+    use_erg_lyric: bool = True
+    use_erg_diffusion: bool = True
+
+
+def checkpoint_pcfg() -> ACEStepPipelineConfig:
+    """The published ACEStepPipeline.__call__ defaults
+    (pipeline_ace_step.py:1425-1442): 60 steps, euler shift-3, APG 15.0,
+    omega 10, CFG on the middle half of the schedule, ERG on."""
+    return ACEStepPipelineConfig(
+        steps=60, scheduler="euler", guidance_scale=15.0, use_apg=True,
+        shift=3.0, omega_scale=10.0, guidance_interval=0.5)
 
 
 class ACEStepPipeline:
@@ -217,7 +236,7 @@ class CheckpointACEStep:
         self.lyric_enc = LyricConformerEncoder(
             dim=cfg.lyric_hidden_size) if lyric_params is not None else None
         self.lyric_params = lyric_params
-        self.pcfg = pcfg or ACEStepPipelineConfig()
+        self.pcfg = pcfg or checkpoint_pcfg()
         self.decode_fn = decode_fn
         self.latent_rate = latent_rate
         self.text_encoder = text_encoder  # ACEStepTextEncoder (umt5)
@@ -231,60 +250,100 @@ class CheckpointACEStep:
         return self.text_encoder(texts, max_length)
 
     def encode_cond(self, text_hidden, text_mask, speaker,
-                    lyric_tokens=None, lyric_mask=None):
+                    lyric_tokens=None, lyric_mask=None,
+                    lyric_q_tau: float = 1.0):
+        """``lyric_q_tau=0.01`` reproduces ERG-lyric: the uncond branch
+        runs the REAL lyric tokens through a temperature-scaled conformer
+        (pipeline_ace_step.py forward_encoder_with_temperature,
+        lyric_encoder self_attn.linear_q of encoders 4-5)."""
         lyric_hidden = None
         if lyric_tokens is not None and self.lyric_enc is not None:
             emb = self.model.apply({"params": self.params}, lyric_tokens,
                                    method=type(self.model).embed_lyrics)
             lyric_hidden = self.lyric_enc.apply(
-                {"params": self.lyric_params}, emb, lyric_mask)
+                {"params": self.lyric_params}, emb, lyric_mask,
+                q_tau=lyric_q_tau,
+                q_tau_layers=(4, 5) if lyric_q_tau != 1.0 else ())
         enc, mask = self.model.apply(
             {"params": self.params}, text_hidden, text_mask, speaker,
             lyric_hidden, lyric_mask, method=type(self.model).encode)
         return enc, mask
 
-    def _velocity2(self, enc2, enc_mask2):
+    def _velocity(self, enc, enc_mask, q_tau: float = 1.0,
+                  q_tau_blocks: tuple = ()):
+        """Single-batch velocity closure over one conditioning stream;
+        q_tau/q_tau_blocks implement ERG-diffusion for the uncond fn."""
         c = self.cfg
 
-        def fn(z2, t2):
-            b2, t, _ = z2.shape
-            lat = z2.reshape(b2, t, c.in_channels,
+        def fn(zb, tb):
+            b, t, _ = zb.shape
+            lat = zb.reshape(b, t, c.in_channels,
                              c.patch_height).transpose(0, 2, 3, 1)
             v = self.model.apply(
-                {"params": self.params}, lat, jnp.ones((b2, t)), enc2,
-                enc_mask2, t2, method=type(self.model).decode)
-            return v.transpose(0, 3, 1, 2).reshape(b2, t, -1)
+                {"params": self.params}, lat, jnp.ones((b, t)), enc,
+                enc_mask, tb, method=type(self.model).decode,
+                q_tau=q_tau, q_tau_blocks=q_tau_blocks)
+            return v.transpose(0, 3, 1, 2).reshape(b, t, -1)
 
         return fn
 
     def generate(self, text_hidden, text_mask, speaker, lyric_tokens=None,
                  lyric_mask=None, duration: float = 30.0, seed: int = 0,
-                 **kw):
+                 text_hidden_null=None, **kw):
         """Returns latents (b, 8, 16, t) — or decoded audio if decode_fn
-        was supplied."""
-        from audiolab_tpu.models.acestep import fm_sample
+        was supplied.
 
-        c = self.cfg
+        Sampler semantics mirror the published text2music loop
+        (pipeline_ace_step.py:848-1330): shift-3 sigmas with the DiT fed
+        sigma*1000, omega mean-shift Euler steps, APG projected onto the
+        conditional branch per latent channel, CFG only over the middle
+        ``guidance_interval`` of steps, and ERG temperature guidance for
+        the unconditional forward.  ``text_hidden_null`` is the ERG-tag
+        null text embedding (ACEStepTextEncoder.null_embeddings); zeros
+        are used when absent."""
+        from audiolab_tpu.models.acestep import acestep_sigmas, fm_sample
+
+        c, p = self.cfg, self.pcfg
         enc_c, m_c = self.encode_cond(text_hidden, text_mask, speaker,
                                       lyric_tokens, lyric_mask)
-        enc_u, m_u = self.encode_cond(
-            jnp.zeros_like(text_hidden), text_mask,
-            jnp.zeros_like(speaker),
-            None if lyric_tokens is None else jnp.zeros_like(lyric_tokens),
-            lyric_mask)
-        enc2 = jnp.concatenate([enc_c, enc_u], axis=0)
-        mask2 = jnp.concatenate([m_c, m_u], axis=0)
+        # unconditional stream (pipeline_ace_step.py:1095-1127): ERG-tag
+        # null text (or zeros), zeroed speaker; ERG-lyric keeps the real
+        # tokens under a temperature-scaled encoder, else zeroed tokens
+        t_null = (text_hidden_null
+                  if text_hidden_null is not None and p.use_erg_tag
+                  else jnp.zeros_like(text_hidden))
+        if p.use_erg_lyric and lyric_tokens is not None:
+            enc_u, m_u = self.encode_cond(
+                t_null, text_mask, jnp.zeros_like(speaker),
+                lyric_tokens, lyric_mask, lyric_q_tau=0.01)
+        else:
+            enc_u, m_u = self.encode_cond(
+                t_null, text_mask, jnp.zeros_like(speaker),
+                None if lyric_tokens is None
+                else jnp.zeros_like(lyric_tokens), lyric_mask)
         b = text_hidden.shape[0]
         frames = max(1, int(round(duration * self.latent_rate)))
         z0 = jax.random.normal(
             jax.random.PRNGKey(seed),
             (b, frames, c.in_channels * c.patch_height))
+        sig = acestep_sigmas(p.steps, p.shift) if p.shift else None
         z = fm_sample(
-            None, None, enc2, frames, steps=self.pcfg.steps,
-            scheduler=self.pcfg.scheduler,
-            guidance_scale=self.pcfg.guidance_scale,
-            use_apg=self.pcfg.use_apg, rng=jax.random.PRNGKey(seed),
-            z_init=z0, velocity2_fn=self._velocity2(enc2, mask2), **kw)
+            None, None, jnp.concatenate([enc_c, enc_u], axis=0), frames,
+            steps=p.steps, scheduler=p.scheduler,
+            guidance_scale=p.guidance_scale, use_apg=p.use_apg,
+            rng=jax.random.PRNGKey(seed), z_init=z0,
+            sigmas=sig, timestep_scale=1000.0,
+            omega_scale=p.omega_scale,
+            guidance_interval=p.guidance_interval,
+            guidance_interval_decay=p.guidance_interval_decay,
+            min_guidance_scale=p.min_guidance_scale,
+            velocity_cond_fn=self._velocity(enc_c, m_c),
+            velocity_uncond_fn=self._velocity(
+                enc_u, m_u,
+                q_tau=0.01 if p.use_erg_diffusion else 1.0,
+                q_tau_blocks=tuple(range(15, 20))
+                if p.use_erg_diffusion else ()),
+            apg_channels=c.in_channels, **kw)
         lat = z.reshape(b, frames, c.in_channels,
                         c.patch_height).transpose(0, 2, 3, 1)
         if self.decode_fn is not None:
@@ -341,7 +400,7 @@ class ACEStepTextEncoder:
         self.sp = SentencePieceProcessor(spm_model_path)
         self._eos = self.sp.eos_id() if self.sp.eos_id() >= 0 else 1
 
-    def __call__(self, texts: list[str], max_length: int = 256):
+    def _tokenize(self, texts: list[str], max_length: int):
         enc = [self.sp.encode_as_ids(t)[: max_length - 1] + [self._eos]
                for t in texts]
         n = max(len(e) for e in enc)
@@ -350,6 +409,19 @@ class ACEStepTextEncoder:
         for r, e in enumerate(enc):
             ids[r, : len(e)] = e
             mask[r, : len(e)] = 1
-        hidden = self.model.apply({"params": self.params},
-                                  jnp.asarray(ids), jnp.asarray(mask))
-        return hidden, jnp.asarray(mask)
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def __call__(self, texts: list[str], max_length: int = 256):
+        ids, mask = self._tokenize(texts, max_length)
+        hidden = self.model.apply({"params": self.params}, ids, mask)
+        return hidden, mask
+
+    def null_embeddings(self, texts: list[str], max_length: int = 256,
+                        tau: float = 0.01):
+        """ERG-tag null text states (pipeline_ace_step.py
+        get_text_embeddings_null: SelfAttention.q output scaled by tau on
+        encoder blocks 8-9) — the unconditional text stream when
+        use_erg_tag is on."""
+        ids, mask = self._tokenize(texts, max_length)
+        return self.model.apply({"params": self.params}, ids, mask,
+                                q_tau=tau, q_tau_layers=(8, 9))

@@ -116,8 +116,10 @@ class StableAudioCheckpointPipeline:
     (the cross-attn mask is disabled upstream, diffusion.py:283, so zeroed
     T5 pad embeddings are attended to — matched here), global cond =
     concat(seconds embeds) (b, 1536).  Denoiser = converted SAODiT,
-    decode = converted OobleckDecoder.  Sampling: DDIM over the
-    v-objective with CFG double-batch in one jitted scan."""
+    decode = converted OobleckDecoder.  Sampling: k-diffusion
+    dpmpp-3m-sde over polyexponential sigmas with VDenoiser scalings and
+    zero-embed CFG, exactly the reference's sample_k configuration
+    (models/ksampler.py); v-ddim kept as the deterministic option."""
 
     def __init__(self, dit_params, vae_decoder_params, t5_params,
                  ss_params, st_params, spm_model_path: str,
@@ -169,40 +171,75 @@ class StableAudioCheckpointPipeline:
 
     def generate(self, prompt: str, negative_prompt: str = "",
                  seconds_total: float = 10.0, seconds_start: float = 0.0,
-                 steps: int = 50, cfg_scale: float = 7.0, seed: int = 0,
-                 init_audio=None, init_strength: float = 0.8, **_):
+                 steps: int = 100, cfg_scale: float = 7.0, seed: int = 0,
+                 init_audio=None, init_strength: float = 0.8,
+                 sampler_type: str = "dpmpp-3m-sde",
+                 sigma_min: float = 0.3, sigma_max: float = 500.0, **_):
+        """Published-sampler semantics (modules/stable_audio/model.py:
+        277-289 -> stable_audio_tools sample_k): dpmpp-3m-sde over a
+        polyexponential sigma schedule (0.3..500, rho 1) with the
+        v-objective model behind k-diffusion's VDenoiser; CFG is a
+        doubled batch whose unconditional row uses the ZEROED cross-attn
+        sequence (dit.py:347-361 null_embed) — a negative prompt replaces
+        the null embed — while the global seconds embedding stays on both
+        rows (dit.py:332-334).  ``sampler_type="v-ddim"`` selects the
+        cosine DDIM alternative (sampling.py sample/v-ddim family)."""
         c = self.vae_cfg
         hop = int(np.prod(c.strides))
         seconds_total = float(np.clip(seconds_total, 1.0, self.max_seconds))
         t_lat = max(1, int(round(seconds_total * self.sr / hop)))
 
-        cross, glob = self._conditioning(
-            [prompt, negative_prompt or ""], seconds_start, seconds_total)
+        cross_c, glob = self._conditioning([prompt], seconds_start,
+                                           seconds_total)
+        if negative_prompt and negative_prompt.strip():
+            cross_u, _ = self._conditioning([negative_prompt],
+                                            seconds_start, seconds_total)
+        else:
+            cross_u = jnp.zeros_like(cross_c)
+        cross2 = jnp.concatenate([cross_c, cross_u], axis=0)
+        glob2 = jnp.concatenate([glob, glob], axis=0)
 
-        rng = jax.random.PRNGKey(seed)
-        z = jax.random.normal(rng, (1, t_lat, c.latent_dim))
+        rng_noise, rng_samp = jax.random.split(jax.random.PRNGKey(seed))
+        noise = jax.random.normal(rng_noise, (1, t_lat, c.latent_dim))
         if init_audio is not None:
             raise NotImplementedError(
                 "init audio needs the Oobleck encoder params")
 
-        from audiolab_tpu.models.stable_audio import v_to_eps_x0
-
-        ts = jnp.linspace(1.0, 0.0, steps + 1)
         dit_params = self.params["dit"]
 
-        def body(z, i):
-            t_cur, t_next = ts[i], ts[i + 1]
-            z2 = jnp.concatenate([z, z], axis=0)
-            tb = jnp.full((2,), t_cur)
-            v = self.dit.apply({"params": dit_params}, z2, tb, cross, glob)
+        def v_guided(x, tb1):
+            """CFG-merged v prediction at timestep tb1 (scalar array)."""
+            x2 = jnp.concatenate([x, x], axis=0)
+            tb = jnp.full((2,), tb1, x.dtype)
+            v = self.dit.apply({"params": dit_params}, x2, tb, cross2,
+                               glob2)
             vc, vu = v[:1], v[1:]
-            v = vu + cfg_scale * (vc - vu)
-            eps, x0 = v_to_eps_x0(v, z, jnp.full((1,), t_cur))
-            z = (jnp.cos(t_next * np.pi / 2) * x0
-                 + jnp.sin(t_next * np.pi / 2) * eps)
-            return z, None
+            return vu + cfg_scale * (vc - vu)
 
-        z, _ = jax.lax.scan(body, z, jnp.arange(steps))
+        if sampler_type == "dpmpp-3m-sde":
+            from audiolab_tpu.models.ksampler import (
+                sample_dpmpp_3m_sde,
+                sigmas_polyexponential,
+                v_denoiser,
+            )
+
+            sig = sigmas_polyexponential(steps, sigma_min, sigma_max)
+            z = sample_dpmpp_3m_sde(v_denoiser(v_guided), noise * sig[0],
+                                    sig, eta=1.0, rng=rng_samp)
+        else:  # v-ddim
+            from audiolab_tpu.models.stable_audio import v_to_eps_x0
+
+            ts = jnp.linspace(1.0, 0.0, steps + 1)
+
+            def body(z, i):
+                t_cur, t_next = ts[i], ts[i + 1]
+                v = v_guided(z, t_cur)
+                eps, x0 = v_to_eps_x0(v, z, jnp.full((1,), t_cur))
+                z = (jnp.cos(t_next * np.pi / 2) * x0
+                     + jnp.sin(t_next * np.pi / 2) * eps)
+                return z, None
+
+            z, _ = jax.lax.scan(body, noise, jnp.arange(steps))
         audio = self.decoder.apply({"params": self.params["dec"]}, z)
         samples = np.asarray(audio[0])           # (out_ch, n)
         if samples.shape[0] == 1:

@@ -43,8 +43,10 @@ def test_dcae_roundtrip_shapes(pipe):
 def test_apg_shapes():
     x = jnp.ones((1, 8, 4))
     mom = jnp.zeros_like(x)
-    g, mom2 = apg(x * 2, x, x, scale=5.0, momentum=mom)
+    g, mom2 = apg(x * 2, x, scale=5.0, momentum=mom)
     assert g.shape == x.shape and np.isfinite(np.asarray(g)).all()
+    g2, _ = apg(x * 2, x, scale=5.0, momentum=mom, channels=2)
+    assert g2.shape == x.shape and np.isfinite(np.asarray(g2)).all()
 
 
 def test_generate(pipe):
