@@ -120,6 +120,11 @@ class Attention(nn.Module):
             qpos = idx + jnp.arange(t)
             attn_mask = (jnp.arange(kf.shape[1])[None, None, None, :]
                          <= qpos[None, None, :, None])
+            if mask is not None:
+                # caller-supplied key-validity mask (e.g. left-pad
+                # exclusion for bucketed prompts) composes with the
+                # causal ring-buffer mask
+                attn_mask = jnp.logical_and(attn_mask, mask)
 
         if rep > 1:
             kf = jnp.repeat(kf, rep, axis=2)

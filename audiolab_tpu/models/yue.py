@@ -133,21 +133,35 @@ def block_token_range_processor(lo: int, hi: int):
 def stage1_generate(
     lm: TransformerLM,
     params,
-    prompt_tokens: jnp.ndarray,     # (1, t_prompt) genre+lyrics+SOA [+codes]
+    prompt_tokens: jnp.ndarray,     # (2, t_prompt) [cond; uncond] rows
     frames: int,
     vocab: YuEVocab,
     cfg_scale: float = 1.5,
     temperature: float = 1.0,
-    top_k: int = 50,
+    top_k: int = 0,
+    top_p: float = 0.93,
+    repetition_penalty: float = 1.2,
+    valid_from=None,                # (2,) first real position per row
     rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """Generate interleaved (vocal, inst) pairs -> (2, frames) codec codes.
 
-    CFG double batch: row 0 = full prompt, row 1 = prompt with lyrics
-    stripped (caller builds both, padded to equal length)."""
+    CFG double batch: row 0 = full prompt, row 1 = the unconditional
+    context (built by YuEPipeline._prompt; the published run's equivalent
+    is transformers' unbatched-CFG default — the last prompt token).
+
+    Sampling matches the reference model.generate call (infer.py:493-509):
+    CFG merge, then repetition penalty 1.2 over the conditional context
+    ids (HF RepetitionPenaltyLogitsProcessor semantics), then the legal
+    token-range mask, then temperature and nucleus top_p=0.93.  Left-pad
+    positions (prompt bucketing and the shorter uncond row) are excluded
+    from attention via ``valid_from``, the way HF's attention_mask
+    excludes pads."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     b2, t_prompt = prompt_tokens.shape
     assert b2 == 2, "pass [cond; uncond] rows"
+    vf = (np.zeros(2, np.int32) if valid_from is None
+          else np.asarray(valid_from, np.int32))
     # pad the prompt to a bucket so the jitted graph is reused across
     # lyric-segment lengths (left-pad with PAD, consistent with _prompt)
     bucket = -(-t_prompt // 128) * 128
@@ -155,9 +169,10 @@ def stage1_generate(
         # left-pad with eoa (the reference's pad_token_id, infer.py:502)
         pad = jnp.full((2, bucket - t_prompt), vocab.special("eoa"), jnp.int32)
         prompt_tokens = jnp.concatenate([pad, prompt_tokens], axis=1)
+        vf = vf + (bucket - t_prompt)
     core = _stage1_core(lm, frames, bucket, vocab, cfg_scale, temperature,
-                        top_k)
-    return core(params, prompt_tokens, rng)
+                        top_k, top_p, repetition_penalty)
+    return core(params, prompt_tokens, jnp.asarray(vf), rng)
 
 
 from functools import lru_cache
@@ -166,45 +181,68 @@ from functools import lru_cache
 @lru_cache(maxsize=32)
 def _stage1_core(lm: TransformerLM, frames: int, t_prompt: int,
                  vocab: YuEVocab, cfg_scale: float, temperature: float,
-                 top_k: int):
+                 top_k: int, top_p: float, repetition_penalty: float):
     """Prefill + decode scan as ONE cached jitted graph."""
     c = lm.cfg
     total = 2 * frames
     vb, ib = vocab.vocal_base, vocab.inst_base
+    vsize = c.vocab_size
 
     @jax.jit
-    def core(params, prompt_tokens, rng):
-        caches = init_cache(c, 2, t_prompt + total + 1)
-        mask = (jnp.arange(t_prompt + total + 1)[None, :] < t_prompt)[
-            :, None, None, :]
+    def core(params, prompt_tokens, valid_from, rng):
+        seq_len = t_prompt + total + 1
+        # key-validity per row: left pads excluded from attention for the
+        # whole trajectory (prefill AND decode)
+        key_valid = (jnp.arange(seq_len)[None, :]
+                     >= valid_from[:, None])[:, None, None, :]
+        caches = init_cache(c, 2, seq_len)
         logits, caches = lm.apply(
             {"params": params}, prompt_tokens, jnp.arange(t_prompt), caches,
-            mask)
+            key_valid)
         last = logits[:, -1]
 
+        # repetition-penalty presence set over the CONDITIONAL context
+        # (pads scatter into a scratch slot and are dropped)
+        tok_or_scratch = jnp.where(
+            jnp.arange(t_prompt) >= valid_from[0], prompt_tokens[0], vsize)
+        seen = jnp.zeros((vsize + 1,), bool).at[tok_or_scratch].set(True)
+
+        ar = jnp.arange(vsize)
+
         def body(carry, i):
-            last, caches, rng = carry
+            last, caches, rng, seen = carry
             rng, key = jax.random.split(rng)
             lc, lu = last[0], last[1]
             lg = lu + cfg_scale * (lc - lu)
+            if repetition_penalty != 1.0:
+                pen = jnp.where(lg > 0, lg / repetition_penalty,
+                                lg * repetition_penalty)
+                lg = jnp.where(seen[:vsize], pen, lg)
             # alternate legal ranges: even step -> vocal, odd -> inst
             is_vocal = (i % 2) == 0
             lo = jnp.where(is_vocal, vb, ib)
             hi = lo + vocab.codebook_size
-            ar = jnp.arange(lg.shape[-1])
             lg = jnp.where((ar >= lo) & (ar < hi), lg, -jnp.inf)
             lg = lg / jnp.maximum(temperature, 1e-6)
-            k_eff = min(top_k, lg.shape[-1])
-            kth = jax.lax.top_k(lg[None], k_eff)[0][0, -1]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
+            if top_k > 0:
+                k_eff = min(top_k, vsize)
+                kth = jax.lax.top_k(lg[None], k_eff)[0][0, -1]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            if top_p > 0.0:
+                srt = jnp.sort(lg)[::-1]
+                cum = jnp.cumsum(jax.nn.softmax(srt))
+                cutoff = srt[jnp.sum(cum < top_p)]
+                lg = jnp.where(lg < cutoff, -jnp.inf, lg)
             tok = jax.random.categorical(key, lg)
+            seen = seen.at[tok].set(True)
             tok2 = jnp.stack([tok, tok])[:, None]
             pos = jnp.asarray([t_prompt], jnp.int32) + i
-            logits, caches = lm.apply({"params": params}, tok2, pos, caches)
-            return (logits[:, -1], caches, rng), tok
+            logits, caches = lm.apply({"params": params}, tok2, pos, caches,
+                                      key_valid)
+            return (logits[:, -1], caches, rng, seen), tok
 
-        (_, _, _), toks = jax.lax.scan(body, (last, caches, rng),
-                                       jnp.arange(total))
+        (_, _, _, _), toks = jax.lax.scan(body, (last, caches, rng, seen),
+                                          jnp.arange(total))
         pairs = toks.reshape(frames, 2)
         vocal = pairs[:, 0] - vb
         inst = pairs[:, 1] - ib
@@ -325,9 +363,18 @@ def _stage2_core(lm: TransformerLM, vocab: YuEVocab, n_q: int, block: int,
 class YuEPipelineConfig:
     frame_rate: float = 50.0
     segment_frames: int = 512
+    # reference generate args (infer.py:254-263,445): CFG 1.5 on the first
+    # segment then 1.2, nucleus top_p 0.93, repetition penalty 1.2
     cfg_scale: float = 1.5
-    top_k: int = 50
+    cfg_scale_later: float = 1.2
+    top_k: int = 0
+    top_p: float = 0.93
     temperature: float = 1.0
+    repetition_penalty: float = 1.2
+    # "tail" = transformers unbatched-CFG default (uncond context is the
+    # last prompt token — what the published run does); "lyrics_stripped"
+    # conditions the uncond row on genre-only text instead
+    uncond_mode: str = "tail"
 
 
 class YuEPipeline:
@@ -389,17 +436,25 @@ class YuEPipeline:
             self._tok(head), ref, seg_open, self._tok(lyrics),
             [soa, sep],
         ]).astype(np.int32)
-        uncond = np.concatenate([
-            self._tok("Generate music from the given lyrics segment by "
-                      f"segment.\n[Genre] {genre}\n"),
-            seg_open, [soa, sep],
-        ]).astype(np.int32)
+        if self.pcfg.uncond_mode == "tail":
+            # transformers UnbatchedClassifierFreeGuidanceLogitsProcessor
+            # with negative_prompt_ids=None: the unconditional context is
+            # input_ids[:, -1:] — exactly what model.generate(...,
+            # guidance_scale=...) runs for the published checkpoints
+            uncond = cond[-1:]
+        else:  # "lyrics_stripped": genre-only unconditional context
+            uncond = np.concatenate([
+                self._tok("Generate music from the given lyrics segment by "
+                          f"segment.\n[Genre] {genre}\n"),
+                seg_open, [soa, sep],
+            ]).astype(np.int32)
         t = max(len(cond), len(uncond))
         pad = v.special("eoa")  # reference pads with eoa (pad_token_id=eoa)
         rows = np.full((2, t), pad, np.int32)
         rows[0, t - len(cond):] = cond       # left-pad so SOA aligns
         rows[1, t - len(uncond):] = uncond
-        return jnp.asarray(rows)
+        valid_from = np.asarray([t - len(cond), t - len(uncond)], np.int32)
+        return jnp.asarray(rows), valid_from
 
     def generate_music(
         self,
@@ -422,12 +477,16 @@ class YuEPipeline:
         full_lyrics = "\n".join(segments)
         vocal_codes, inst_codes = [], []
         for i, seg in enumerate(segments):
-            prompt = self._prompt(genre, seg,
-                                  audio_prompt_codes if i == 0 else None,
-                                  full_lyrics=full_lyrics)
+            prompt, valid_from = self._prompt(
+                genre, seg, audio_prompt_codes if i == 0 else None,
+                full_lyrics=full_lyrics)
             codes = stage1_generate(
                 self.s1, self.s1_params, prompt, frames, self.cfg.vocab,
-                cfg_scale=p.cfg_scale, temperature=p.temperature, top_k=p.top_k,
+                # guidance 1.5 on the first segment, then 1.2 (infer.py:445)
+                cfg_scale=p.cfg_scale if i == 0 else p.cfg_scale_later,
+                temperature=p.temperature, top_k=p.top_k, top_p=p.top_p,
+                repetition_penalty=p.repetition_penalty,
+                valid_from=valid_from,
                 rng=jax.random.PRNGKey(seed + i),
             )
             vocal_codes.append(codes[0])

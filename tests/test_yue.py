@@ -91,3 +91,39 @@ def test_yue_pipeline_xcodec_decode_path():
                               seconds_per_segment=0.3)
     assert np.isfinite(out["mix"]).all()
     assert out["sr"] == int(round(pipe.codec.cfg.frame_rate * 10))
+
+
+def test_stage1_reference_sampling_semantics(pipe):
+    """The published model.generate args (infer.py:493-509) are live:
+    tail-mode uncond row is exactly the last cond token, left pads are
+    attention-masked via valid_from, repetition penalty + nucleus top_p
+    shape the draw.  Determinism per seed; outputs stay in codebook
+    range."""
+    from audiolab_tpu.models.yue import stage1_generate
+
+    prompt, valid_from = pipe._prompt("jazz", "la la la")
+    t = prompt.shape[1]
+    # tail uncond: one valid token, equal to the cond row's last token
+    assert valid_from[1] == t - 1
+    assert int(prompt[1, -1]) == int(prompt[0, -1])
+    assert pipe.pcfg.uncond_mode == "tail"
+
+    codes = stage1_generate(
+        pipe.s1, pipe.s1_params, prompt, 6, pipe.cfg.vocab,
+        cfg_scale=1.5, top_p=0.93, repetition_penalty=1.2,
+        valid_from=valid_from, rng=jax.random.PRNGKey(3))
+    assert codes.shape == (2, 6)
+    assert int(codes.min()) >= 0
+    assert int(codes.max()) < pipe.cfg.vocab.codebook_size
+    codes2 = stage1_generate(
+        pipe.s1, pipe.s1_params, prompt, 6, pipe.cfg.vocab,
+        cfg_scale=1.5, top_p=0.93, repetition_penalty=1.2,
+        valid_from=valid_from, rng=jax.random.PRNGKey(3))
+    assert bool(jnp.all(codes == codes2))
+    # pad masking is live: treating the pads as real context changes the
+    # distribution the model sees
+    codes3 = stage1_generate(
+        pipe.s1, pipe.s1_params, prompt, 6, pipe.cfg.vocab,
+        cfg_scale=1.5, top_p=0.93, repetition_penalty=1.2,
+        valid_from=None, rng=jax.random.PRNGKey(3))
+    assert not bool(jnp.all(codes == codes3))
