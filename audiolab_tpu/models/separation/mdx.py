@@ -123,8 +123,13 @@ class MDXOnnxSeparator:
         -> zero-pad bins back to n_fft//2+1 -> istft
       complement stem = mix - target (UVR convention).
 
-    Arbitrary input lengths are zero-padded up to a chunk multiple and the
-    sub-chunks run as one device batch.
+    Long inputs follow demix_base's trim-margin windowing
+    (mdxnet.py:143-187): windows of the model chunk length stride by
+    gen_size = chunk - 2*trim with trim = n_fft//2, the input is
+    zero-padded by trim at both ends, and only each window's middle
+    gen_size samples are kept — so every output sample sits away from the
+    window's tapered edges and chunk seams are artifact-free.  All
+    windows run as one device batch (the reference loops them serially).
     """
 
     def __init__(self, graph_or_path, dim_f: int = 3072, dim_t: int = 256,
@@ -174,12 +179,18 @@ class MDXOnnxSeparator:
         """(b, 2, n) -> {target: (b,2,n), complement: (b,2,n)} — the
         EnsembleMember apply_fn contract (pipelines/separate.py)."""
         b, ch, n = audio.shape
-        pad = (-n) % self.chunk
-        x = jnp.pad(audio, ((0, 0), (0, 0), (0, pad)))
-        k = x.shape[-1] // self.chunk
-        x = x.reshape(b, ch, k, self.chunk).transpose(0, 2, 1, 3)
-        y = self._run(x.reshape(b * k, ch, self.chunk))
-        y = y.reshape(b, k, ch, self.chunk).transpose(0, 2, 1, 3)
-        y = y.reshape(b, ch, -1)[..., :n]
+        trim = self.n_fft // 2
+        gen = self.chunk - 2 * trim
+        assert gen > 0, "model chunk shorter than 2*trim"
+        pad = (-n) % gen
+        x = jnp.pad(audio, ((0, 0), (0, 0), (trim, pad + trim)))
+        k = (n + pad) // gen
+        # overlapped windows: length chunk, stride gen (demix_base framing)
+        idx = jnp.arange(k)[:, None] * gen + jnp.arange(self.chunk)[None]
+        xw = x[:, :, idx]                        # (b, ch, k, chunk)
+        xw = xw.transpose(0, 2, 1, 3).reshape(b * k, ch, self.chunk)
+        y = self._run(xw)
+        y = y.reshape(b, k, ch, self.chunk)[..., trim:-trim]
+        y = y.transpose(0, 2, 1, 3).reshape(b, ch, -1)[..., :n]
         comp = "instrumental" if self.target == "vocals" else "vocals"
         return {self.target: y, comp: audio - y}

@@ -107,12 +107,21 @@ class ACEStepPipeline:
     # -------------------------------------------------- tasks
 
     def generate(self, prompt: str, lyrics: str = "", duration: float = 30.0,
-                 seed: int = 0, **kw) -> tuple[np.ndarray, int]:
+                 seed: int = 0, infer_step: int | None = None,
+                 guidance_scale: float | None = None,
+                 scheduler_type: str | None = None,
+                 **kw) -> tuple[np.ndarray, int]:
+        """Per-request sampler overrides mirror the reference API surface
+        (pipeline_ace_step.py __call__: infer_step / guidance_scale /
+        scheduler_type)."""
         ctx2 = self._context2(prompt, lyrics)
         z = fm_sample(
             self.model, self.params, ctx2, self._frames(duration),
-            steps=self.pcfg.steps, scheduler=self.pcfg.scheduler,
-            guidance_scale=self.pcfg.guidance_scale, use_apg=self.pcfg.use_apg,
+            steps=int(infer_step or self.pcfg.steps),
+            scheduler=scheduler_type or self.pcfg.scheduler,
+            guidance_scale=(self.pcfg.guidance_scale
+                            if guidance_scale is None else float(guidance_scale)),
+            use_apg=self.pcfg.use_apg,
             rng=jax.random.PRNGKey(seed),
         )
         return self._decode(z), self.cfg.sr
