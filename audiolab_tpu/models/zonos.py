@@ -559,10 +559,16 @@ def generate(
     pitch: jnp.ndarray | None = None,
     cfg_scale: float = 2.0,
     temperature: float = 1.0,
-    top_k: int = 64,
+    top_k: int = 0,
+    min_p: float = 0.1,
+    repetition_penalty: float = 3.0,
     rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """AR generation with delay pattern + CFG double batch.
+
+    Sampling defaults follow the published Zonos.generate
+    (model.py:202 min_p=0.1; sampling.py repetition_penalty=3.0 over the
+    last 2 frames per codebook).
 
     Returns codes (b, n_q, max_frames) (undelayed; EOS-padded)."""
     c = model.cfg
@@ -585,7 +591,7 @@ def generate(
     total = max_frames + c.n_codebooks  # delay tail
     cache_len = text_ids.shape[1] + 12 + 1 + total + 2  # prefix+bos+steps
     core = _generate_core(model, max_frames, cache_len, cfg_scale,
-                          temperature, top_k)
+                          temperature, top_k, min_p, repetition_penalty)
     delayed = core(params, text2, spk2, em2, ra2, pi2, bos, rng)
     return undelay_pattern(delayed, c.n_codebooks)
 
@@ -594,40 +600,69 @@ from functools import lru_cache
 
 
 def _make_sample9(model: ZonosModel, max_frames: int, cfg_scale: float,
-                  temperature: float, top_k: int):
-    """CFG-merged 9-codebook sampler shared by both decode cores."""
+                  temperature: float, top_k: int, min_p: float = 0.1,
+                  repetition_penalty: float = 3.0, rep_window: int = 2):
+    """CFG-merged 9-codebook sampler shared by both decode cores.
+
+    Defaults mirror the published Zonos.generate
+    (modules/zonos/model.py:202 sampling_params=dict(min_p=0.1);
+    sampling.py:101-109 repetition_penalty=3.0 over a window of the last
+    2 frames per codebook).  min_p needs only a row-max — no per-step
+    sort — so it is also the fastest filter on TPU; ``top_k`` remains as
+    an alternative when nonzero."""
     c = model.cfg
 
-    def sample9(logits2, key, step):
+    def sample9(logits2, key, step, window):
+        """window: (b, n_q, rep_window) last emitted ids (V = none)."""
         lc, lu = jnp.split(logits2, 2, axis=0)  # (b, n_q, V)
         lg = lu + cfg_scale * (lc - lu)
+        v = lg.shape[-1]
+        if repetition_penalty != 1.0:
+            # sampling.py:83-98: factors = rp^(occurrences in window);
+            # logits <= 0 multiply, > 0 divide
+            ar = jnp.arange(v)
+            count = jnp.sum(window[..., None] == ar[None, None, None, :],
+                            axis=2)
+            factors = repetition_penalty ** count.astype(lg.dtype)
+            lg = jnp.where(lg <= 0, lg * factors, lg / factors)
         bq = lg.shape[0] * c.n_codebooks
         flat = lg.reshape(bq, -1) / jnp.maximum(temperature, 1e-6)
-        # ONE top-k over all codebooks (9 per-codebook sorts per step kill
-        # decode throughput on TPU)
-        k_eff = min(top_k, flat.shape[-1])
-        kth = jax.lax.top_k(flat, k_eff)[0][:, -1:]
-        flat = jnp.where(flat < kth, -jnp.inf, flat)
+        if top_k > 0:
+            k_eff = min(top_k, flat.shape[-1])
+            kth = jax.lax.top_k(flat, k_eff)[0][:, -1:]
+            flat = jnp.where(flat < kth, -jnp.inf, flat)
+        if min_p > 0.0:
+            probs = jax.nn.softmax(flat, axis=-1)
+            keep = probs >= min_p * jnp.max(probs, axis=-1, keepdims=True)
+            flat = jnp.where(keep, flat, -jnp.inf)
         toks = jax.random.categorical(key, flat, axis=-1).reshape(
             lg.shape[0], c.n_codebooks)
         q_idx = jnp.arange(c.n_codebooks)[None, :]
         # delay pattern: codebook q emits MASKED until step >= q; EOS after
         toks = jnp.where(step >= q_idx, toks, c.masked_id)
         toks = jnp.where(step >= max_frames + q_idx, c.eos_id, toks)
-        return toks  # (b, n_q)
+        window = jnp.concatenate([window[..., 1:], toks[..., None]], axis=-1)
+        return toks, window  # (b, n_q), (b, n_q, W)
 
-    return sample9
+    def init_window(b):
+        # sentinel -1 = "no token yet": matches no vocab id
+        return jnp.full((b, c.n_codebooks, rep_window), -1, jnp.int32)
+
+    return sample9, init_window
 
 
 @lru_cache(maxsize=32)
 def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
-                   cfg_scale: float, temperature: float, top_k: int):
+                   cfg_scale: float, temperature: float, top_k: int,
+                   min_p: float = 0.1, repetition_penalty: float = 3.0):
     """ONE jitted graph for prefill + the whole decode scan, cached per
     (model, shape) — the un-jitted prefill otherwise runs op-by-op with a
     network round trip per op on tunneled TPUs."""
     c = model.cfg
     total = max_frames + c.n_codebooks
-    sample9 = _make_sample9(model, max_frames, cfg_scale, temperature, top_k)
+    sample9, init_window = _make_sample9(model, max_frames, cfg_scale,
+                                         temperature, top_k, min_p,
+                                         repetition_penalty)
 
     @jax.jit
     def core(params, text2, spk2, em2, ra2, pi2, bos, rng):
@@ -637,19 +672,20 @@ def _generate_core(model: ZonosModel, max_frames: int, cache_len: int,
         )
 
         def body(carry, i):
-            logits, states, rng = carry
+            logits, states, rng, window = carry
             rng, key = jax.random.split(rng)
-            toks = sample9(logits, key, i)  # (b, n_q)
+            toks, window = sample9(logits, key, i, window)  # (b, n_q)
             toks2 = jnp.concatenate([toks, toks], axis=0)
             pos = jnp.asarray([0], jnp.int32) + plen + i
             logits, states = model.apply(
                 {"params": params}, toks2, pos, states,
                 method=ZonosModel.decode_step,
             )
-            return (logits, states, rng), toks
+            return (logits, states, rng, window), toks
 
-        (_, _, _), frames = jax.lax.scan(body, (logits, states, rng),
-                                         jnp.arange(total))
+        win0 = init_window(text2.shape[0] // 2)
+        (_, _, _, _), frames = jax.lax.scan(
+            body, (logits, states, rng, win0), jnp.arange(total))
         return jnp.moveaxis(frames, 0, 2)  # (b, n_q, total)
 
     return core
@@ -662,12 +698,16 @@ def generate_embedded(
     max_frames: int = 600,
     cfg_scale: float = 2.0,
     temperature: float = 1.0,
-    top_k: int = 64,
+    top_k: int = 0,
+    min_p: float = 0.1,
+    repetition_penalty: float = 3.0,
     rng: jax.Array | None = None,
 ) -> jnp.ndarray:
     """AR generation from a pre-embedded CFG prefix pair — build it with
     the converted ZonosPrefixConditioner over upstream cond dicts (cond
     and uncond variants), matching model.py:190-278's conditioning flow.
+    Sampling defaults mirror the published run (min_p 0.1, window-2
+    repetition penalty 3.0).
 
     Returns codes (b, n_q, max_frames) (undelayed; EOS-padded)."""
     c = model.cfg
@@ -677,7 +717,8 @@ def generate_embedded(
     total = max_frames + c.n_codebooks
     cache_len = x_prefix2.shape[1] + 1 + total + 2
     core = _generate_core_embedded(model, max_frames, cache_len, cfg_scale,
-                                   temperature, top_k)
+                                   temperature, top_k, min_p,
+                                   repetition_penalty)
     delayed = core(params, x_prefix2, bos, rng)
     return undelay_pattern(delayed, c.n_codebooks)
 
@@ -685,12 +726,16 @@ def generate_embedded(
 @lru_cache(maxsize=32)
 def _generate_core_embedded(model: ZonosModel, max_frames: int,
                             cache_len: int, cfg_scale: float,
-                            temperature: float, top_k: int):
+                            temperature: float, top_k: int,
+                            min_p: float = 0.1,
+                            repetition_penalty: float = 3.0):
     """ONE jitted prefill+decode graph over an embedded prefix (same scan
     as _generate_core; prefix embedding happens outside)."""
     c = model.cfg
     total = max_frames + c.n_codebooks
-    sample9 = _make_sample9(model, max_frames, cfg_scale, temperature, top_k)
+    sample9, init_window = _make_sample9(model, max_frames, cfg_scale,
+                                         temperature, top_k, min_p,
+                                         repetition_penalty)
 
     @jax.jit
     def core(params, x_prefix2, bos, rng):
@@ -700,19 +745,20 @@ def _generate_core_embedded(model: ZonosModel, max_frames: int,
         )
 
         def body(carry, i):
-            logits, states, rng = carry
+            logits, states, rng, window = carry
             rng, key = jax.random.split(rng)
-            toks = sample9(logits, key, i)
+            toks, window = sample9(logits, key, i, window)
             toks2 = jnp.concatenate([toks, toks], axis=0)
             pos = jnp.asarray([0], jnp.int32) + plen + i
             logits, states = model.apply(
                 {"params": params}, toks2, pos, states,
                 method=ZonosModel.decode_step,
             )
-            return (logits, states, rng), toks
+            return (logits, states, rng, window), toks
 
-        (_, _, _), frames = jax.lax.scan(body, (logits, states, rng),
-                                         jnp.arange(total))
+        win0 = init_window(x_prefix2.shape[0] // 2)
+        (_, _, _, _), frames = jax.lax.scan(
+            body, (logits, states, rng, win0), jnp.arange(total))
         return jnp.moveaxis(frames, 0, 2)
 
     return core

@@ -74,7 +74,10 @@ class ZonosTTSConfig:
     frame_rate: float = 86.0
     max_seconds: float = 30.0   # reference 30 s token cap (model.py:194)
     cfg_scale: float = 2.0
-    top_k: int = 64
+    # published sampling defaults (model.py:202, sampling.py:101-109)
+    top_k: int = 0
+    min_p: float = 0.1
+    repetition_penalty: float = 3.0
     temperature: float = 1.0
     silence_ms: float = 120.0
     text_max_len: int = 256
@@ -154,6 +157,7 @@ class ZonosTTS:
             rate=jnp.full((n, 1), rate),
             pitch=jnp.full((n, 1), pitch),
             cfg_scale=c.cfg_scale, temperature=c.temperature, top_k=c.top_k,
+            min_p=c.min_p, repetition_penalty=c.repetition_penalty,
             rng=jax.random.PRNGKey(seed),
         )
         codes = jnp.clip(codes, 0, self.model.cfg.codebook_size - 3)  # drop eos/mask
