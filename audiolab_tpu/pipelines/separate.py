@@ -287,6 +287,53 @@ def htdemucs_member(params, cfg=None, name: str = "htdemucs_6s",
                           weight_inst=weight_inst)
 
 
+def mdx23c_member(params, cfg=None, name: str = "mdx23c",
+                  weight_vocals: float = 7.2,
+                  weight_inst: float = 14.9) -> EnsembleMember:
+    """A converted MDX23C checkpoint
+    (utils.convert.load_mdx23c_checkpoint) as an EnsembleMember — the
+    reference blends MDX23C-8KFFT-InstVoc_HQ at 7.2/14.9
+    (stem_separator.py:383) and uses the DrumSep variant for kit splits
+    (:534-541).  Chunks are right-padded to the net's time-divisibility
+    constraint and trimmed back, so any ensemble chunk length works."""
+    from audiolab_tpu.models.separation.mdx23c import (
+        MDX23CConfig,
+        TFCTDFNetV3,
+    )
+
+    if isinstance(cfg, dict):
+        cfg = MDX23CConfig(**cfg)
+    model = TFCTDFNetV3(cfg or MDX23CConfig())
+    c = model.cfg
+    names = ([c.target_instrument] if c.target_instrument
+             else list(c.instruments))
+    names = [s.lower() for s in names]
+
+    def fwd(p, x):
+        n = x.shape[-1]
+        tot = c.scale[0] ** c.num_scales
+        frames = -(-(n // c.hop_length + 1) // tot) * tot
+        good = (frames - 1) * c.hop_length
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, good - n)))
+        out = model.apply({"params": p}, x)       # (b, nt, ch, good)
+        return out[..., :n]
+
+    jfwd = jax.jit(fwd)
+
+    def apply(p, batch):
+        out = jfwd(p, batch)
+        stems = {s: out[:, i] for i, s in enumerate(names)}
+        if "instrumental" not in stems and "vocals" in stems:
+            stems["instrumental"] = batch - stems["vocals"]
+        elif "vocals" not in stems and "instrumental" in stems:
+            stems["vocals"] = batch - stems["instrumental"]
+        return stems
+
+    return EnsembleMember(name=name, apply_fn=apply, params=params,
+                          weight_vocals=weight_vocals,
+                          weight_inst=weight_inst)
+
+
 # preset stem layouts (stem_separator.py: htdemucs 6-stem :459, alt bass
 # :505, drum-sep MDX23C :534, woodwinds UVR :589, karaoke BG split :737)
 MULTISTEM_6 = ("vocals", "drums", "bass", "guitar", "piano", "other")

@@ -3199,6 +3199,107 @@ def load_htdemucs_checkpoint(path: str, cfg=None) -> dict:
     return convert_htdemucs(sd, template)
 
 
+# --------------------------------------------------- MDX23C (TFC-TDF v3)
+
+def _mdx23c_tfctdf(m: dict, fp: str, tk: str, node: dict) -> None:
+    """Map one TFCTDFv3 stack (flax prefix fp) to torch
+    ``{tk}.blocks.{j}.*`` keys."""
+    j = 0
+    while f"b{j}_shortcut" in node:
+        b = f"{tk}.blocks.{j}"
+        m[f"{fp}/b{j}_shortcut/kernel"] = ("conv2_w", f"{b}.shortcut")
+        for part, t_idx in (("tfc1", "tfc1"), ("tfc2", "tfc2")):
+            if f"b{j}_{part}_norm" in node:
+                m[f"{fp}/b{j}_{part}_norm/norm/scale"] = ("w", f"{b}.{t_idx}.0")
+                m[f"{fp}/b{j}_{part}_norm/norm/bias"] = ("b", f"{b}.{t_idx}.0")
+            m[f"{fp}/b{j}_{part}_conv/kernel"] = ("conv2_w", f"{b}.{t_idx}.2")
+        if f"b{j}_tdf_norm" in node:
+            m[f"{fp}/b{j}_tdf_norm/norm/scale"] = ("w", f"{b}.tdf.0")
+            m[f"{fp}/b{j}_tdf_norm/norm/bias"] = ("b", f"{b}.tdf.0")
+        m[f"{fp}/b{j}_tdf1/kernel"] = ("dense_w", f"{b}.tdf.2")
+        m[f"{fp}/b{j}_tdf2/kernel"] = ("dense_w", f"{b}.tdf.4")
+        j += 1
+
+
+def mdx23c_mapping(template: dict, sd: dict) -> dict[str, tuple[str, str]]:
+    """flax models/separation/mdx23c.TFCTDFNetV3 -> MDX23C .ckpt names
+    (ZFTurbo tfc_tdf_v3 layout; the reference runs these checkpoints via
+    audio-separator, stem_separator.py:111,113,379-386,534-541).
+
+    ``sd`` is probed for the down/upscale Sequential prefix so minor
+    vendor repackagings (``downscale.2`` vs ``downscale.conv.2``) both
+    resolve."""
+    def seq(base: str) -> str:
+        return base if f"{base}.2.weight" in sd else f"{base}.conv"
+
+    m: dict[str, tuple[str, str]] = {
+        "first_conv/kernel": ("conv2_w", "first_conv"),
+        "final_conv1/kernel": ("conv2_w", "final_conv.0"),
+        "final_conv2/kernel": ("conv2_w", "final_conv.2"),
+    }
+    _mdx23c_tfctdf(m, "mid", "bottleneck_block", template["mid"])
+    n_scales = 0
+    while f"enc_{n_scales}" in template:
+        n_scales += 1
+    for i in range(n_scales):
+        # torch decoder_blocks run deepest-first: flax dec_{i} (named by
+        # encoder scale) pairs with decoder_blocks.{n-1-i}
+        d = n_scales - 1 - i
+        _mdx23c_tfctdf(m, f"enc_{i}", f"encoder_blocks.{i}.tfc_tdf",
+                       template[f"enc_{i}"])
+        _mdx23c_tfctdf(m, f"dec_{i}", f"decoder_blocks.{d}.tfc_tdf",
+                       template[f"dec_{i}"])
+        dn = seq(f"encoder_blocks.{i}.downscale")
+        up = seq(f"decoder_blocks.{d}.upscale")
+        if f"down_{i}_norm" in template:
+            m[f"down_{i}_norm/norm/scale"] = ("w", f"{dn}.0")
+            m[f"down_{i}_norm/norm/bias"] = ("b", f"{dn}.0")
+            m[f"up_{i}_norm/norm/scale"] = ("w", f"{up}.0")
+            m[f"up_{i}_norm/norm/bias"] = ("b", f"{up}.0")
+        m[f"down_{i}_conv/kernel"] = ("conv2_w", f"{dn}.2")
+        m[f"up_{i}_conv/kernel"] = ("convT2_w", f"{up}.2")
+    return m
+
+
+def convert_mdx23c(state_dict: dict, template: dict,
+                   strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        for pre in ("model.", "module.", "state_dict."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        sd[k] = np.asarray(v)
+    return fill_tree(template, mdx23c_mapping(template, sd), sd, strict)
+
+
+def load_mdx23c_checkpoint(path: str, cfg=None) -> tuple[dict, "object"]:
+    """MDX23C .ckpt -> (flax params, TFCTDFNetV3 model).
+
+    ``cfg``: MDX23CConfig or a dict of its fields (copy the values from
+    the checkpoint's published audio/model yaml sections)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.separation.mdx23c import (
+        MDX23CConfig,
+        TFCTDFNetV3,
+    )
+
+    if isinstance(cfg, dict):
+        cfg = MDX23CConfig(**cfg)
+    cfg = cfg or MDX23CConfig()
+    model = TFCTDFNetV3(cfg)
+    n = model.good_length(1.0)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, cfg.num_channels, n)))["params"])
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_mdx23c(sd, template), model
+
+
 # ------------------------------------------------------ Chatterbox (T3)
 
 def chatterbox_t3_mapping(template: dict) -> dict[str, tuple[str, str]]:
