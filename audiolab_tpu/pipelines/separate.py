@@ -342,6 +342,51 @@ KARAOKE = ("lead_vocals", "back_vocals")
 WOODWINDS = ("woodwinds", "other")
 
 
+def vr_split(params, model, band_params, stems: tuple[str, str],
+             window_size: int = 512, aggressiveness: float = 0.0):
+    """A converted UVR VR checkpoint (utils.convert.load_vr_checkpoint)
+    as a named two-stem split — the reference's woodwinds path
+    (17_HP-Wind_Inst-UVR.pth, stem_separator.py:589-596) and the BVE
+    karaoke split (UVR-BVE-4B_SN-44100-1.pth, :752) use these weights.
+    ``stems`` = (primary, complement) names, e.g. WOODWINDS or KARAOKE
+    reversed per the model's primary stem."""
+    from audiolab_tpu.models.separation.vr_bands import VRSeparator
+
+    sep = VRSeparator(params, model, band_params=band_params,
+                      primary=stems[0], window_size=window_size,
+                      aggressiveness=aggressiveness)
+
+    def split(audio: np.ndarray) -> dict[str, np.ndarray]:
+        out = sep(np.asarray(audio))
+        return {stems[0]: out[stems[0]], stems[1]: out["complement"]}
+
+    return split
+
+
+def vr_transform(params, model, band_params, keep: str = "primary",
+                 window_size: int = 512, aggressiveness: float = 0.0):
+    """A VR checkpoint as an audio->audio transform for the per-stem
+    chain — the reference's UVR-DeNoise / UVR-De-Echo transforms
+    (stem_separator.py:148,799,1048-1050; the models' primary stem is the
+    cleaned signal, so ``keep='primary'`` denoises/de-echoes)."""
+    from audiolab_tpu.models.separation.vr_bands import VRSeparator
+
+    sep = VRSeparator(params, model, band_params=band_params,
+                      primary="primary", window_size=window_size,
+                      aggressiveness=aggressiveness)
+
+    def transform(audio: np.ndarray, sr: int = 44100) -> np.ndarray:
+        x = np.asarray(audio)
+        mono = x.ndim == 1
+        if mono:
+            x = np.stack([x, x])
+        out = sep(x)[("primary" if keep == "primary" else "complement")]
+        out = out[..., : x.shape[-1]]
+        return out[0] if mono else out
+
+    return transform
+
+
 # ---------------------------------------------------------------- transforms
 
 def spectral_gate_denoise(

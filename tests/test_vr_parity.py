@@ -1,0 +1,110 @@
+"""UVR VR-architecture parity vs seeded torch replicas with checkpoint key
+names (audio-separator is not installed; the reference runs VR .pth
+models — woodwinds/DeNoise/De-Echo/BVE — through it,
+stem_separator.py:114,148,752,1048-1050)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from audiolab_tpu.models.separation.vr import (  # noqa: E402
+    VRConfig,
+    infer_vr_config,
+    make_vr_net,
+)
+from audiolab_tpu.utils.convert import convert_vr  # noqa: E402
+
+
+def _parity(t_model, cfg, seed, frames=32, atol=1e-7):
+    with torch.no_grad():
+        for p in t_model.parameters():
+            p.copy_(p.float().double())
+        # give BN running stats non-trivial values (checkpoints carry them)
+        for mod in t_model.modules():
+            if isinstance(mod, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                g = torch.Generator().manual_seed(seed)
+                mod.running_mean.copy_(
+                    (torch.randn(mod.running_mean.shape, generator=g) * 0.1)
+                    .float().double())
+                mod.running_var.copy_(
+                    (torch.rand(mod.running_var.shape, generator=g) + 0.5)
+                    .float().double())
+
+    f_model = make_vr_net(cfg)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(seed)
+        mag = np.abs(rng.standard_normal(
+            (2, 2, cfg.max_bin, frames))).astype(np.float32).astype(
+                np.float64)
+        template = jax.eval_shape(
+            lambda: f_model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.max_bin, frames, 2)))["params"])
+        sd = {k: v.detach().numpy()
+              for k, v in t_model.state_dict().items()}
+        inferred = infer_vr_config(sd, n_fft=cfg.n_fft)
+        assert inferred.arch == cfg.arch
+        params = convert_vr(sd, template, strict=True)
+        params = jax.tree.map(lambda a: a.astype(np.float64), params)
+        with torch.no_grad():
+            ref = t_model(torch.from_numpy(mag)).numpy()
+        out = np.asarray(f_model.apply(
+            {"params": params}, jnp.asarray(mag.transpose(0, 2, 3, 1))))
+        out = out.transpose(0, 3, 1, 2)
+        assert out.shape == ref.shape == (2, 2, cfg.output_bin, frames)
+        np.testing.assert_allclose(out, ref, atol=atol)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_vr_cascaded_asppnet_parity():
+    """Old arch (nets.py): 3-stage cascade, separable dilated ASPP."""
+    from tests.torch_vr_replica import CascadedASPPNet
+
+    cfg = VRConfig(arch="cascaded_asppnet", n_fft=128, ch=4,
+                   dilations=(1, 2, 3))
+    torch.manual_seed(41)
+    t_model = CascadedASPPNet(cfg.n_fft, ch=cfg.ch,
+                              dilations=cfg.dilations).double().eval()
+    _parity(t_model, cfg, seed=41)
+    assert infer_vr_config(
+        {k: v.detach().numpy()
+         for k, v in t_model.state_dict().items()}).ch == 4
+
+
+def test_vr_cascaded_net_parity():
+    """New arch (nets_new.py): BiLSTM bottlenecks, 2-D dilations; widths
+    (nout, nout_lstm, n_fft) auto-detected from the state dict."""
+    from tests.torch_vr_replica import CascadedNet
+
+    cfg = VRConfig(arch="cascaded_net", n_fft=128, nout=8, nout_lstm=8,
+                   dilations_new=((1, 1), (2, 1), (3, 2)))
+    torch.manual_seed(43)
+    t_model = CascadedNet(cfg.n_fft, nout=8, nout_lstm=8).double().eval()
+    # replica uses default dilations in ASPP; rebuild with matching ones
+    from tests import torch_vr_replica as R
+    t_model.stg1_low_band_net[0].aspp = R.ASPPModuleNew(
+        8 // 2 * 8, 8 // 2 * 8, cfg.dilations_new, dropout=True).double()
+    # simpler: rebuild whole model with patched default
+    orig = R.BaseNet.__init__
+
+    def patched(self, nin, nout, nin_lstm, nout_lstm,
+                dilations=cfg.dilations_new):
+        orig(self, nin, nout, nin_lstm, nout_lstm, dilations)
+
+    R.BaseNet.__init__ = patched
+    try:
+        torch.manual_seed(43)
+        t_model = R.CascadedNet(cfg.n_fft, nout=8, nout_lstm=8)
+        t_model = t_model.double().eval()
+    finally:
+        R.BaseNet.__init__ = orig
+    sd = {k: v.detach().numpy() for k, v in t_model.state_dict().items()}
+    inferred = infer_vr_config(sd)
+    assert (inferred.nout, inferred.nout_lstm, inferred.n_fft) == (8, 8, 128)
+    _parity(t_model, cfg, seed=43)
