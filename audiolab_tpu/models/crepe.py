@@ -166,3 +166,40 @@ class CrepePredictor:
         pd = _medfilt3(pd)
         f0 = _meanfilt3(bins_to_f0(bins))
         return jnp.where(pd >= threshold, f0, 0.0), pd
+
+    def predict_mangio(
+        self,
+        audio16k: jnp.ndarray,
+        hop: int = 160,
+        fmin: float = 50.0,
+        fmax: float = 1100.0,
+    ) -> jnp.ndarray:
+        """The fork's "mangio-crepe" flow (pitch_extraction.py:89-127):
+        0.999-quantile peak normalization, plain viterbi decode with NO
+        periodicity gating or f0/pd filters, then the curve linearly
+        resampled to ``n // hop`` frames with unvoiced (< 1 mHz) samples
+        zeroed."""
+        x = np.asarray(audio16k, np.float32)
+        q = np.quantile(np.abs(x), 0.999)
+        x = x / (q if q > 0 else 1.0)
+        if self.variables is None:
+            self.init(jax.random.PRNGKey(0))
+        xj = jnp.asarray(x)
+        n = xj.shape[-1]
+        t_frames = 1 + n // hop
+        xp = jnp.pad(xj, (WINDOW // 2, WINDOW // 2 + hop))
+        idx = jnp.arange(t_frames)[:, None] * hop + jnp.arange(WINDOW)[None]
+        frames = xp[idx]
+        mu = frames.mean(axis=-1, keepdims=True)
+        sd = frames.std(axis=-1, keepdims=True, ddof=1)
+        frames = (frames - mu) / jnp.maximum(sd, 1e-10)
+        probs = self._salience(self.variables, frames)
+        cents = jnp.asarray(_CENTS, jnp.float32)
+        fhz = 10.0 * jnp.power(2.0, cents / 1200.0)
+        probs = jnp.where((fhz >= fmin) & (fhz <= fmax), probs, 0.0)
+        source = np.asarray(bins_to_f0(viterbi_bins(probs)), np.float64)
+        source[source < 0.001] = np.nan
+        p_len = max(n // hop, 1)
+        pos = np.arange(0, len(source) * p_len, len(source)) / p_len
+        target = np.interp(pos, np.arange(len(source)), source)
+        return jnp.asarray(np.nan_to_num(target), jnp.float32)

@@ -220,3 +220,13 @@ class RMVPE:
             mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)), mode="reflect")
         hidden = self._run(self.variables, mel)[:, :t]
         return decode_f0(hidden, threshold)
+
+    def infer_with_pitch(self, audio16k: jnp.ndarray,
+                         threshold: float = 0.03, f0_min: float = 50.0,
+                         f0_max: float = 1100.0) -> jnp.ndarray:
+        """The fork's "rmvpe+" (pitch-dependent) variant
+        (pitch_extraction.py:196-203 / rmvpe.py
+        infer_from_audio_with_pitch): plain inference with out-of-range
+        estimates zeroed."""
+        f0 = self.infer(audio16k, threshold)
+        return jnp.where((f0 < f0_min) | (f0 > f0_max), 0.0, f0)

@@ -175,18 +175,34 @@ class VoiceConverter:
         m = self.cfg.f0_method
         if isinstance(m, (list, tuple)) or m == "hybrid":
             return True
-        if m == "rmvpe":
+        if m in ("rmvpe", "rmvpe+", "rmvpe_onnx"):
             return self.rmvpe is not None
-        if m == "crepe":
+        if m in ("crepe", "crepe-tiny", "mangio-crepe", "mangio-crepe-tiny"):
             return self.crepe is not None
         if m in ("pm", "dio", "harvest"):
             return True          # host numpy estimators (dsp/f0.py)
         return False
 
     def _f0_one_method(self, method: str, wav16) -> jnp.ndarray:
-        if method == "rmvpe" and self.rmvpe is not None:
+        # the reference's 11-method dict (pitch_extraction.py:44-55):
+        # rmvpe_onnx is the same net through ORT (the converter fills it
+        # from either serialization); -tiny capacity comes from the loaded
+        # crepe checkpoint
+        if method in ("rmvpe", "rmvpe_onnx") and self.rmvpe is not None:
             return self.rmvpe.infer(jnp.asarray(wav16))
-        if method == "crepe" and self.crepe is not None:
+        if method == "rmvpe+" and self.rmvpe is not None:
+            return self.rmvpe.infer_with_pitch(
+                jnp.asarray(wav16), f0_min=self.cfg.f0_min,
+                f0_max=self.cfg.f0_max)
+        if (method in ("mangio-crepe", "mangio-crepe-tiny")
+                and self.crepe is not None):
+            rows = [self.crepe.predict_mangio(
+                        w, hop=160, fmin=self.cfg.f0_min,
+                        fmax=self.cfg.f0_max)
+                    for w in jnp.asarray(wav16)]
+            t = min(r.shape[0] for r in rows)
+            return jnp.stack([r[:t] for r in rows])
+        if method in ("crepe", "crepe-tiny") and self.crepe is not None:
             rows = [self.crepe.predict(w, hop=160, fmin=self.cfg.f0_min,
                                        fmax=self.cfg.f0_max)[0]
                     for w in jnp.asarray(wav16)]
@@ -216,12 +232,16 @@ class VoiceConverter:
         m = self.cfg.f0_method
         if isinstance(m, (list, tuple)) or m == "hybrid":
             # reference hybrid: run several estimators, median/mean-merge
-            # the stack (pitch_extraction.py:205-286); default pairs the
-            # neural method with the DSP one, like its harvest+rmvpe+
-            methods = list(m) if isinstance(m, (list, tuple)) else [
-                meth for meth, ok in (("rmvpe", self.rmvpe is not None),
-                                      ("crepe", self.crepe is not None),
-                                      ("yin", True)) if ok][:2]
+            # the stack (pitch_extraction.py:205-286); its default list is
+            # ["harvest", "rmvpe+"] (pitch_extraction.py:320)
+            if isinstance(m, (list, tuple)):
+                methods = list(m)
+            elif self.rmvpe is not None:
+                methods = ["harvest", "rmvpe+"]
+            else:
+                methods = [meth for meth, ok in
+                           (("crepe", self.crepe is not None),
+                            ("harvest", True), ("yin", True)) if ok][:2]
             stack = jnp.stack([self._f0_one_method(meth, wav16)
                                for meth in methods])
             f0 = merge_f0(stack, "median")

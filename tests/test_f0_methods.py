@@ -213,3 +213,43 @@ def test_f0_pm_in_rvc_dispatch():
 
     cfg = RVCPipelineConfig(sr=48000, f0_method="pm")
     assert cfg.f0_method == "pm"
+
+
+def test_mangio_crepe_and_rmvpe_plus_variants():
+    """The fork's extra f0 methods dispatch correctly: mangio-crepe skips
+    periodicity gating and resamples to n//hop frames; rmvpe+ zeroes
+    out-of-range estimates (pitch_extraction.py:44-55,196-203)."""
+    from audiolab_tpu.models.crepe import CrepePredictor
+    from audiolab_tpu.models.rmvpe import RMVPE
+
+    x = glide(dur=0.5)[0]
+    crepe = CrepePredictor(model="tiny")
+    f0 = np.asarray(crepe.predict_mangio(x, hop=160))
+    assert f0.shape == (len(x) // 160,)
+    assert np.isfinite(f0).all() and (f0 >= 0).all()
+
+    rmvpe = RMVPE()
+    f0p = np.asarray(rmvpe.infer_with_pitch(jnp.asarray(x)[None],
+                                            f0_min=100.0, f0_max=200.0))
+    assert ((f0p == 0) | ((f0p >= 100.0) & (f0p <= 200.0))).all()
+
+
+def test_pipeline_accepts_fork_method_names():
+    """VoiceConverter dispatches every name in the reference's method
+    dict that has a backing model here."""
+    from audiolab_tpu.pipelines.rvc import RVCPipelineConfig, VoiceConverter
+    from dataclasses import replace
+
+    class _VC(VoiceConverter):
+        def __init__(self, cfg):
+            self.cfg = cfg
+            self.rmvpe = None
+            self.crepe = None
+
+    for name, ok in (("pm", True), ("dio", True), ("harvest", True),
+                     ("rmvpe", False), ("rmvpe+", False),
+                     ("rmvpe_onnx", False), ("crepe", False),
+                     ("crepe-tiny", False), ("mangio-crepe", False),
+                     ("mangio-crepe-tiny", False)):
+        vc = _VC(RVCPipelineConfig(f0_method=name))
+        assert vc._f0_on_host() == ok, name
