@@ -26,7 +26,10 @@ from audiolab_tpu.pipelines.base import (
     null_progress,
     register_processor,
 )
-from audiolab_tpu.pipelines.separate import StemSeparator, apply_transform_chain
+from audiolab_tpu.pipelines.separate import (
+    StemSeparator,
+    apply_policy_transforms,
+)
 
 
 def dsp_vocal_split(audio: np.ndarray, sr: int) -> dict[str, np.ndarray]:
@@ -61,27 +64,93 @@ def dsp_vocal_split(audio: np.ndarray, sr: int) -> dict[str, np.ndarray]:
     return {"vocals": vocals.astype(np.float32), "instrumental": inst.astype(np.float32)}
 
 
+def dsp_bg_vocal_split(vocals: np.ndarray) -> dict[str, np.ndarray]:
+    """Checkpoint-free lead/background vocal split: leads are
+    center-panned, backs carry the stereo width (the reference uses the
+    UVR-BVE karaoke checkpoint here, stem_separator.py:737-752 — wire
+    ``vr_split(..., KARAOKE)`` when its weights are available)."""
+    mid = 0.5 * (vocals[0] + vocals[1])
+    side = 0.5 * (vocals[0] - vocals[1])
+    lead = np.stack([mid, mid]).astype(np.float32)
+    back = np.stack([side, -side]).astype(np.float32)
+    return {"vocals": lead, "bg_vocals": back}
+
+
 class Separate(BaseProcessor):
     title = "Separate"
     priority = 1
     description = "Split a track into vocal and instrumental stems."
     default_enabled = True
+    # full reference option set (wrappers/separate.py:33-140)
     allowed_kwargs = {
-        "transform_chain": TypedInput(
-            default=True, description="Apply dereverb/denoise transforms to stems",
-            type=bool,
-        ),
+        "vocals_only": TypedInput(
+            default=True, description=(
+                "Enable to separate only the main vocals and instrumental,"
+                " disable for additional stems."), type=bool),
+        "separate_bg_vocals": TypedInput(
+            default=False,
+            description="Separate background vocals from main vocals.",
+            type=bool),
+        "bg_vocal_layers": TypedInput(
+            default=1, ge=1, le=10,
+            description="Number of background vocal layers to separate.",
+            type=int),
+        "separate_drums": TypedInput(
+            default=False, description="Separate the drum track.",
+            type=bool),
+        "separate_woodwinds": TypedInput(
+            default=False,
+            description="Separate the woodwind instruments.", type=bool),
+        "alt_bass_model": TypedInput(
+            default=False, description="Use an alternative bass model.",
+            type=bool),
+        "store_reverb_ir": TypedInput(
+            default=False, description=(
+                "Store the impulse response for reverb removal. Will be"
+                " used to re-apply reverb later."), type=bool),
+        "reverb_removal": TypedInput(
+            default="Nothing", description="Apply reverb removal.",
+            type=str,
+            choices=["Nothing", "Main Vocals", "All Vocals", "All"]),
+        "echo_removal": TypedInput(
+            default="Nothing", description="Apply echo/delay removal.",
+            type=str,
+            choices=["Nothing", "Main Vocals", "All Vocals", "All"]),
+        "crowd_removal": TypedInput(
+            default="Nothing", description="Apply crowd noise removal.",
+            type=str,
+            choices=["Nothing", "Main Vocals", "All Vocals", "All"]),
+        "noise_removal": TypedInput(
+            default="Nothing", description="Apply general noise removal.",
+            type=str,
+            choices=["Nothing", "Main Vocals", "All Vocals", "All"]),
+        "delete_extra_stems": TypedInput(
+            default=True, description=(
+                "Delete intermediate stem files after the chain"
+                " completes."), type=bool),
         "use_cache": TypedInput(
-            default=True, description="Reuse cached stems when config+hash match",
-            type=bool,
-        ),
+            default=True,
+            description="Reuse cached stems when config+hash match",
+            type=bool),
     }
 
     separator: StemSeparator | None = None  # injected neural ensemble
+    multistem = None        # callable audio -> {6 stems} (htdemucs_member)
+    drum_splitter = None    # callable audio -> kit stems (mdx23c DrumSep)
+    woodwind_splitter = None  # callable audio -> {woodwinds, other} (VR)
+    bg_splitter = None      # callable vocals -> {vocals, bg_vocals} (BVE)
+    transforms: dict | None = None  # {"reverb"/"echo"/"crowd"/"noise": fn}
 
     @classmethod
-    def configure(cls, separator: StemSeparator) -> None:
+    def configure(cls, separator: StemSeparator, multistem=None,
+                  drum_splitter=None, woodwind_splitter=None,
+                  bg_splitter=None, transforms=None) -> None:
         cls.separator = separator
+        cls.multistem = multistem
+        cls.drum_splitter = drum_splitter
+        cls.woodwind_splitter = woodwind_splitter
+        cls.bg_splitter = bg_splitter
+        cls.transforms = transforms
 
     def _cache_key(self, path: str, cfg: dict) -> str:
         h = hashlib.sha256()
@@ -94,38 +163,105 @@ class Separate(BaseProcessor):
     def process_audio(
         self, inputs: list[ProjectFiles], callback: ProgressFn = null_progress, **kw
     ) -> list[ProjectFiles]:
-        use_chain = kw.get("transform_chain", True)
-        use_cache = kw.get("use_cache", True)
+        settings = {k: kw.get(k, ti.default)
+                    for k, ti in self.allowed_kwargs.items()}
+        use_cache = settings.pop("use_cache")
+        policies = {
+            "reverb": settings["reverb_removal"],
+            "echo": settings["echo_removal"],
+            "crowd": settings["crowd_removal"],
+            "noise": settings["noise_removal"],
+        }
         for proj in inputs:
             stage = proj.stage_dir("stems")
             src = proj.last_outputs[0]
-            key = self._cache_key(src, {"chain": use_chain})
+            key = self._cache_key(src, settings)
             cache_meta = os.path.join(stage, "cache.json")
             base = os.path.splitext(os.path.basename(src))[0]
-            v_path = os.path.join(stage, f"{base} (Vocals).wav")
-            i_path = os.path.join(stage, f"{base} (Instrumental).wav")
 
             if use_cache and os.path.exists(cache_meta):
                 with open(cache_meta) as f:
-                    if json.load(f).get("key") == key and os.path.exists(v_path):
-                        proj.add_output("stems", [v_path, i_path])
-                        continue
+                    meta = json.load(f)
+                if meta.get("key") == key and all(
+                        os.path.exists(p) for p in meta.get("files", [])):
+                    proj.add_output("stems", meta["files"])
+                    continue
 
             a = read_audio(src)
-            audio = a.samples if a.channels == 2 else np.vstack([a.samples, a.samples])
+            audio = (a.samples if a.channels == 2
+                     else np.vstack([a.samples, a.samples]))
             if self.separator is not None:
                 stems = self.separator.separate(audio, callback=callback)
             else:
                 callback(0, "Separating (DSP fallback)", 1)
                 stems = dsp_vocal_split(audio, a.sample_rate)
-            if use_chain:
-                stems = apply_transform_chain(stems, a.sample_rate)
 
-            write_audio(v_path, stems["vocals"], a.sample_rate)
-            write_audio(i_path, stems["instrumental"], a.sample_rate)
+            if settings["store_reverb_ir"]:
+                # dry estimate = dereverbed vocals; IR recovered from the
+                # wet/dry pair (wrappers/separate.py store_reverb_ir +
+                # handlers/reverb.py:112)
+                from audiolab_tpu.dsp.reverb import extract_reverb_params
+                from audiolab_tpu.pipelines.separate import dereverb
+
+                wet = stems["vocals"]
+                dry = dereverb(wet, a.sample_rate, strength=0.7)
+                params = extract_reverb_params(dry, wet, a.sample_rate)
+                with open(os.path.join(proj.project_dir,
+                                       "reverb_params.json"), "w") as f:
+                    json.dump({k: (v.tolist() if hasattr(v, "tolist")
+                                   else v) for k, v in params.items()}, f)
+
+            if settings["separate_bg_vocals"]:
+                split = self.bg_splitter or dsp_bg_vocal_split
+                for layer in range(int(settings["bg_vocal_layers"])):
+                    parts = split(stems["vocals"])
+                    stems["vocals"] = parts["vocals"]
+                    name = ("bg_vocals" if layer == 0
+                            else f"bg_vocals_{layer + 1}")
+                    stems[name] = parts.get("bg_vocals",
+                                            parts.get("complement"))
+
+            if not settings["vocals_only"] and self.multistem is not None:
+                extra = self.multistem(audio)
+                for nm, arr in extra.items():
+                    if nm not in ("vocals", "instrumental"):
+                        stems[nm] = np.asarray(arr, np.float32)
+            if settings["separate_drums"]:
+                src_stem = stems.get("drums", stems["instrumental"])
+                from audiolab_tpu.pipelines.separate import hpss_split
+
+                kit = (self.drum_splitter or
+                       (lambda x: hpss_split(x, a.sample_rate)))(src_stem)
+                for nm, arr in kit.items():
+                    stems[f"drums_{nm}" if nm != "drums" else nm] = (
+                        np.asarray(arr, np.float32))
+            if settings["separate_woodwinds"] and self.woodwind_splitter:
+                ww = self.woodwind_splitter(stems["instrumental"])
+                if "woodwinds" in ww:
+                    stems["woodwinds"] = np.asarray(ww["woodwinds"],
+                                                    np.float32)
+
+            stems = apply_policy_transforms(stems, a.sample_rate, policies,
+                                            self.transforms)
+
+            label = {"vocals": "Vocals", "instrumental": "Instrumental",
+                     "bg_vocals": "BG_Vocals"}
+            files = []
+            keep = (["vocals", "instrumental"]
+                    if settings["delete_extra_stems"]
+                    and settings["vocals_only"]
+                    and not settings["separate_bg_vocals"]
+                    and not settings["separate_drums"]
+                    and not settings["separate_woodwinds"]
+                    else list(stems))
+            for nm in keep:
+                p = os.path.join(
+                    stage, f"{base} ({label.get(nm, nm.title())}).wav")
+                write_audio(p, stems[nm], a.sample_rate)
+                files.append(p)
             with open(cache_meta, "w") as f:
-                json.dump({"key": key}, f)
-            proj.add_output("stems", [v_path, i_path])
+                json.dump({"key": key, "files": files}, f)
+            proj.add_output("stems", files)
         return inputs
 
 

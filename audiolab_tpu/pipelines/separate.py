@@ -437,6 +437,80 @@ def dereverb(audio: np.ndarray, sr: int, strength: float = 0.5) -> np.ndarray:
     return np.asarray(y, dtype=np.float32)
 
 
+def should_apply_transform(stem_name: str, setting: str) -> bool:
+    """Policy dropdown semantics (stem_separator.py:680-699): Nothing /
+    Main Vocals / All Vocals / All, keyed on the stem's name."""
+    if setting == "All":
+        return True
+    low = stem_name.lower()
+    if setting == "All Vocals":
+        return "vocals" in low
+    if setting == "Main Vocals":
+        return "vocals" in low and "bg_vocals" not in low
+    return False
+
+
+def apply_policy_transforms(
+    stems: dict[str, np.ndarray],
+    sr: int,
+    policies: dict[str, str],
+    transforms: dict[str, Callable] | None = None,
+) -> dict[str, np.ndarray]:
+    """The reference's per-stem transform chain with its policy dropdowns
+    (_apply_transform_chain, stem_separator.py:777-806; order reverb ->
+    echo -> crowd -> noise like its transformations list :795-800).
+
+    ``transforms`` maps {"reverb","echo","crowd","noise"} to audio->audio
+    callables — inject converted checkpoint models (vr_transform /
+    roformer dereverb members) when weights are loaded; the defaults are
+    the DSP fallbacks below."""
+    fallbacks: dict[str, Callable] = {
+        "reverb": lambda x, s: dereverb(x, s, strength=0.5),
+        "echo": lambda x, s: dereverb(x, s, strength=0.3),
+        "crowd": lambda x, s: spectral_gate_denoise(x, s, reduction_db=8.0),
+        "noise": lambda x, s: spectral_gate_denoise(x, s, reduction_db=12.0),
+    }
+    transforms = {**fallbacks, **(transforms or {})}
+    out = {}
+    for stem, audio in stems.items():
+        x = audio
+        for kind in ("reverb", "echo", "crowd", "noise"):
+            if should_apply_transform(stem, policies.get(kind, "Nothing")):
+                x = transforms[kind](x, sr)
+        out[stem] = np.asarray(x, np.float32)
+    return out
+
+
+def hpss_split(audio: np.ndarray, sr: int,
+               n_fft: int = 2048, kernel: int = 17) -> dict[str, np.ndarray]:
+    """Median-filter harmonic/percussive split — the checkpoint-free
+    fallback for the drum-separation path (the reference uses the
+    MDX23C-DrumSep checkpoint, stem_separator.py:534-541; wire
+    ``mdx23c_member`` when its weights are available)."""
+    from audiolab_tpu.kernels.stft import istft, stft
+
+    x = jnp.asarray(audio)
+    real, imag = stft(x, n_fft=n_fft, hop=n_fft // 4)
+    mag = jnp.sqrt(real**2 + imag**2 + 1e-12)
+
+    def med(v, axis):
+        k = kernel
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (k // 2, k // 2)
+        p = jnp.pad(v, pad, mode="edge")
+        sl = [jnp.take(p, jnp.arange(v.shape[axis]) + i, axis=axis)
+              for i in range(k)]
+        return jnp.median(jnp.stack(sl), axis=0)
+
+    harm = med(mag, axis=-2)   # smooth over time -> harmonic
+    perc = med(mag, axis=-1)   # smooth over freq -> percussive
+    mask_p = perc**2 / (harm**2 + perc**2 + 1e-12)
+    drums = istft(real * mask_p, imag * mask_p, n_fft=n_fft,
+                  hop=n_fft // 4, length=x.shape[-1])
+    drums = np.asarray(drums, np.float32)
+    return {"drums": drums, "other": np.asarray(audio) - drums}
+
+
 STEM_TRANSFORM_POLICY = {
     # which transforms apply to which stems (stem_separator.py:680-735
     # _should_apply_transform policy table)

@@ -62,7 +62,7 @@ def test_separate_fallback_chain(tmp_path, song):
     projects = run_chain(
         ["Separate"],
         [song],
-        settings={"Separate": {"transform_chain": False}},
+        settings={"Separate": {"noise_removal": "Nothing"}},
         output_root=str(tmp_path / "out"),
     )
     outs = projects[0].last_outputs
@@ -297,3 +297,36 @@ def test_fused_member_matches_unfused(song):
     np.testing.assert_allclose(s1["vocals"], s2["vocals"], atol=2e-3)
     np.testing.assert_allclose(s1["instrumental"], s2["instrumental"],
                                atol=2e-3)
+
+
+def test_separate_full_option_set(tmp_path, song):
+    """The reference wrapper's full field set (wrappers/separate.py:33-140):
+    BG-vocal peel, drum split, reverb-IR capture, policy transforms, and
+    extra stems kept when delete_extra_stems is off."""
+    projects = run_chain(
+        ["Separate"],
+        [song],
+        settings={"Separate": {
+            "separate_bg_vocals": True,
+            "bg_vocal_layers": 2,
+            "separate_drums": True,
+            "store_reverb_ir": True,
+            "noise_removal": "Main Vocals",
+            "reverb_removal": "All Vocals",
+            "delete_extra_stems": False,
+            "use_cache": False,
+        }},
+        output_root=str(tmp_path / "out"),
+    )
+    outs = projects[0].last_outputs
+    names = [os.path.basename(f) for f in outs]
+    assert any("(Vocals)" in n for n in names)
+    assert any("(BG_Vocals)" in n for n in names)
+    assert any("Bg_Vocals_2" in n for n in names)
+    assert any("(Drums)" in n for n in names)
+    # reverb IR captured for Merge's re-apply path
+    assert os.path.exists(
+        os.path.join(projects[0].project_dir, "reverb_params.json"))
+    for f in outs:
+        a = read_audio(f)
+        assert np.isfinite(a.samples).all()

@@ -54,7 +54,9 @@ def test_processors_listing(server):
     titles = [p["title"] for p in body["processors"]]
     assert {"Separate", "Clone", "Merge", "Remaster", "Convert", "Export", "Compare"} <= set(titles)
     sep = [p for p in body["processors"] if p["title"] == "Separate"][0]
-    assert "transform_chain" in sep["properties"]
+    for f in ("reverb_removal", "noise_removal", "separate_bg_vocals",
+              "vocals_only", "store_reverb_ir", "separate_drums"):
+        assert f in sep["properties"], f
 
 
 def test_openapi_document(server):
@@ -66,7 +68,7 @@ def test_openapi_document(server):
 
 
 def test_process_separate_roundtrip(server, tmp_path):
-    payload = {"files": [_b64_wav(tmp_path)], "settings": {"transform_chain": False}}
+    payload = {"files": [_b64_wav(tmp_path)], "settings": {"noise_removal": "Nothing"}}
     status, body = _post(f"{server}/api/v1/process/separate", payload)
     assert status == 200
     names = [f["filename"] for f in body["files"]]
@@ -82,7 +84,7 @@ def test_chain_endpoint(server, tmp_path):
     payload = {
         "files": [_b64_wav(tmp_path)],
         "processors": ["Separate", "Merge"],
-        "settings": {"Separate": {"transform_chain": False}},
+        "settings": {"Separate": {"noise_removal": "Nothing"}},
     }
     status, body = _post(f"{server}/api/v1/process/chain", payload)
     assert status == 200
