@@ -43,6 +43,10 @@ class RVCPipelineConfig:
     f0_method: str = "rmvpe"  # rmvpe | yin | crepe | hybrid | [list]
     f0_min: float = 50.0
     f0_max: float = 1100.0
+    merge_type: str = "median"  # hybrid merge strategy (median | mean)
+    filter_radius: int = 3      # >2 applies a 3-tap median to harvest f0
+    crepe_hop: int = 160        # crepe-method hop (crepe_hop_length)
+    f0_autotune: bool = False   # snap f0 to 12-TET before synthesis
     device_batch: int = 8     # chunks per device step: ONE compiled shape,
                               # bounded HBM (34 unpadded 8 s chunks OOM v5e)
     matmul_precision: str = "bfloat16"  # model matmuls on the MXU (~1.5x);
@@ -196,15 +200,16 @@ class VoiceConverter:
                 f0_max=self.cfg.f0_max)
         if (method in ("mangio-crepe", "mangio-crepe-tiny")
                 and self.crepe is not None):
-            rows = [self.crepe.predict_mangio(
-                        w, hop=160, fmin=self.cfg.f0_min,
-                        fmax=self.cfg.f0_max)
+            rows = [self._to_t100(self.crepe.predict_mangio(
+                        w, hop=self.cfg.crepe_hop, fmin=self.cfg.f0_min,
+                        fmax=self.cfg.f0_max), wav16.shape[-1])
                     for w in jnp.asarray(wav16)]
             t = min(r.shape[0] for r in rows)
             return jnp.stack([r[:t] for r in rows])
         if method in ("crepe", "crepe-tiny") and self.crepe is not None:
-            rows = [self.crepe.predict(w, hop=160, fmin=self.cfg.f0_min,
-                                       fmax=self.cfg.f0_max)[0]
+            rows = [self._to_t100(self.crepe.predict(
+                        w, hop=self.cfg.crepe_hop, fmin=self.cfg.f0_min,
+                        fmax=self.cfg.f0_max)[0], wav16.shape[-1])
                     for w in jnp.asarray(wav16)]
             return jnp.stack(rows)
         if method in ("pm", "dio", "harvest"):
@@ -216,7 +221,13 @@ class VoiceConverter:
             rows = [fn(np.asarray(w), sr=16000, hop=160,
                        fmin=self.cfg.f0_min, fmax=self.cfg.f0_max)
                     for w in np.asarray(wav16)]
-            return jnp.asarray(np.stack(rows), jnp.float32)
+            f0 = np.stack(rows)
+            if method == "harvest" and self.cfg.filter_radius > 2:
+                # pipeline.py: signal.medfilt(f0, 3) for harvest
+                import scipy.signal as _sps
+
+                f0 = _sps.medfilt(f0, (1, 3))
+            return jnp.asarray(f0, jnp.float32)
         # ONE vmapped device call over all chunks (a per-chunk host loop
         # serialises ~30 dispatches on a 4-min track); the result stays
         # on device — no host round trip before _convert_chunk
@@ -242,12 +253,55 @@ class VoiceConverter:
                 methods = [meth for meth, ok in
                            (("crepe", self.crepe is not None),
                             ("harvest", True), ("yin", True)) if ok][:2]
-            stack = jnp.stack([self._f0_one_method(meth, wav16)
-                               for meth in methods])
-            f0 = merge_f0(stack, "median")
+            rows = [self._f0_one_method(meth, wav16) for meth in methods]
+            t = min(r.shape[-1] for r in rows)
+            stack = jnp.stack([r[..., :t] for r in rows])
+            f0 = merge_f0(stack, self.cfg.merge_type)
         else:
             f0 = self._f0_one_method(m, wav16)
+        if self.cfg.f0_autotune:
+            # fork f0_autotune: snap voiced frames to the nearest 12-TET
+            # note frequency
+            semis = jnp.round(12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 440.0))
+            f0 = jnp.where(f0 > 0, 440.0 * 2.0 ** (semis / 12.0), f0)
         return f0 * (2.0 ** (transpose / 12.0))
+
+    @staticmethod
+    def _to_t100(f0, n_samples: int):
+        """Resample an f0 curve to the 100 Hz frame grid the synthesizer
+        consumes (needed when crepe_hop != 160)."""
+        t100 = 1 + n_samples // 160
+        if f0.shape[-1] == t100:
+            return f0
+        src = np.asarray(f0, np.float64)
+        pos = np.linspace(0, len(src) - 1, t100)
+        return jnp.asarray(np.interp(pos, np.arange(len(src)), src),
+                           jnp.float32)
+
+    @staticmethod
+    def _mix_rms(x16, y, out_sr: int, rate: float):
+        """pipeline.py change_rms: blend the output's volume envelope
+        toward the input's; rate=1 keeps the converted envelope."""
+        def env(sig, sr):
+            frame, hop = sr, sr // 2
+            n = sig.shape[-1]
+            k = max(1 + (n - 1) // hop, 1)
+            pad = (k - 1) * hop + frame - n
+            s = jnp.pad(sig, (0, max(pad, 0)))
+            idx = jnp.arange(k)[:, None] * hop + jnp.arange(frame)[None]
+            return jnp.sqrt(jnp.mean(s[idx] ** 2, axis=-1) + 1e-12)
+
+        def interp_to(r, n):
+            pos = jnp.linspace(0, r.shape[0] - 1, n)
+            lo = jnp.floor(pos).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, r.shape[0] - 1)
+            w = pos - lo
+            return r[lo] * (1 - w) + r[hi] * w
+
+        n = y.shape[-1]
+        r1 = interp_to(env(jnp.asarray(x16), 16000), n)
+        r2 = jnp.maximum(interp_to(env(y, out_sr), n), 1e-6)
+        return y * (r1 ** (1 - rate)) * (r2 ** (rate - 1))
 
     def convert(
         self,
@@ -256,6 +310,7 @@ class VoiceConverter:
         transpose: int = 0,
         index_rate: float = 0.75,
         protect: float = 0.33,
+        rms_mix_rate: float = 1.0,
         seed: int = 0,
     ) -> np.ndarray:
         """Full conversion of a mono 16 kHz track -> waveform at model sr.
@@ -329,6 +384,8 @@ class VoiceConverter:
             padded=(plan.count - 1) * out_hop + out_chunk,
         )
         y = stitch_chunks(out, out_plan)
+        if rms_mix_rate < 1.0:
+            y = self._mix_rms(x, y, self.synth_cfg.sr, rms_mix_rate)
         peak = float(jnp.abs(y).max())
         if peak > 0.99:
             y = y * (0.99 / peak)
