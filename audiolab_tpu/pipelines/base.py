@@ -150,3 +150,13 @@ def _load_builtin_processors() -> None:
             importlib.import_module(mod)
         except ImportError as e:  # pragma: no cover
             logger.warning("processor module %s failed to import: %s", mod, e)
+
+
+AUDIO_EXTS = (".wav", ".flac", ".mp3", ".ogg", ".m4a", ".aac", ".opus")
+
+
+def audio_inputs(files: list[str]) -> list[str]:
+    """Filter chain inputs to audio files — each wrapper consumes only its
+    input types (base_wrapper.py:745-821 filter conventions), so a DAW
+    zip from Export or a PNG from Compare passes through untouched."""
+    return [f for f in files if f.lower().endswith(AUDIO_EXTS)]

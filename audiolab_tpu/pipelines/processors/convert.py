@@ -8,6 +8,7 @@ import os
 from audiolab_tpu.core.audio_io import read_audio, write_audio
 from audiolab_tpu.core.project import ProjectFiles
 from audiolab_tpu.pipelines.base import (
+    audio_inputs,
     BaseProcessor,
     ProgressFn,
     TypedInput,
@@ -40,8 +41,9 @@ class Convert(BaseProcessor):
         for proj in inputs:
             outputs = []
             stage = proj.stage_dir("converted")
-            for i, f in enumerate(proj.last_outputs):
-                callback(i, f"Converting {os.path.basename(f)}", len(proj.last_outputs))
+            targets = audio_inputs(proj.last_outputs)
+            for i, f in enumerate(targets):
+                callback(i, f"Converting {os.path.basename(f)}", len(targets))
                 base = os.path.splitext(os.path.basename(f))[0]
                 out = os.path.join(stage, f"{base}.{fmt}")
                 if f.lower().endswith(f".{fmt}"):

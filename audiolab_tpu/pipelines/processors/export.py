@@ -36,14 +36,28 @@ class Export(BaseProcessor):
             default=0, description="Pitch shift metadata from Clone", type=int,
             ge=-24, le=24,
         ),
+        "export_all_stems": TypedInput(
+            default=True,
+            description="Include every produced stem as a DAW track, not"
+                        " just the last stage's outputs", type=bool,
+        ),
+        "export_videos": TypedInput(
+            default=False,
+            description="Copy the source video next to the project and"
+                        " add a video track", type=bool,
+        ),
     }
 
     def process_audio(
         self, inputs: list[ProjectFiles], callback: ProgressFn = null_progress, **kw
     ) -> list[ProjectFiles]:
         fmt = kw.get("project_format", "ableton")
+        all_stems = kw.get("export_all_stems", True)
         for proj in inputs:
-            stems = proj.last_outputs
+            stems = (proj.all_outputs() if all_stems
+                     else proj.last_outputs)
+            stems = [s for s in stems
+                     if s.lower().endswith((".wav", ".flac", ".mp3"))]
             if not stems:
                 continue
             callback(0, "Detecting BPM", 2)
@@ -58,6 +72,8 @@ class Export(BaseProcessor):
             video = getattr(proj, "video_source", None)
             if video and not os.path.exists(video):
                 video = None
+            if not kw.get("export_videos", False):
+                video = None
             if fmt == "ableton":
                 dur = first.samples.shape[-1] / first.sample_rate
                 proj_file = write_ableton_project(
@@ -70,7 +86,10 @@ class Export(BaseProcessor):
                     first.sample_rate, video_file=video
                 )
             bundle = zip_project(os.path.join(stage, f"{base}_project.zip"), [proj_file] + stems)
-            proj.add_output("export", [bundle])
+            # the reference APPENDS the bundle to last_outputs so the
+            # audio stems stay visible to later wrappers in the chain
+            # (wrappers/export.py:346-357)
+            proj.add_output("export", list(proj.last_outputs) + [bundle])
         return inputs
 
 

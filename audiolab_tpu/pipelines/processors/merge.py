@@ -18,6 +18,7 @@ from audiolab_tpu.core.project import ProjectFiles
 from audiolab_tpu.dsp.pitch import pitch_shift
 from audiolab_tpu.dsp.reverb import apply_reverb
 from audiolab_tpu.pipelines.base import (
+    audio_inputs,
     BaseProcessor,
     ProgressFn,
     TypedInput,
@@ -60,6 +61,22 @@ class Merge(BaseProcessor):
             default=True, description="Re-apply captured reverb IR to cloned vocals",
             type=bool,
         ),
+        "prevent_clipping": TypedInput(
+            default=True,
+            description="Normalize the mix only if it would clip"
+                        " (wrappers/merge.py:15-45)",
+            type=bool,
+        ),
+        "selected_voice": TypedInput(
+            default=None,
+            description="Voice model name (metadata propagated from Clone"
+                        " for output naming)", type=str,
+        ),
+        "pitch_extraction_method": TypedInput(
+            default=None,
+            description="Pitch method metadata propagated from Clone",
+            type=str,
+        ),
     }
 
     def process_audio(
@@ -68,7 +85,7 @@ class Merge(BaseProcessor):
         shift = int(kw.get("pitch_shift", 0) or 0)
         reapply = kw.get("reapply_reverb", True)
         for proj in inputs:
-            stems = proj.last_outputs
+            stems = audio_inputs(proj.last_outputs)
             if not stems:
                 continue
             sr = None
@@ -90,7 +107,9 @@ class Merge(BaseProcessor):
                         [np.asarray(pitch_shift(jnp.asarray(ch), sr, float(shift))) for ch in x]
                     )
                 tracks.append(np.asarray(x, dtype=np.float32))
-            mixed = clip_safe_normalize(_mix(tracks))
+            mixed = _mix(tracks)
+            if kw.get("prevent_clipping", True):
+                mixed = clip_safe_normalize(mixed)
             stage = proj.stage_dir("merged")
             base = os.path.splitext(os.path.basename(proj.src_file))[0]
             out = os.path.join(stage, f"{base}_merged.wav")

@@ -30,6 +30,7 @@ from audiolab_tpu.core.project import ProjectFiles
 from audiolab_tpu.dsp.loudness import integrated_loudness
 from audiolab_tpu.kernels.stft import spectrogram
 from audiolab_tpu.pipelines.base import (
+    audio_inputs,
     BaseProcessor,
     ProgressFn,
     TypedInput,
@@ -199,20 +200,34 @@ class Remaster(BaseProcessor):
             default=-14.0, description="Fallback loudness when no reference given",
             type=float, ge=-36.0, le=-6.0,
         ),
+        "use_source_track_as_reference": TypedInput(
+            default=True,
+            description="Master against the project's ORIGINAL source"
+                        " track (wrappers/remaster.py:19) instead of an"
+                        " uploaded reference", type=bool,
+        ),
+        "reference_track": TypedInput(
+            default=None, description="Alias of reference_file", type=str,
+        ),
     }
 
     def process_audio(
         self, inputs: list[ProjectFiles], callback: ProgressFn = null_progress, **kw
     ) -> list[ProjectFiles]:
-        ref_path = kw.get("reference_file")
+        ref_path = kw.get("reference_file") or kw.get("reference_track")
         target_lufs = float(kw.get("target_lufs", -14.0))
         ref = read_audio(ref_path) if ref_path else None
 
         for proj in inputs:
+            if (ref is None
+                    and kw.get("use_source_track_as_reference", True)
+                    and os.path.exists(getattr(proj, "src_file", ""))):
+                ref = read_audio(proj.src_file)
             outputs = []
             stage = proj.stage_dir("remastered")
-            for i, f in enumerate(proj.last_outputs):
-                callback(i, f"Remastering {os.path.basename(f)}", len(proj.last_outputs))
+            targets = audio_inputs(proj.last_outputs)
+            for i, f in enumerate(targets):
+                callback(i, f"Remastering {os.path.basename(f)}", len(targets))
                 a = read_audio(f)
                 x = a.samples
                 if ref is not None:

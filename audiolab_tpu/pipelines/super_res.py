@@ -157,7 +157,8 @@ class AudioSRCheckpointPipeline:
 
     def __init__(self, vae, vae_params, unet, unet_params, vocoder,
                  voc_params, n_timesteps: int = 1000,
-                 scale_factor: float = 1.0, guidance_scale: float = 3.5):
+                 scale_factor: float = 1.0, guidance_scale: float = 3.5,
+                 n_mels: int = 256):
         self.vae, self.vae_params = vae, vae_params
         self.unet, self.unet_params = unet, unet_params
         self.vocoder, self.voc_params = vocoder, voc_params
@@ -166,6 +167,7 @@ class AudioSRCheckpointPipeline:
         self.n_timesteps = n_timesteps
         self.scale_factor = float(scale_factor)
         self.guidance_scale = float(guidance_scale)
+        self.n_mels = int(n_mels)
 
     def super_resolve(self, lowpass_fbank, steps: int = 50, seed: int = 0):
         """(b, t, mel, 1) normalized lowpass fbank -> (b, samples) 48 kHz."""
@@ -224,3 +226,40 @@ class AudioSRCheckpointPipeline:
 
         return run(z, cond, uncond, self.unet_params, self.vae_params,
                    self.voc_params)
+
+    def enhance_chunks(self, chunks, steps: int = 50, seed: int = 0):
+        """(count, ch, n) 48 kHz chunks -> enhanced, same shape — the
+        ``enhancer_fn`` contract of ``super_resolve``.  Each channel runs
+        as an independent batch row (upstream processes mono,
+        pipeline.py:123)."""
+        count, ch, n = chunks.shape
+        x = jnp.asarray(chunks).reshape(count * ch, n)
+        # utils.normalize_wav: zero-mean, peak 0.5 (audiosr utils.py:186)
+        x = x - x.mean(axis=-1, keepdims=True)
+        peak = jnp.max(jnp.abs(x), axis=-1, keepdims=True) + 1e-8
+        xn = x / peak * 0.5
+        fbank = audiosr_fbank(xn, n_mels=self.n_mels)  # (b, t, mel)
+        t = fbank.shape[1]
+        pad = (-t) % 64                              # VAE 8x + even frames
+        if pad:
+            fbank = jnp.pad(fbank, ((0, 0), (0, pad), (0, 0)))
+        wav = self.super_resolve(fbank[..., None], steps=steps, seed=seed)
+        wav = wav[..., :n] * (peak / 0.5)            # undo input scaling
+        if wav.shape[-1] < n:
+            wav = jnp.pad(wav, ((0, 0), (0, n - wav.shape[-1])))
+        return wav.reshape(count, ch, n)
+
+
+def audiosr_fbank(x: jnp.ndarray, n_mels: int = 256) -> jnp.ndarray:
+    """The audiosr log-mel front end (utils.mel_spectrogram_train,
+    audiosr utils.py:110-155): 48 kHz, n_fft 2048, hop 480, 256 slaney
+    mels fmin 20 / fmax 24000, manual reflect pad of (n_fft-hop)/2 with
+    center=False, ln(clamp(mel, 1e-5)).  ``x`` (b, n) -> (b, t, 256)."""
+    from audiolab_tpu.kernels.mel import mel_spectrogram
+
+    pad = (2048 - 480) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    m = mel_spectrogram(xp, sr=48000, n_fft=2048, hop=480, n_mels=n_mels,
+                        fmin=20.0, fmax=24000.0, htk=False, norm="slaney",
+                        power=1.0, center=False)
+    return jnp.log(jnp.clip(m, 1e-5, None))

@@ -91,7 +91,8 @@ def test_merge_remaster_convert_chain(tmp_path, song):
     projects = run_chain(
         ["Separate", "Merge", "Remaster", "Convert"],
         [song],
-        settings={"Remaster": {"target_lufs": -16.0}},
+        settings={"Remaster": {"target_lufs": -16.0,
+                               "use_source_track_as_reference": False}},
         output_root=str(tmp_path / "out"),
     )
     outs = projects[0].last_outputs
@@ -112,7 +113,9 @@ def test_export_ableton(tmp_path, song):
         settings={"Export": {"project_format": "ableton"}},
         output_root=str(tmp_path / "out"),
     )
-    bundle = projects[0].last_outputs[0]
+    # Export APPENDS the bundle after the passthrough stems
+    # (wrappers/export.py:346-357)
+    bundle = projects[0].last_outputs[-1]
     assert bundle.endswith(".zip")
     with zipfile.ZipFile(bundle) as z:
         names = z.namelist()
@@ -129,7 +132,7 @@ def test_export_reaper(tmp_path, song):
         settings={"Export": {"project_format": "reaper"}},
         output_root=str(tmp_path / "out"),
     )
-    bundle = projects[0].last_outputs[0]
+    bundle = projects[0].last_outputs[-1]
     with zipfile.ZipFile(bundle) as z:
         rpp = [n for n in z.namelist() if n.endswith(".rpp")][0]
         text = z.read(rpp).decode()

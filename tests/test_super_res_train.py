@@ -195,3 +195,70 @@ def test_bddm_schedule_network():
     out = sample(wg, wgp, mel, sched, jax.random.PRNGKey(2))
     assert out.shape == (b, frames * cfg.hop)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_audiosr_fbank_framing_matches_torch():
+    """audiosr's manual-reflect-pad center=False framing (utils.py:110-155)
+    reproduced: our fbank path equals mel_basis @ |torch.stft| under the
+    identical padding/window."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from audiolab_tpu.kernels.mel import mel_filterbank
+    from audiolab_tpu.pipelines.super_res import audiosr_fbank
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 48000)).astype(np.float32) * 0.3
+    ours = np.asarray(audiosr_fbank(jnp.asarray(x), n_mels=64))
+
+    pad = (2048 - 480) // 2
+    y = torch.nn.functional.pad(
+        torch.from_numpy(x).unsqueeze(1), (pad, pad), mode="reflect"
+    ).squeeze(1)
+    spec = torch.stft(y, 2048, hop_length=480, win_length=2048,
+                      window=torch.hann_window(2048), center=False,
+                      normalized=False, onesided=True, return_complex=True)
+    mag = torch.abs(spec)[0].numpy()            # (bins, t)
+    basis = np.asarray(mel_filterbank(48000, 2048, 64, 20.0, 24000.0,
+                                      htk=False, norm="slaney"))  # (bins, mels)
+    ref = np.log(np.clip(basis.T @ mag, 1e-5, None)).T[None]
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_audiosr_enhance_chunks_contract():
+    """enhance_chunks satisfies the super_resolve enhancer contract on the
+    tiny converted-stack pipeline: shape-preserving, finite, per-channel."""
+    import numpy as np
+
+    from audiolab_tpu.models.audiosr_unet import (
+        AudioSRUNet,
+        AudioSRUNetConfig,
+    )
+    from audiolab_tpu.models.audiosr_vae import AudioSRVAE
+    from audiolab_tpu.models.audiosr_vocoder import AudioSRVocoder
+    from audiolab_tpu.pipelines.super_res import AudioSRCheckpointPipeline
+
+    vae = AudioSRVAE(ch=32, ch_mult=(1, 2), num_res_blocks=1, z_channels=4,
+                     embed_dim=4)
+    vp = vae.init(jax.random.PRNGKey(0),
+                  jnp.zeros((1, 64, 16, 1)))["params"]
+    ucfg = AudioSRUNetConfig(in_channels=8, model_channels=32,
+                             out_channels=4, num_res_blocks=1,
+                             attention_resolutions=(2,),
+                             channel_mult=(1, 2), num_head_channels=16)
+    unet = AudioSRUNet(ucfg)
+    up = unet.init(jax.random.PRNGKey(1), jnp.zeros((1, 4, 32, 8)),
+                   jnp.zeros((1,)))["params"]
+    voc = AudioSRVocoder(num_mels=16, initial_channel=32,
+                         upsample_rates=(6, 5, 4, 2, 2),
+                         resblock_kernels=(3,),
+                         resblock_dilations=((1, 3),))
+    wp = voc.init(jax.random.PRNGKey(2), jnp.zeros((1, 4, 16)))["params"]
+    pipe = AudioSRCheckpointPipeline(vae, vp, unet, up, voc, wp, n_mels=16)
+    rng = np.random.default_rng(3)
+    chunks = rng.standard_normal((2, 2, 24000)).astype(np.float32) * 0.2
+    out = np.asarray(pipe.enhance_chunks(jnp.asarray(chunks), steps=2))
+    assert out.shape == chunks.shape
+    assert np.isfinite(out).all()
