@@ -124,6 +124,25 @@ class Separate(BaseProcessor):
             default="Nothing", description="Apply general noise removal.",
             type=str,
             choices=["Nothing", "Main Vocals", "All Vocals", "All"]),
+        "noise_removal_model": TypedInput(
+            default="UVR-DeNoise.pth",
+            description="Choose the model used for noise removal.",
+            type=str,
+            choices=["UVR-DeNoise.pth", "UVR-DeNoise-Lite.pth"]),
+        "delay_removal_model": TypedInput(
+            default="dereverb-echo_mel_band_roformer_sdr_13.4843_v2.ckpt",
+            description="Select the model for echo/delay removal.",
+            type=str,
+            choices=[
+                "dereverb-echo_mel_band_roformer_sdr_13.4843_v2.ckpt",
+                "dereverb-echo_mel_band_roformer_sdr_10.0169.ckpt",
+                "UVR-DeEcho-DeReverb.pth"]),
+        "crowd_removal_model": TypedInput(
+            default="UVR-MDX-NET_Crowd_HQ_1.onnx",
+            description="Select the model for crowd noise removal.",
+            type=str,
+            choices=["UVR-MDX-NET_Crowd_HQ_1.onnx",
+                     "mel_band_roformer_crowd_aufr33_viperx_sdr_8.7144.ckpt"]),
         "delete_extra_stems": TypedInput(
             default=True, description=(
                 "Delete intermediate stem files after the chain"
@@ -139,17 +158,20 @@ class Separate(BaseProcessor):
     drum_splitter = None    # callable audio -> kit stems (mdx23c DrumSep)
     woodwind_splitter = None  # callable audio -> {woodwinds, other} (VR)
     bg_splitter = None      # callable vocals -> {vocals, bg_vocals} (BVE)
+    alt_bass = None         # callable audio -> {bass, ...} (alt bass model,
+    #                         stem_separator.py:505 _alt_bass_separation)
     transforms: dict | None = None  # {"reverb"/"echo"/"crowd"/"noise": fn}
 
     @classmethod
     def configure(cls, separator: StemSeparator, multistem=None,
                   drum_splitter=None, woodwind_splitter=None,
-                  bg_splitter=None, transforms=None) -> None:
+                  bg_splitter=None, alt_bass=None, transforms=None) -> None:
         cls.separator = separator
         cls.multistem = multistem
         cls.drum_splitter = drum_splitter
         cls.woodwind_splitter = woodwind_splitter
         cls.bg_splitter = bg_splitter
+        cls.alt_bass = alt_bass
         cls.transforms = transforms
 
     def _cache_key(self, path: str, cfg: dict) -> str:
@@ -226,6 +248,10 @@ class Separate(BaseProcessor):
                 for nm, arr in extra.items():
                     if nm not in ("vocals", "instrumental"):
                         stems[nm] = np.asarray(arr, np.float32)
+                if settings["alt_bass_model"] and self.alt_bass is not None:
+                    alt = self.alt_bass(audio)
+                    if "bass" in alt:
+                        stems["bass"] = np.asarray(alt["bass"], np.float32)
             if settings["separate_drums"]:
                 src_stem = stems.get("drums", stems["instrumental"])
                 from audiolab_tpu.pipelines.separate import hpss_split
@@ -241,8 +267,17 @@ class Separate(BaseProcessor):
                     stems["woodwinds"] = np.asarray(ww["woodwinds"],
                                                     np.float32)
 
+            # per-transform model selection: the transforms registry may
+            # key converted checkpoints by their published file name
+            # (stem_separator.py:795-800 transformations list)
+            tr = dict(self.transforms or {})
+            for kind, model_key in (("noise", settings["noise_removal_model"]),
+                                    ("echo", settings["delay_removal_model"]),
+                                    ("crowd", settings["crowd_removal_model"])):
+                if model_key in tr:
+                    tr[kind] = tr[model_key]
             stems = apply_policy_transforms(stems, a.sample_rate, policies,
-                                            self.transforms)
+                                            tr)
 
             label = {"vocals": "Vocals", "instrumental": "Instrumental",
                      "bg_vocals": "BG_Vocals"}
