@@ -26,8 +26,26 @@ def _generate_with(backend, body: dict, name: str = "gen") -> dict:
     prompt = body.get("prompt") or body.get("tags") or ""
     from audiolab_tpu.serve.inference_lock import INFERENCE_LOCK
 
+    # the reference's request models put generation knobs at the TOP level
+    # (modules/acestep/api.py GenerateRequest:20-34, layouts/music.py) —
+    # merge them with the nested settings dict and keep only what the
+    # backend's generate() actually accepts
+    import inspect
+
+    settings = dict(body.get("settings", {}))
+    for k, v in body.items():
+        if k not in ("prompt", "tags", "settings", "model") and \
+                k not in settings:
+            settings[k] = v
+    try:
+        params = inspect.signature(backend.generate).parameters
+        if not any(p.kind is p.VAR_KEYWORD for p in params.values()):
+            settings = {k: v for k, v in settings.items() if k in params}
+    except (TypeError, ValueError):
+        pass
+
     with INFERENCE_LOCK:
-        samples, sr = backend.generate(prompt, **body.get("settings", {}))
+        samples, sr = backend.generate(prompt, **settings)
     from audiolab_tpu.core.audio_io import write_wav
     from audiolab_tpu.serve.files import register_file
     import os, tempfile
