@@ -165,3 +165,53 @@ def test_generate_embedded_prefix_bank():
     codes_c = generate_embedded(
         model, params, jnp.concatenate([p_c2, p_u], axis=0), max_frames=6)
     assert not bool(jnp.all(codes_c == codes))
+
+
+def test_sample9_min_p_and_repetition_penalty():
+    """Published-sampler semantics (modules/zonos/model.py:202,
+    sampling.py:83-109): min_p keeps only tokens with prob >= min_p * max;
+    the window-2 repetition penalty divides positive logits (multiplies
+    non-positive) by rp^occurrences."""
+    from audiolab_tpu.models.zonos import ZonosConfig, ZonosModel, _make_sample9
+
+    cfg = ZonosConfig(dim=32, n_layers=1, n_heads=2, n_codebooks=2,
+                      codebook_size=8, max_seq_len=64)
+    model = ZonosModel(cfg)
+    max_frames = 4
+    sample9, init_window = _make_sample9(
+        model, max_frames, cfg_scale=1.0, temperature=1e-6, top_k=0,
+        min_p=0.2, repetition_penalty=3.0)
+
+    b, nq, v = 1, cfg.n_codebooks, cfg.codebook_size
+    # token 3 dominant everywhere; CFG double batch (cond, uncond equal)
+    logits = jnp.full((b, nq, v), -5.0).at[:, :, 3].set(5.0)
+    logits2 = jnp.concatenate([logits, logits], axis=0)
+    key = jax.random.PRNGKey(0)
+
+    win = init_window(b)
+    toks, win = sample9(logits2, key, jnp.asarray(0), win)
+    assert int(toks[0, 0]) == 3  # near-greedy at tiny temperature
+    # window records the emission
+    assert int(win[0, 0, -1]) == 3
+
+    # after emitting 3 twice, penalty 3^2 = 9 drops its positive logit
+    # below a runner-up at 1.0 -> the runner-up wins
+    logits_rep = jnp.full((b, nq, v), -5.0)
+    logits_rep = logits_rep.at[:, :, 3].set(5.0).at[:, :, 5].set(1.0)
+    l2 = jnp.concatenate([logits_rep, logits_rep], axis=0)
+    win2 = jnp.full((b, nq, 2), 3, jnp.int32)
+    toks2, _ = sample9(l2, key, jnp.asarray(1), win2)
+    assert int(toks2[0, 0]) == 5  # 5/9 < 1.0
+
+    # min_p: with temperature ~0 the max dominates; at temperature 1 a
+    # token whose prob < min_p*max is masked even with noise-free sampling
+    sample9b, initb = _make_sample9(model, max_frames, cfg_scale=1.0,
+                                    temperature=1.0, top_k=0, min_p=0.9,
+                                    repetition_penalty=1.0)
+    near = jnp.full((b, nq, v), 0.0).at[:, :, 3].set(3.0)
+    l3 = jnp.concatenate([near, near], axis=0)
+    counts = []
+    for s in range(16):
+        t3, _ = sample9b(l3, jax.random.PRNGKey(s), jnp.asarray(0), initb(b))
+        counts.append(int(t3[0, 0]))
+    assert set(counts) == {3}  # everything below 0.9*max masked out
