@@ -201,14 +201,14 @@ class VoiceConverter:
         if (method in ("mangio-crepe", "mangio-crepe-tiny")
                 and self.crepe is not None):
             rows = [self._to_t100(self.crepe.predict_mangio(
-                        w, hop=self.cfg.crepe_hop, fmin=self.cfg.f0_min,
+                        w, hop=getattr(self.cfg, "crepe_hop", 160), fmin=self.cfg.f0_min,
                         fmax=self.cfg.f0_max), wav16.shape[-1])
                     for w in jnp.asarray(wav16)]
             t = min(r.shape[0] for r in rows)
             return jnp.stack([r[:t] for r in rows])
         if method in ("crepe", "crepe-tiny") and self.crepe is not None:
             rows = [self._to_t100(self.crepe.predict(
-                        w, hop=self.cfg.crepe_hop, fmin=self.cfg.f0_min,
+                        w, hop=getattr(self.cfg, "crepe_hop", 160), fmin=self.cfg.f0_min,
                         fmax=self.cfg.f0_max)[0], wav16.shape[-1])
                     for w in jnp.asarray(wav16)]
             return jnp.stack(rows)
@@ -222,7 +222,8 @@ class VoiceConverter:
                        fmin=self.cfg.f0_min, fmax=self.cfg.f0_max)
                     for w in np.asarray(wav16)]
             f0 = np.stack(rows)
-            if method == "harvest" and self.cfg.filter_radius > 2:
+            if (method == "harvest"
+                    and getattr(self.cfg, "filter_radius", 3) > 2):
                 # pipeline.py: signal.medfilt(f0, 3) for harvest
                 import scipy.signal as _sps
 
@@ -256,10 +257,10 @@ class VoiceConverter:
             rows = [self._f0_one_method(meth, wav16) for meth in methods]
             t = min(r.shape[-1] for r in rows)
             stack = jnp.stack([r[..., :t] for r in rows])
-            f0 = merge_f0(stack, self.cfg.merge_type)
+            f0 = merge_f0(stack, getattr(self.cfg, "merge_type", "median"))
         else:
             f0 = self._f0_one_method(m, wav16)
-        if self.cfg.f0_autotune:
+        if getattr(self.cfg, "f0_autotune", False):
             # fork f0_autotune: snap voiced frames to the nearest 12-TET
             # note frequency
             semis = jnp.round(12.0 * jnp.log2(jnp.maximum(f0, 1e-3) / 440.0))
