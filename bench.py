@@ -155,7 +155,36 @@ def run_chain(sep, vc, audio_dev, resample):
     del stems, vocals16k, out
 
 
+def wait_for_device(max_wait_s: int = 1800, probe_timeout_s: int = 120) -> None:
+    """The tunneled TPU backend HANGS (not errors) while the tunnel is
+    wedged; probe it in a bounded subprocess and retry so a transient
+    outage doesn't turn the bench run into a silent hang."""
+    import subprocess
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert len(jax.devices()) > 0"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if _t.time() > deadline:
+            log(f"bench: device backend unavailable after {max_wait_s}s "
+                f"({attempt} probes) — aborting without a measurement")
+            raise SystemExit(3)
+        log(f"bench: device probe {attempt} failed; retrying in 120 s")
+        _t.sleep(120)
+
+
 def main() -> None:
+    wait_for_device(int(os.environ.get("BENCH_TPU_WAIT_S", "1800")))
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
     from audiolab_tpu.kernels.resample import resample
