@@ -36,6 +36,85 @@ class Segment:
     words: list = field(default_factory=list)
 
 
+def merge_vad_regions(regions: list[tuple[float, float]],
+                      max_len: float = 30.0,
+                      max_gap: float = 1.0) -> list[tuple[float, float]]:
+    """WhisperX merge_chunks role: greedily merge speech regions into
+    <= 30 s transcription chunks, splitting over-long regions."""
+    chunks: list[tuple[float, float]] = []
+    cur_s = cur_e = None
+    for s, e in regions:
+        while e - s > max_len:  # split a single over-long region
+            if cur_s is not None:
+                chunks.append((cur_s, cur_e))
+                cur_s = cur_e = None
+            chunks.append((s, s + max_len))
+            s += max_len
+        if cur_s is None:
+            cur_s, cur_e = s, e
+        elif e - cur_s <= max_len and s - cur_e <= max_gap:
+            cur_e = e
+        else:
+            chunks.append((cur_s, cur_e))
+            cur_s, cur_e = s, e
+    if cur_s is not None:
+        chunks.append((cur_s, cur_e))
+    return [(s, e) for s, e in chunks if e - s > 0.05]
+
+
+def pyannet_vad(model, params, threshold: float = 0.5,
+                min_gap: float = 0.25, min_dur: float = 0.1):
+    """Speech-activity callable built from the CONVERTED pyannote
+    segmentation net (models/pyannet; the WhisperX engine VADs with
+    pyannote before ASR, layouts/transcribe.py:84-130).
+
+    Returns ``vad(x, sr) -> [(start_s, end_s), ...]``."""
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.pyannet import powerset_to_multilabel
+
+    fwd = jax.jit(lambda p, w: model.apply({"params": p}, w))
+    win = 10 * 16000  # pyannote 10 s windows
+
+    def vad(x: np.ndarray, sr: int) -> list[tuple[float, float]]:
+        x = np.asarray(x, np.float32)
+        if x.ndim > 1:
+            x = x.mean(axis=0)
+        if sr != 16000:
+            x = resample_poly_np(x, sr, 16000)
+        n = len(x)
+        k = max(1, -(-n // win))
+        xp = np.pad(x, (0, k * win - n))
+        lp = fwd(params, jnp.asarray(xp.reshape(k, win)))
+        active = np.asarray(
+            powerset_to_multilabel(lp).max(axis=-1)).reshape(-1)
+        frames_per_win = lp.shape[1]
+        sec_per_frame = (win / 16000) / frames_per_win
+        total_frames = int(np.ceil((n / 16000) / sec_per_frame))
+        active = active[:total_frames] > threshold
+        # frames -> regions, closing gaps < min_gap
+        regions = []
+        start = None
+        for i, a in enumerate(active):
+            if a and start is None:
+                start = i
+            elif not a and start is not None:
+                regions.append((start * sec_per_frame, i * sec_per_frame))
+                start = None
+        if start is not None:
+            regions.append((start * sec_per_frame,
+                            len(active) * sec_per_frame))
+        merged = []
+        for s, e in regions:
+            if merged and s - merged[-1][1] < min_gap:
+                merged[-1] = (merged[-1][0], e)
+            else:
+                merged.append((s, e))
+        return [(s, e) for s, e in merged if e - s >= min_dur]
+
+    return vad
+
+
 def tokens_to_segments(
     tokens: np.ndarray, cfg: WhisperConfig, detokenize: Callable[[list[int]], str],
     window_offset: float = 0.0,
@@ -139,14 +218,18 @@ class Transcriber:
 
     def __init__(self, cfg: WhisperConfig, params,
                  detokenize: Callable[[list[int]], str] | None = None,
-                 aligner=None):
+                 aligner=None, vad=None):
         """``aligner``: optional models/wav2vec2.CTCWordAligner — when set,
         word timings come from CTC forced alignment (the WhisperX path,
-        layouts/transcribe.py:89-112); otherwise the energy heuristic."""
+        layouts/transcribe.py:89-112); otherwise the energy heuristic.
+        ``vad``: optional speech-activity callable (``pyannet_vad``) — when
+        set, transcription runs over merged speech chunks instead of blind
+        30 s tiling (the WhisperX VAD-segmentation flow)."""
         self.cfg = cfg
         self.model = WhisperModel(cfg)
         self.params = params
         self.aligner = aligner
+        self.vad = vad
         self.detokenize = detokenize or (
             lambda ids: "".join(chr(32 + (i % 90)) for i in ids))
 
@@ -165,15 +248,35 @@ class Transcriber:
             x = x.mean(axis=0)
         if sr != self.cfg.sr:
             x = resample_poly_np(x, sr, self.cfg.sr)
-        mels = log_mel_30s(x, self.cfg)          # (n_win, 3000, n_mels)
-        toks = np.asarray(transcribe_window(self.model, self.params, mels,
-                                            max_tokens=max_tokens))
+        if self.vad is not None:
+            chunks = merge_vad_regions(self.vad(x, self.cfg.sr))
+        else:
+            chunks = None
         segments: list[Segment] = []
-        for w in range(toks.shape[0]):
-            segments.extend(
-                tokens_to_segments(toks[w], self.cfg, self.detokenize,
-                                   window_offset=30.0 * w)
-            )
+        if chunks:
+            # VAD-segmented decoding: one padded 30 s window per speech
+            # chunk, timestamps offset by the chunk start
+            win = 30 * self.cfg.sr
+            slices = []
+            for s0, e0 in chunks:
+                seg = x[int(s0 * self.cfg.sr):int(e0 * self.cfg.sr)]
+                slices.append(np.pad(seg, (0, max(0, win - len(seg))))[:win])
+            mels = log_mel_30s(np.concatenate(slices), self.cfg)
+            mels = mels[: len(slices)]
+            toks = np.asarray(transcribe_window(
+                self.model, self.params, mels, max_tokens=max_tokens))
+            for w, (s0, _e0) in enumerate(chunks):
+                segments.extend(
+                    tokens_to_segments(toks[w], self.cfg, self.detokenize,
+                                       window_offset=s0))
+        else:
+            mels = log_mel_30s(x, self.cfg)      # (n_win, 3000, n_mels)
+            toks = np.asarray(transcribe_window(
+                self.model, self.params, mels, max_tokens=max_tokens))
+            for w in range(toks.shape[0]):
+                segments.extend(
+                    tokens_to_segments(toks[w], self.cfg, self.detokenize,
+                                       window_offset=30.0 * w))
         # forced alignment for word timings (reference: WhisperX align,
         # layouts/transcribe.py:84-430): CTC aligner when loaded, else the
         # energy heuristic — never uniform interpolation

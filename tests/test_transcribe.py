@@ -91,3 +91,63 @@ def test_transcriptions_endpoint(engine):
          "settings": {"max_tokens": 4}},
     )
     assert code == 200 and "text" in resp["results"][0]
+
+
+def test_merge_vad_regions_rules():
+    """WhisperX merge_chunks semantics: merge within 30 s, split long."""
+    from audiolab_tpu.pipelines.transcribe import merge_vad_regions
+
+    # close regions merge
+    assert merge_vad_regions([(0.0, 5.0), (5.5, 10.0)]) == [(0.0, 10.0)]
+    # big gap splits
+    assert merge_vad_regions([(0.0, 5.0), (9.0, 12.0)]) == [
+        (0.0, 5.0), (9.0, 12.0)]
+    # over-long region splits at 30 s
+    out = merge_vad_regions([(0.0, 70.0)])
+    assert out == [(0.0, 30.0), (30.0, 60.0), (60.0, 70.0)]
+    # merged chunk never exceeds 30 s
+    regs = [(float(i * 4), float(i * 4 + 3)) for i in range(20)]
+    assert all(e - s <= 30.0 for s, e in merge_vad_regions(regs))
+
+
+def test_transcriber_vad_chunks_offset_segments():
+    """With a VAD hook, decoding runs per speech chunk and timestamps are
+    offset by the chunk start (the WhisperX flow)."""
+    from audiolab_tpu.pipelines.transcribe import random_transcriber
+
+    tr = random_transcriber(seed=1)
+    calls = []
+
+    def fake_vad(x, sr):
+        calls.append(len(x) / sr)
+        return [(2.0, 4.0), (31.0, 33.0)]
+
+    tr.vad = fake_vad
+    sr = tr.cfg.sr
+    x = np.random.default_rng(0).standard_normal(40 * sr).astype(np.float32) * 0.1
+    out = tr.transcribe(x, sr, max_tokens=8)
+    assert calls, "vad hook was not invoked"
+    for seg in out["segments"]:
+        # every segment starts inside one of the speech chunks
+        assert 2.0 <= seg["start"] < 32.0 or 31.0 <= seg["start"] < 63.0
+
+
+def test_pyannet_vad_structural():
+    """pyannet_vad yields sorted, positive-length regions from the
+    converted segmentation net (random weights here)."""
+    import jax
+
+    from audiolab_tpu.models.pyannet import PyanNet, PyanNetConfig
+    from audiolab_tpu.pipelines.transcribe import pyannet_vad
+
+    import jax.numpy as jnp
+
+    cfg = PyanNetConfig(lstm_hidden=8, lstm_layers=1, linear_dim=8)
+    model = PyanNet(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16000)))["params"]
+    vad = pyannet_vad(model, params)
+    x = np.random.default_rng(1).standard_normal(3 * 16000).astype(np.float32)
+    regions = vad(x, 16000)
+    assert all(e > s >= 0.0 for s, e in regions)
+    assert regions == sorted(regions)
