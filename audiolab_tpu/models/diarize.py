@@ -121,11 +121,19 @@ def pit_bce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 class NeuralDiarizer:
     def __init__(self, cfg: DiarizeConfig | None = None, seg_params=None,
                  emb_params=None, seed: int = 0, pyannet_params=None,
-                 pyannet_cfg=None):
+                 pyannet_cfg=None, wespeaker=None):
         """``pyannet_params``: converted pyannote segmentation-3.0 weights
         (utils.convert.load_pyannet_checkpoint) — when given, per-frame
         activities come from the checkpoint-compatible PyanNet
-        (models/pyannet.py) instead of the in-repo SegmentationNet."""
+        (models/pyannet.py) instead of the in-repo SegmentationNet.
+
+        ``wespeaker``: ``(WeSpeakerResNet, params)`` from
+        utils.convert.load_wespeaker_checkpoint — when given, region
+        embeddings come from the checkpoint-compatible wespeaker r-vector
+        (models/wespeaker.py, the embedding stage of pyannote
+        speaker-diarization-3.1) on raw-audio region windows instead of
+        the in-repo SpeakerEmbedder; with ``pyannet_params`` too, both
+        neural stages of the 3.1 pipeline run converted weights."""
         self.cfg = cfg or DiarizeConfig()
         self.seg = SegmentationNet(self.cfg)
         self.emb = SpeakerEmbedder(self.cfg)
@@ -142,6 +150,7 @@ class NeuralDiarizer:
             emb_params = emb_params or self.emb.init(k2, mel)["params"]
         self.seg_params = seg_params
         self.emb_params = emb_params
+        self.wespeaker = wespeaker  # (WeSpeakerResNet, params) or None
 
     def _mel(self, wav: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
@@ -215,14 +224,38 @@ class NeuralDiarizer:
                     masks.append(mask)
         if not regions:
             return []
-        embs = np.asarray(self._embed(
-            self.emb_params, jnp.asarray(np.stack(mels)),
-            jnp.asarray(np.stack(masks))))
+        if self.wespeaker is not None:
+            embs = self._wespeaker_embs(wav, regions)
+        else:
+            embs = np.asarray(self._embed(
+                self.emb_params, jnp.asarray(np.stack(mels)),
+                jnp.asarray(np.stack(masks))))
         labels = _agglomerate(embs, self.cfg.cluster_threshold)
         turns = sorted(
             (r0, r1, f"SPEAKER_{labels[i]:02d}")
             for i, (r0, r1) in enumerate(regions))
         return _merge_turns(turns)
+
+
+    def _wespeaker_embs(self, wav: np.ndarray,
+                        regions: list[tuple[float, float]],
+                        window_s: float = 3.0) -> np.ndarray:
+        """Checkpoint-compatible r-vector embeddings per region: each
+        region's raw audio is wrap-padded/cropped to one fixed window so
+        every region shares a single compiled shape (pyannote crops the
+        same way around each local-speaker support)."""
+        from audiolab_tpu.models.wespeaker import wespeaker_embed
+
+        model, params = self.wespeaker
+        win = int(window_s * self.cfg.sr)
+        segs = []
+        for r0, r1 in regions:
+            s0 = max(0, int(r0 * self.cfg.sr))
+            s1 = min(len(wav), max(s0 + 1, int(r1 * self.cfg.sr)))
+            seg = wav[s0:s1]
+            segs.append(np.resize(seg, win))   # wrap-pad short regions
+        return np.asarray(wespeaker_embed(
+            model, params, np.stack(segs), sr=self.cfg.sr))
 
 
 def _agglomerate(embs: np.ndarray, threshold: float) -> np.ndarray:

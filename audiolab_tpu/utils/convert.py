@@ -143,6 +143,14 @@ def extract(kind: str, key: str, sd: dict) -> np.ndarray:
         w = np.asarray(sd[key + ".weight"], np.float64)
         b = np.asarray(sd[key + ".bias"], np.float64)
         return b - rm * w / np.sqrt(rv + 1e-5)
+    if kind == "bnfoldna_w":
+        # affine=False BatchNorm: pure running-stat normalisation
+        rv = np.asarray(sd[key + ".running_var"], np.float64)
+        return 1.0 / np.sqrt(rv + 1e-5)
+    if kind == "bnfoldna_b":
+        rv = np.asarray(sd[key + ".running_var"], np.float64)
+        rm = np.asarray(sd[key + ".running_mean"], np.float64)
+        return -rm / np.sqrt(rv + 1e-5)
     if kind == "conv2_w":
         # torch Conv2d (out, in, kh, kw) -> flax (kh, kw, in, out)
         return np.transpose(np.asarray(sd[key + ".weight"]), (2, 3, 1, 0))
@@ -3069,6 +3077,79 @@ def load_pyannet_checkpoint(path: str, cfg=None) -> dict:
     if hasattr(next(iter(sd.values())), "numpy"):
         sd = {k: v.float().numpy() for k, v in sd.items()}
     return convert_pyannet(sd, template)
+
+
+# ------------------------------------------------------- WeSpeaker r-vector
+
+def wespeaker_mapping(template: dict) -> dict:
+    """flax models/wespeaker.WeSpeakerResNet tree -> the wespeaker ResNet34
+    state dict (pyannote/wespeaker-voxceleb-resnet34-LM pytorch_model.bin,
+    the embedding stage of speaker-diarization-3.1 —
+    modules/cloning/speaker_separation.py:39-45).  BatchNorms fold to
+    affines (inference)."""
+    m: dict = {
+        "conv1/kernel": ("conv2_w", "conv1"),
+        "bn1/scale": ("bnfold_w", "bn1"),
+        "bn1/bias": ("bnfold_b", "bn1"),
+        "seg_1/kernel": ("dense_w", "seg_1"),
+        "seg_1/bias": ("bias", "seg_1"),
+    }
+    for name in template:
+        if not name.startswith("layer"):
+            continue
+        li, bi = name[5:].split("_block")
+        tk = f"layer{li}.{bi}"
+        m[f"{name}/conv1/kernel"] = ("conv2_w", f"{tk}.conv1")
+        m[f"{name}/bn1/scale"] = ("bnfold_w", f"{tk}.bn1")
+        m[f"{name}/bn1/bias"] = ("bnfold_b", f"{tk}.bn1")
+        m[f"{name}/conv2/kernel"] = ("conv2_w", f"{tk}.conv2")
+        m[f"{name}/bn2/scale"] = ("bnfold_w", f"{tk}.bn2")
+        m[f"{name}/bn2/bias"] = ("bnfold_b", f"{tk}.bn2")
+        if "short_conv" in template[name]:
+            m[f"{name}/short_conv/kernel"] = ("conv2_w", f"{tk}.shortcut.0")
+            m[f"{name}/short_bn/scale"] = ("bnfold_w", f"{tk}.shortcut.1")
+            m[f"{name}/short_bn/bias"] = ("bnfold_b", f"{tk}.shortcut.1")
+    if "seg_2" in template:  # two_emb_layer checkpoints
+        m["seg_bn_1/scale"] = ("bnfoldna_w", "seg_bn_1")
+        m["seg_bn_1/bias"] = ("bnfoldna_b", "seg_bn_1")
+        m["seg_2/kernel"] = ("dense_w", "seg_2")
+        m["seg_2/bias"] = ("bias", "seg_2")
+    return m
+
+
+def convert_wespeaker(state_dict: dict, template: dict,
+                      strict: bool = True) -> dict:
+    sd = {}
+    for k, v in state_dict.items():
+        # some exports nest the speaker model (e.g. "resnet." / "model.")
+        for pre in ("resnet.", "model.", "speaker_encoder."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        if k.startswith("projection."):  # wespeaker margin head — unused
+            continue
+        sd[k] = np.asarray(v)
+    return fill_tree(template, wespeaker_mapping(template), sd, strict)
+
+
+def load_wespeaker_checkpoint(path: str, cfg=None):
+    """wespeaker-voxceleb-resnet34-LM .bin/.pt -> (model, flax params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.wespeaker import (WeSpeakerConfig,
+                                               WeSpeakerResNet)
+
+    sd = torch_load_weights(path)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    cfg = cfg or WeSpeakerConfig(
+        two_emb_layer=any(k.endswith("seg_2.weight") for k in sd))
+    model = WeSpeakerResNet(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 200, cfg.feat_dim)))["params"])
+    return model, convert_wespeaker(sd, template)
 
 
 # ------------------------------------------------------------ HTDemucs
