@@ -56,8 +56,16 @@ def build_separator(cpu, dev):
     from audiolab_tpu.pipelines.separate import EnsembleMember, StemSeparator
 
     # the SDR-12.9628 checkpoint's scale (model_bs_roformer_ep_317_sdr_12.9628:
-    # dim 512, depth 12 axial pairs) — NOT a reduced stand-in
-    cfg = RoformerConfig(dim=512, depth=12, heads=8)
+    # dim 512, depth 12 axial pairs) — NOT a reduced stand-in.  The published
+    # model is num_stems=1 (vocals); audio-separator derives instrumental as
+    # mix - vocals, so the default member runs ONE mask estimator + iSTFT and
+    # synthesizes "other" as the residual (stem_separator.py derives it the
+    # same way).  BENCH_TWO_STEM=1 measures the two-estimator variant.
+    if os.environ.get("BENCH_TWO_STEM"):
+        cfg = RoformerConfig(dim=512, depth=12, heads=8)
+    else:
+        cfg = RoformerConfig(dim=512, depth=12, heads=8,
+                             stems=("vocals",), residual_stem="other")
     model = BSRoformer(cfg)
     # batch 8: dim-512 at batch 12 needs 16.46G of 15.75G HBM (13.5G HLO
     # temp); batch 8 fits with headroom and still amortizes dispatches
@@ -241,7 +249,11 @@ def main() -> None:
                 "unit": "audio-sec/sec/chip",
                 "vs_baseline": round(rtf / 20.0, 3),
                 "member": "bs_roformer dim=512 depth=12(axial pairs) "
-                          "heads=8 n_fft=2048 hop=512 (SDR-12.9628 scale)",
+                          "heads=8 n_fft=2048 hop=512 (SDR-12.9628 scale, "
+                          + ("two mask estimators"
+                             if os.environ.get("BENCH_TWO_STEM")
+                             else "num_stems=1 + residual instrumental "
+                                  "like the published checkpoint") + ")",
                 "ensemble_strength": int(os.environ.get("BENCH_ENSEMBLE", "1")),
                 "sep_rtf": round(DUR_S / best_sep, 3),
                 "rvc_rtf": round(DUR_S / best_rvc, 3),
