@@ -68,6 +68,64 @@ class CRNN(nn.Module):
         return jax.nn.log_softmax(nn.Dense(c.n_classes, name="head")(seq))
 
 
+class _Affine(nn.Module):
+    """Per-channel scale+bias (inference-folded BatchNorm2d)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return x * scale + bias
+
+
+@dataclass(frozen=True)
+class RtlaCRNNConfig:
+    """The published pretrained-model.safetensors hyperparameters come from
+    its sibling pretrained-model.json (modules/rtla/utils.py:30-39)."""
+
+    n_mels: int = 66              # modules/rtla/config.py N_MELS
+    num_lbl: int = 72             # phoneme classes (config.num_lbl)
+    model_complexity: int = 16    # model_size = 16 * complexity
+
+    @property
+    def model_size(self) -> int:
+        return self.model_complexity * 16
+
+
+class RtlaCRNN(nn.Module):
+    """Checkpoint-faithful RTLA frame classifier (reference
+    modules/rtla/CRNN_model.py:63-160): ConvStack (two 3x3 conv+BN+ReLU at
+    ms/16 channels, maxpool(1,2), one conv+BN+ReLU at ms/8, maxpool(1,2),
+    flatten channel-major, Linear to ms) -> unidirectional LSTM(ms) ->
+    Linear(num_lbl).  BatchNorms are inference-folded to affines;
+    converter: utils/convert.convert_rtla_crnn."""
+
+    cfg: RtlaCRNNConfig = RtlaCRNNConfig()
+
+    @nn.compact
+    def __call__(self, feat):
+        """(b, t, n_mels) mel-dB features -> frame logits (b, t, num_lbl)."""
+        c = self.cfg
+        ms = c.model_size
+        x = feat[..., None]                       # (b, t, F, 1)
+        x = nn.Conv(ms // 16, (3, 3), padding="SAME", name="conv_0")(x)
+        x = nn.relu(_Affine(name="bn_0")(x))
+        x = nn.Conv(ms // 16, (3, 3), padding="SAME", name="conv_1")(x)
+        x = nn.relu(_Affine(name="bn_1")(x))
+        x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        x = nn.Conv(ms // 8, (3, 3), padding="SAME", name="conv_2")(x)
+        x = nn.relu(_Affine(name="bn_2")(x))
+        x = nn.max_pool(x, (1, 2), strides=(1, 2))
+        # torch: (N, C, T, F') -> transpose(1,2) -> flatten(-2): index c*F'+f
+        b, t, f, ch = x.shape
+        x = x.transpose(0, 1, 3, 2).reshape(b, t, ch * f)
+        x = nn.Dense(ms, name="fc")(x)            # ConvStack.fc.0
+        cell = nn.OptimizedLSTMCell(ms, param_dtype=x.dtype, name="lstm_cell")
+        x = nn.RNN(cell)(x)                       # model.1.rnn (uni-dir)
+        return nn.Dense(c.num_lbl, name="head")(x)  # model.2 (raw logits)
+
+
 # ------------------------------------------------------------------ OLTW
 
 class OLTW:

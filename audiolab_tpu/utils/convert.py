@@ -3079,6 +3079,75 @@ def load_pyannet_checkpoint(path: str, cfg=None) -> dict:
     return convert_pyannet(sd, template)
 
 
+# ----------------------------------------------------------- RTLA CRNN
+
+def rtla_crnn_mapping() -> dict:
+    """flax models/rtla.RtlaCRNN tree -> the RTLA pretrained-model
+    state dict (modules/rtla/CRNN_model.py:63-160; loaded by
+    modules/rtla/utils.py:30-50).  BatchNorms fold to affines."""
+    m: dict = {}
+    for fl, tk in (("conv_0", "model.0.cnn.0"), ("conv_1", "model.0.cnn.3"),
+                   ("conv_2", "model.0.cnn.8")):
+        m[f"{fl}/kernel"] = ("conv2_w", tk)
+        m[f"{fl}/bias"] = ("bias", tk)
+    for fl, tk in (("bn_0", "model.0.cnn.1"), ("bn_1", "model.0.cnn.4"),
+                   ("bn_2", "model.0.cnn.9")):
+        m[f"{fl}/scale"] = ("bnfold_w", tk)
+        m[f"{fl}/bias"] = ("bnfold_b", tk)
+    m["fc/kernel"] = ("dense_w", "model.0.fc.0")
+    m["fc/bias"] = ("bias", "model.0.fc.0")
+    for gate in "ifgo":
+        m[f"lstm_cell/i{gate}/kernel"] = ("lstm_iw", f"model.1.rnn.l0|{gate}")
+        m[f"lstm_cell/h{gate}/kernel"] = ("lstm_hw", f"model.1.rnn.l0|{gate}")
+        m[f"lstm_cell/h{gate}/bias"] = ("lstm_hb", f"model.1.rnn.l0|{gate}")
+    m["head/kernel"] = ("dense_w", "model.2")
+    m["head/bias"] = ("bias", "model.2")
+    return m
+
+
+def convert_rtla_crnn(state_dict: dict, template: dict,
+                      strict: bool = True) -> dict:
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    return fill_tree(template, rtla_crnn_mapping(), sd, strict)
+
+
+def load_rtla_crnn_checkpoint(path: str, config_json: str | None = None):
+    """RTLA pretrained-model.safetensors/.pt (+ sibling json hyperparams,
+    modules/rtla/utils.py:30-50) -> (RtlaCRNN, flax params)."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiolab_tpu.models.rtla import RtlaCRNN, RtlaCRNNConfig
+
+    if path.endswith((".pt", ".pth")):
+        blob = torch_load_weights(path)
+        sd = blob.get("model_state_dict", blob)
+        meta = {"config": blob.get("config", {})}
+    else:
+        sd = torch_load_weights(path)
+        meta = {}
+        if config_json:
+            with open(config_json) as f:
+                meta = _json.load(f)
+    if hasattr(next(iter(sd.values())), "numpy"):
+        sd = {k: v.float().numpy() for k, v in sd.items()}
+    mc = dict(meta.get("config", {}))
+    cfg = RtlaCRNNConfig(
+        n_mels=int(mc.get("n_mels", 66)),
+        num_lbl=int(mc.get("num_lbl",
+                           np.asarray(sd["model.2.bias"]).shape[0])),
+        model_complexity=int(mc.get(
+            "model_complexity",
+            np.asarray(sd["model.2.weight"]).shape[1] // 16)))
+    model = RtlaCRNN(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, cfg.n_mels)))["params"])
+    return model, convert_rtla_crnn(sd, template)
+
+
 # ------------------------------------------------------- WeSpeaker r-vector
 
 def wespeaker_mapping(template: dict) -> dict:
