@@ -76,6 +76,11 @@ def mel_filterbank(
     if norm == "slaney":
         enorm = 2.0 / (hz_pts[2 : n_mels + 2] - hz_pts[:n_mels])
         weights *= enorm[:, None]
+    elif norm == "inf":
+        # librosa norm=np.inf: each filter scaled to unit peak (the RTLA
+        # front end passes norm=np.inf, modules/rtla/config.py NORM)
+        peak = np.maximum(weights.max(axis=1, keepdims=True), 1e-12)
+        weights = weights / peak
     return weights.T.astype(np.float32)  # (n_bins, n_mels)
 
 

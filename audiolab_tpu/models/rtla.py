@@ -126,6 +126,42 @@ class RtlaCRNN(nn.Module):
         return nn.Dense(c.num_lbl, name="head")(x)  # model.2 (raw logits)
 
 
+def rtla_mel_db(wav: np.ndarray, sr: int = 16000, n_mels: int = 66,
+                hop: int = 640, top_db: float = 80.0) -> jnp.ndarray:
+    """The RTLA CRNN front end (modules/rtla/CRNN_model.py:24-35 +
+    config.py): power mel, n_fft = 2*hop, center=False, unit-peak (inf-norm)
+    filters, AmplitudeToDB(power, top_db=80).  wav (n,) -> (t, n_mels)."""
+    from audiolab_tpu.kernels.mel import mel_spectrogram
+
+    w = jnp.asarray(wav, jnp.float32)
+    m = mel_spectrogram(w[None], sr=sr, n_fft=2 * hop, hop=hop,
+                        n_mels=n_mels, norm="inf", power=2.0,
+                        center=False)[0]
+    db = 10.0 * jnp.log10(jnp.clip(m, 1e-10, None))
+    return jnp.maximum(db, db.max() - top_db)
+
+
+def phoneme_features(wav: np.ndarray, sr: int, model, params,
+                     hop: int = 640, temperature: float = 1.0) -> np.ndarray:
+    """Phoneme posteriorgram feature stream for OLTW (reference
+    modules/rtla/utils.py:94-106 process_phonemes): CRNN frame logits ->
+    softmax(T) -> log1p(p*5)/4; returns (C, T) to vstack with chroma."""
+    import jax as _jax
+
+    if sr != 16000:
+        from audiolab_tpu.kernels.resample import resample_poly_np
+
+        wav = resample_poly_np(np.asarray(wav, np.float32), sr, 16000)
+        sr = 16000
+    feat = rtla_mel_db(np.asarray(wav, np.float32), sr=sr,
+                       n_mels=model.cfg.n_mels, hop=hop)
+    logits = _jax.jit(
+        lambda p, f: model.apply({"params": p}, f[None])[0])(params, feat)
+    p = _jax.nn.softmax(jnp.asarray(logits) / temperature, axis=-1)
+    ph = np.asarray(jnp.log1p(p * 5.0) / 4.0).T        # (C, T)
+    return ph[:, 1:-1] if ph.shape[1] > 2 else ph      # trim context frames
+
+
 # ------------------------------------------------------------------ OLTW
 
 class OLTW:

@@ -113,14 +113,40 @@ def match_sentences(master: list[Sentence], take: list[Sentence],
 
 # ------------------------------------------------------------------ warping
 
+def _dual_features(wav: np.ndarray, sr: int, hop: int,
+                   phoneme_model) -> np.ndarray:
+    """chroma ++ phoneme posteriorgram feature frames (n, d) — the
+    reference's default FEATURES=["chroma","phoneme"] vstack
+    (modules/rtla/stream_processor.py:27-36, config.py FEATURES)."""
+    from audiolab_tpu.models.rtla import phoneme_features
+
+    ch = chroma_features(wav, sr, hop)               # (t, 12)
+    model, params = phoneme_model
+    ph = phoneme_features(wav, sr, model, params).T  # (t', C)
+    t = min(len(ch), len(ph))
+    if t == 0:
+        return ch
+    # nearest-frame resample of the phoneme grid onto the chroma grid
+    idx = np.minimum((np.arange(len(ch)) * len(ph)) // max(len(ch), 1),
+                     len(ph) - 1)
+    return np.concatenate([ch, ph[idx]], axis=-1)
+
+
 def warp_region(take: np.ndarray, sr: int, target_len: int,
                 master_region: np.ndarray | None = None,
-                hop: int = 512) -> np.ndarray:
-    """Warp a take region onto a master region via chroma OLTW when a
-    master is given (align.py:407); otherwise uniform resample to length."""
+                hop: int = 512, phoneme_model=None) -> np.ndarray:
+    """Warp a take region onto a master region via OLTW when a master is
+    given (align.py:407) — chroma features, plus the CRNN phoneme
+    posteriorgram stream when ``phoneme_model=(RtlaCRNN, params)`` is
+    supplied (the reference's dual-feature default); otherwise uniform
+    resample to length."""
     if master_region is not None and len(master_region) > hop * 4 and len(take) > hop * 4:
-        ref = chroma_features(master_region, sr, hop)
-        stream = chroma_features(take, sr, hop)
+        if phoneme_model is not None:
+            ref = _dual_features(master_region, sr, hop, phoneme_model)
+            stream = _dual_features(take, sr, hop, phoneme_model)
+        else:
+            ref = chroma_features(master_region, sr, hop)
+            stream = chroma_features(take, sr, hop)
         path = OLTW(ref, window=32).align(stream)
         path = make_path_strictly_monotonic(path)
         # map master frame -> take frame, build a per-sample index
@@ -161,6 +187,7 @@ def align_take(
     sr: int,
     master_words: list[dict],
     take_words: list[dict],
+    phoneme_model=None,
 ) -> tuple[np.ndarray, dict]:
     """Warp ``take`` onto the master timeline sentence by sentence; returns
     (aligned_take, report)."""
@@ -179,7 +206,8 @@ def align_take(
             regions.append(np.zeros(gap, np.float32))
         m0, m1 = int(s.start * sr), int(s.end * sr)
         t0, t1 = int(t.start * sr), int(t.end * sr)
-        warped = warp_region(take[t0:t1], sr, m1 - m0, master[m0:m1])
+        warped = warp_region(take[t0:t1], sr, m1 - m0, master[m0:m1],
+                             phoneme_model=phoneme_model)
         regions.append(warped.astype(np.float32))
         cursor = s.end
         report["pairs"].append({"master": s.text, "take": t.text,

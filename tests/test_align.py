@@ -100,3 +100,33 @@ def test_align_take_end_to_end():
     assert len(aligned) == len(master)
     assert report["matched"] >= 1
     assert np.isfinite(aligned).all()
+
+
+def test_align_take_dual_feature_phoneme_path():
+    """The reference default FEATURES=["chroma","phoneme"] — OLTW runs on
+    the stacked chroma + CRNN posteriorgram stream (stream_processor.py:
+    27-36) when a phoneme model is supplied."""
+    import jax
+
+    from audiolab_tpu.models.rtla import RtlaCRNN, RtlaCRNNConfig
+    from audiolab_tpu.pipelines.align import _dual_features
+
+    sr = 16000
+    model = RtlaCRNN(RtlaCRNNConfig(n_mels=66, num_lbl=9,
+                                    model_complexity=1))
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 8, 66), np.float32))["params"]
+    wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(3 * sr) / sr)).astype(
+        np.float32)
+    feats = _dual_features(wav, sr, 512, (model, params))
+    assert feats.shape[-1] == 12 + 9          # chroma ++ posteriors
+    assert np.isfinite(feats).all()
+
+    words_m = [{"word": "la", "start": 0.2, "end": 0.8},
+               {"word": "la.", "start": 0.9, "end": 1.4}]
+    words_t = [{"word": "la", "start": 0.3, "end": 0.9},
+               {"word": "la.", "start": 1.0, "end": 1.6}]
+    aligned, report = align_take(wav, wav.copy(), sr, words_m, words_t,
+                                 phoneme_model=(model, params))
+    assert len(aligned) == len(wav)
+    assert np.isfinite(aligned).all()
