@@ -59,6 +59,11 @@ class ToneColorConfig:
             resblock_kernel_sizes=self.resblock_kernel_sizes,
             resblock_dilation_sizes=self.resblock_dilation_sizes,
             sr=self.sr,
+            # OpenVoice's flow couplings run 4 WN layers (VITS default;
+            # openvoice_cli models.py:449 + modules.py WN) where RVC uses
+            # 3 — verified against the actual openvoice_cli wheel
+            # (tests/test_openvoice_wheel_parity.py)
+            flow_layers=4,
         )
 
 

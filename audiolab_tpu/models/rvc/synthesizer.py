@@ -60,6 +60,8 @@ class SynthesizerConfig:
     sr: int = 48000
     feat_channels: int = 768  # 256 for v1 models
     use_f0: bool = True
+    flow_layers: int = 3      # WN layers per coupling: RVC uses 3
+                              # (infer_pack/models.py), OpenVoice/VITS 4
 
     @property
     def upp(self) -> int:
@@ -146,7 +148,8 @@ class ResidualCouplingBlock(nn.Module):
         c = self.cfg
         layers = [
             ResidualCouplingLayer(
-                c.inter_channels, c.hidden_channels, 5, 1, 3,
+                c.inter_channels, c.hidden_channels, 5, 1,
+                getattr(c, "flow_layers", 3),
                 gin_channels=c.gin_channels, name=f"flow_{i}",
             )
             for i in range(self.n_flows)

@@ -1697,7 +1697,9 @@ class OpenVoiceTorch(nn.Module):
                                 res_d, gin)
         self.enc_q = PosteriorEncoder(spec_channels, inter, hidden, 5, 1,
                                       16, gin_channels=gin)
-        self.flow = ResidualCouplingBlock(inter, hidden, 5, 1, 3,
+        # 4 WN layers per coupling — the real openvoice_cli value
+        # (models.py:449); RVC's synthesizer uses 3
+        self.flow = ResidualCouplingBlock(inter, hidden, 5, 1, 4,
                                           n_flows=4, gin_channels=gin)
         self.ref_enc = _OVRefEnc(spec_channels, gin)
 
