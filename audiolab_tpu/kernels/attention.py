@@ -150,11 +150,15 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Flash attention over ``(b, h, t, d)``; full precision accumulate.
 
-    ``block_h``: heads per grid step.  Raise it for SHORT sequences where
-    single-head steps are overhead-bound (each grid step has a fixed
-    ~10 us cost on the one v5e TensorCore; the RoFormer time axis went
-    48.8 ms -> measured with block_h=4).  VMEM bound: the fp32 score slab
-    is block_h*bq*bk*4 bytes — keep it ~<10 MB."""
+    ``block_h``: (batch*head) slices per grid step.  Raise it for SHORT
+    sequences where single-slice steps are overhead-bound (each grid step
+    has a fixed ~10 us cost on the one v5e TensorCore).  The fold is over
+    the flattened (b, h) axis — every slice carries its own k/v, so
+    folding batch elements is as valid as folding heads, and at tiny
+    sequence lengths (e.g. the RoFormer 62-band freq axis) block_h=64
+    turns tens of thousands of overhead-bound steps into hundreds of
+    MXU-bound ones.  VMEM bound: the fp32 score slab is
+    block_h*bq*bk*4 bytes — keep it ~<10 MB."""
     b, h, tq, d = q.shape
     tk = k.shape[2]
     if scale is None:
@@ -162,8 +166,8 @@ def flash_attention(
     if not _on_tpu() or d > 256:
         return attention_reference(q, k, v, causal=causal, scale=scale)
 
-    bh = max(1, min(block_h, h))
-    while h % bh:
+    bh = max(1, min(block_h, b * h))
+    while (b * h) % bh:
         bh -= 1
     bq = min(block_q, max(8, tq))
     bk = min(block_k, max(8, tk))
