@@ -1,9 +1,16 @@
-"""Chatterbox-class TTS (reference: resemble-ai Chatterbox engine,
-layouts/tts.py:381 run_chatterbox_tts).
+"""Chatterbox-class TEST DOUBLE — NOT the checkpoint-faithful engine.
 
-Chatterbox's stack is a token LM over discrete speech units with an
-EMOTION-EXAGGERATION control, a flow-matching acoustic decoder, and a
-vocoder.  Same three stages here from the shared TPU blocks:
+The production Chatterbox stack lives in ``chatterbox_t3.py`` /
+``chatterbox_s3gen.py`` (T3 LM + VoiceEncoder + S3Gen flow decoder +
+CAMPPlus + S3Tokenizer, all converting real resemble-ai weights).  This
+module is a deliberately tiny engine with the same three-stage SHAPE
+(LM -> flow decoder -> vocoder, exaggeration knob included) used only by
+``pipelines.tts.random_chatterbox`` and the engine-API tests, where a
+full-size model would make the suite minutes slower for no extra
+coverage.  Do not count it as a second Chatterbox implementation.
+
+Reference: resemble-ai Chatterbox engine, layouts/tts.py:381
+run_chatterbox_tts.  Stage map shared with the real engine:
 
   T3-style LM        TransformerLM over [exaggeration | speaker | text |
                      speech tokens] (models/lm.py scan decode)

@@ -13,9 +13,13 @@ unk penalty 10.0 like spm's kUnkPenalty) and BPE (highest-score adjacent
 merge, leftmost tiebreak).  Byte-fallback pieces (``<0xXX>``) are used for
 characters outside the vocab when the model enables them.
 
-Known limit (flagged): the precompiled nmt_nfkc normalization charsmap is
-NOT applied — ASCII text (lyrics, prompts) normalizes identically; exotic
-unicode may segment differently from the C++ library.
+Normalization: the precompiled charsmap embedded in NormalizerSpec (the
+nmt_nfkc rules compiled to a darts-clone double-array trie + replacement
+string pool, normalizer.cc DecodePrecompiledCharsMap) IS parsed and
+applied — longest-prefix transduction over UTF-8 bytes, then the exact
+Normalize() whitespace loop (heading-space skip, dummy prefix, escaped
+space collapse, trailing strip).  Models without a charsmap (identity
+normalizer, test fixtures) skip the transduction.
 """
 
 from __future__ import annotations
@@ -90,6 +94,7 @@ class SentencePieceModel:
     add_dummy_prefix: bool = True
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
+    precompiled_charsmap: bytes = b""
 
     @classmethod
     def parse(cls, data: bytes) -> "SentencePieceModel":
@@ -125,13 +130,118 @@ class SentencePieceModel:
                         m.unk_surface = tv.decode("utf-8")
             elif fno == 3 and wt == 2:          # NormalizerSpec
                 for nf, nw, nv in _iter_fields(v):
-                    if nf == 3:
+                    if nf == 2 and nw == 2:
+                        m.precompiled_charsmap = nv
+                    elif nf == 3:
                         m.add_dummy_prefix = bool(nv)
                     elif nf == 4:
                         m.remove_extra_whitespaces = bool(nv)
                     elif nf == 5:
                         m.escape_whitespaces = bool(nv)
         return m
+
+
+# ------------------------------------------- precompiled charsmap (darts)
+
+class PrecompiledCharsMap:
+    """sentencepiece's precompiled normalization table: a darts-clone
+    double-array trie over UTF-8 rule prefixes + a NUL-separated pool of
+    replacement strings (normalizer.cc DecodePrecompiledCharsMap).
+
+    Blob layout: [uint32le trie_blob_size][trie units][string pool].
+    Unit decoding follows darts-clone's DoubleArrayUnit:
+      label  = unit & (1<<31 | 0xFF)
+      offset = (unit >> 10) << ((unit & (1<<9)) >> 6)
+      leaf   = (unit >> 8) & 1;  value unit: unit & 0x7FFFFFFF
+    """
+
+    def __init__(self, blob: bytes):
+        if len(blob) < 4:
+            raise ValueError("charsmap blob too short")
+        (trie_size,) = struct.unpack_from("<I", blob, 0)
+        if trie_size + 4 > len(blob):
+            raise ValueError("charsmap trie size exceeds blob")
+        import array
+
+        self.units = array.array("I")
+        self.units.frombytes(blob[4 : 4 + trie_size])
+        self.pool = blob[4 + trie_size :]
+
+    def longest_match(self, data: bytes, start: int) -> tuple[int, int]:
+        """Longest rule prefix of ``data[start:]`` -> (value, length);
+        length 0 when no rule matches (darts commonPrefixSearch, keeping
+        only the longest hit like Normalizer::NormalizePrefix)."""
+        units = self.units
+        unit = units[0]
+        node_pos = (unit >> 10) << ((unit & 0x200) >> 6)
+        best_val, best_len = 0, 0
+        for i in range(start, len(data)):
+            node_pos ^= data[i]
+            if node_pos >= len(units):
+                break
+            unit = units[node_pos]
+            if (unit & 0x800000FF) != data[i]:
+                break
+            node_pos ^= (unit >> 10) << ((unit & 0x200) >> 6)
+            if (unit >> 8) & 1:
+                best_val = units[node_pos] & 0x7FFFFFFF
+                best_len = i + 1 - start
+        return best_val, best_len
+
+    def replacement(self, value: int) -> bytes:
+        """NUL-terminated replacement string at pool offset ``value``."""
+        end = self.pool.index(b"\0", value)
+        return self.pool[value:end]
+
+
+def build_charsmap(rules: dict[str, str]) -> bytes:
+    """Compile prefix-replacement rules into the precompiled-charsmap blob
+    format (test-fixture factory: lets charsmap parity tests run without
+    the sentencepiece wheel's spm_normalize).  Builds a darts-clone
+    double-array by first-fit offset search — fine for rule sets up to a
+    few thousand entries."""
+    pool = bytearray()
+    keyed: dict[bytes, int] = {}
+    for src, dst in rules.items():
+        keyed[src.encode("utf-8")] = len(pool)
+        pool += dst.encode("utf-8") + b"\0"
+
+    units: dict[int, int] = {0: 0}
+
+    def place(node: dict[bytes, int], slot: int) -> None:
+        has_leaf = b"" in node
+        children: dict[int, dict[bytes, int]] = {}
+        for k, v in node.items():
+            if k:
+                children.setdefault(k[0], {})[k[1:]] = v
+        off = 1
+        while True:
+            base = slot ^ off
+            need = [base ^ c for c in children]
+            if has_leaf:
+                need.append(base)
+            if all(s not in units for s in need) and off < (1 << 21):
+                break
+            off += 1
+        assert off < (1 << 21), "offset overflow (tiny-trie builder)"
+        units[slot] |= (off << 10) | (int(has_leaf) << 8)
+        base = slot ^ off
+        if has_leaf:
+            units[base] = 0x80000000 | node[b""]
+        for c in children:          # claim every sibling slot BEFORE any
+            units[base ^ c] = c     # recursion can allocate over it
+        for c, sub in children.items():
+            place(sub, base ^ c)
+
+    root: dict[bytes, int] = dict(keyed)
+    place(root, 0)
+    size = max(units) + 1
+    # filler label 0xFF + bit31 can never equal an input byte
+    arr = [0x800000FF] * size
+    for k, v in units.items():
+        arr[k] = v
+    trie = struct.pack(f"<{size}I", *arr)
+    return struct.pack("<I", len(trie)) + trie + bytes(pool)
 
 
 # ---------------------------------------------------- writer (for tests)
@@ -169,6 +279,7 @@ def build_model_proto(
     add_dummy_prefix: bool = True,
     remove_extra_whitespaces: bool = True,
     escape_whitespaces: bool = True,
+    precompiled_charsmap: bytes = b"",
 ) -> bytes:
     """Serialize a minimal valid sentencepiece ``.model`` (test fixture
     factory — lets parity tests run without the sentencepiece wheel)."""
@@ -185,6 +296,8 @@ def build_model_proto(
     ns = (_field_varint(3, int(add_dummy_prefix))
           + _field_varint(4, int(remove_extra_whitespaces))
           + _field_varint(5, int(escape_whitespaces)))
+    if precompiled_charsmap:
+        ns += _field_len(2, precompiled_charsmap)
     out += _field_len(3, ns)
     return bytes(out)
 
@@ -201,6 +314,8 @@ class SentencePieceProcessor:
             with open(model_file, "rb") as f:
                 model_proto = f.read()
         self.m = SentencePieceModel.parse(model_proto)
+        self._charsmap = (PrecompiledCharsMap(self.m.precompiled_charsmap)
+                          if self.m.precompiled_charsmap else None)
         self._piece_to_id: dict[str, int] = {}
         self._byte_id: dict[int, int] = {}
         self._matchable: dict[str, tuple[int, float]] = {}
@@ -248,14 +363,71 @@ class SentencePieceProcessor:
 
     # ---- normalize
 
+    def _normalize_prefix(self, data: bytes, i: int) -> tuple[bytes, int]:
+        """Normalizer::NormalizePrefix: longest charsmap rule at ``i`` ->
+        its replacement; otherwise one UTF-8 char copied through (or
+        U+FFFD consuming 1 byte on malformed input)."""
+        if self._charsmap is not None:
+            val, ln = self._charsmap.longest_match(data, i)
+            if ln:
+                return self._charsmap.replacement(val), ln
+        b0 = data[i]
+        if b0 < 0x80:
+            n = 1
+        elif 0xC2 <= b0 <= 0xDF:
+            n = 2
+        elif 0xE0 <= b0 <= 0xEF:
+            n = 3
+        elif 0xF0 <= b0 <= 0xF4:
+            n = 4
+        else:
+            return b"\xef\xbf\xbd", 1
+        chunk = data[i : i + n]
+        if len(chunk) < n or any((c & 0xC0) != 0x80 for c in chunk[1:]):
+            return b"\xef\xbf\xbd", 1
+        return chunk, n
+
     def _normalize(self, text: str) -> str:
-        if self.m.remove_extra_whitespaces:
-            text = " ".join(text.split())
-        if self.m.add_dummy_prefix and text:
-            text = " " + text
-        if self.m.escape_whitespaces:
-            text = text.replace(" ", _WS)
-        return text
+        """Normalizer::Normalize, byte-exact: charsmap transduction with
+        the heading-skip / dummy-prefix / space-escape / collapse /
+        trailing-strip whitespace logic interleaved the way the C++ loop
+        does it (normalizer.cc)."""
+        data = text.encode("utf-8")
+        n = len(data)
+        i = 0
+        if self.m.remove_extra_whitespaces:        # ignore heading spaces
+            while i < n:
+                rep, ln = self._normalize_prefix(data, i)
+                if rep != b" ":
+                    break
+                i += ln
+        if i >= n:
+            return ""
+        space = _WS.encode("utf-8") if self.m.escape_whitespaces else b" "
+        out = bytearray()
+        if self.m.add_dummy_prefix:
+            out += space
+        is_prev_space = self.m.remove_extra_whitespaces
+        while i < n:
+            rep, ln = self._normalize_prefix(data, i)
+            j = 0
+            while is_prev_space and rep[j : j + 1] == b" ":
+                j += 1
+            sp = rep[j:]
+            if sp:
+                for byte in sp:
+                    if self.m.escape_whitespaces and byte == 0x20:
+                        out += space
+                    else:
+                        out.append(byte)
+                is_prev_space = sp.endswith(b" ")
+            i += ln
+            if not self.m.remove_extra_whitespaces:
+                is_prev_space = False
+        if self.m.remove_extra_whitespaces:        # ignore trailing spaces
+            while out.endswith(space):
+                del out[len(out) - len(space):]
+        return out.decode("utf-8", errors="replace")
 
     # ---- encode
 

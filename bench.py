@@ -1,29 +1,36 @@
 """Headline benchmark: FULL separate -> RVC voice-conversion chain RTF.
 
-Stage A — ensemble stem separation on a 4-minute stereo 44.1 kHz track
-at the REFERENCE'S DEFAULT ensemble size: stem_separator.py defaults
-``ensemble_strength`` to 1 and slices ``models_with_weights[:strength]``,
-so the default chain runs ONE RoFormer-class member (the SDR-12.96 class
-listed at :379-386).  Members are BS-RoFormers at the PUBLISHED
-CHECKPOINT scale (dim 512 / depth 12 — the SDR-12.9628 config the
-reference defaults to); set BENCH_ENSEMBLE=3 (etc.) to measure larger
-ensembles — members share ONE compiled graph (params are arguments), so
-extra members add run time but no compile.  Blend + residual de-bleed
-run device-resident.
+Stage A — ensemble stem separation on a 4-minute stereo 44.1 kHz track at
+the REFERENCE'S PRODUCT DEFAULT ensemble size: the Separate wrapper calls
+``separate_music(**kwargs)`` whose signature defaults
+``ensemble_strength: 2`` (modules/separator/stem_separator.py:998), and the
+wrapper exposes no field overriding it — so the honest default chain runs
+TWO RoFormer-class members of the SDR-12.96 class listed at :379-386.
+Members are BS-RoFormers at the PUBLISHED CHECKPOINT scale (dim 512 /
+depth 12, the SDR-12.9628 config); set BENCH_ENSEMBLE=3 (etc.) to measure
+larger ensembles — members share ONE compiled graph (params are
+arguments), so extra members add run time but no compile.  Blend +
+residual de-bleed run device-resident.
 
-Stage B — RVC conversion of the vocals stem: device-side mono mix +
-polyphase resample to 16 kHz, then the fused jitted chain (HuBERT features
--> retrieval blend -> f0 -> SynthesizerTrn/NSF-HiFiGAN) with full-size
-v2-48k weights.  Stems never leave the device between stages (tunnel
-device->host readback is ~4 MB/s; host->device ~600 MB/s).
+Stage B — RVC conversion of the vocals stem with the REFERENCE'S DEFAULT
+f0 method, RMVPE (modules/rvc/pitch_extraction.py dispatches "rmvpe" by
+default): device-side mono mix + polyphase resample to 16 kHz, then the
+jitted chain (HuBERT features -> retrieval blend -> RMVPE f0 ->
+SynthesizerTrn/NSF-HiFiGAN) with full-size v2-48k weights.  Stems never
+leave the device between stages (tunnel device->host readback is ~4 MB/s;
+host->device ~600 MB/s).
 
-Throughput is weight-independent; random init is used because no
-pretrained checkpoints are downloadable in this environment.
+Throughput is weight-independent; parameters are SHAPE-ONLY constructions
+(jax.eval_shape + numpy fill, utils/fast_init.py) because no pretrained
+checkpoints are downloadable in this environment — flax ``init`` would
+compile every forward graph a second time just to make random weights
+(r03's bench spent 969 s there and timed out).
 
 Baseline (BASELINE.md): >=20x real-time per TPU v5e chip for the
 separate->RVC chain; vs_baseline = RTF / 20.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} for
+the strength-2 default; strength-1 numbers ride along as secondary fields.
 Per-stage numbers go to stderr.
 """
 
@@ -51,9 +58,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_separator(cpu, dev):
+def build_separator(dev, strength: int):
     from audiolab_tpu.models.separation.roformer import BSRoformer, RoformerConfig
     from audiolab_tpu.pipelines.separate import EnsembleMember, StemSeparator
+    from audiolab_tpu.utils.fast_init import fast_init
 
     # the SDR-12.9628 checkpoint's scale (model_bs_roformer_ep_317_sdr_12.9628:
     # dim 512, depth 12 axial pairs) — NOT a reduced stand-in.  The published
@@ -70,19 +78,13 @@ def build_separator(cpu, dev):
     # batch 8: dim-512 at batch 12 needs 16.46G of 15.75G HBM (13.5G HLO
     # temp); batch 8 fits with headroom and still amortizes dispatches
     chunk_s, batch = 8.0, int(os.environ.get("BENCH_SEP_BATCH", "8"))
-    with jax.default_device(cpu):
-        base = model.init(
-            jax.random.PRNGKey(1), jnp.zeros((1, 2, int(chunk_s * SEP_SR)))
-        )["params"]
-
-    # ONE jitted apply shared by every member: params are an argument, so
-    # the 3-member ensemble compiles once (the reference serially reloads
-    # models per member, stem_separator.py:393-394)
-    apply = jax.jit(lambda p, x: model.apply({"params": p}, x))
+    base = fast_init(
+        lambda: model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 2, int(chunk_s * SEP_SR))))
+    )["params"]
 
     # ensemble blend weights mirror the reference's member table
-    # (:379-386), sliced to ensemble_strength like the reference (default 1)
-    strength = int(os.environ.get("BENCH_ENSEMBLE", "1"))
+    # (:379-386), sliced to ensemble_strength like the reference
     weights = [(8.6, 16.0), (8.4, 16.0), (8.5, 16.0), (7.2, 14.9),
                (6.9, 14.9), (6.9, 14.9), (6.8, 14.9)][:strength]
     members = []
@@ -105,24 +107,26 @@ def build_separator(cpu, dev):
                          overlap_seconds=1.0, device_batch=batch)
 
 
-def build_rvc(cpu, dev):
+def build_rvc(dev):
     from audiolab_tpu.models.hubert import HubertConfig, HubertFeatureExtractor
+    from audiolab_tpu.models.rmvpe import RMVPE
     from audiolab_tpu.models.rvc.synthesizer import SynthesizerTrn, config_for
     from audiolab_tpu.pipelines.rvc import RVCPipelineConfig, VoiceConverter
+    from audiolab_tpu.utils.fast_init import fast_init
 
     synth_cfg = config_for(48000, "v2")
     hub_cfg = HubertConfig()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
 
-    # init on the CPU backend: init graphs compile in ms there vs minutes
-    # through the TPU tunnel; params transfer to the TPU on first use
-    with jax.default_device(cpu):
-        hub = HubertFeatureExtractor(version="v2", cfg=hub_cfg)
-        hubert_params = hub.init(k1, jnp.zeros((1, 16000), jnp.float32))["params"]
+    hub = HubertFeatureExtractor(version="v2", cfg=hub_cfg)
+    hubert_params = fast_init(
+        lambda: hub.init(k1, jnp.zeros((1, 16000), jnp.float32))
+    )["params"]
 
-        synth = SynthesizerTrn(synth_cfg)
-        t = 100
-        synth_params = synth.init(
+    synth = SynthesizerTrn(synth_cfg)
+    t = 100
+    synth_params = fast_init(
+        lambda: synth.init(
             {"params": k2},
             jnp.zeros((1, t, synth_cfg.feat_channels), jnp.float32),
             jnp.full((1,), t, jnp.int32),
@@ -131,9 +135,18 @@ def build_rvc(cpu, dev):
             jnp.zeros((1,), jnp.int32),
             None,
             method=SynthesizerTrn.infer,
-        )["params"]
+        )
+    )["params"]
     hubert_params = jax.device_put(hubert_params, dev)
     synth_params = jax.device_put(synth_params, dev)
+
+    # RMVPE at published scale (E2E(4,1,(2,2)), rmvpe.pt) — the reference's
+    # DEFAULT f0 method; shape-only weights, full compute
+    rm = RMVPE()
+    rm_vars = fast_init(lambda: rm.model.init(jax.random.PRNGKey(7),
+                                              jnp.zeros((1, 320, 128))))
+    rmvpe = RMVPE(jax.device_put(rm_vars["params"], dev),
+                  jax.device_put(rm_vars.get("batch_stats", {}), dev))
 
     # small retrieval index so the knn path is exercised too
     index = np.random.default_rng(0).standard_normal((4096, 768)).astype(np.float32)
@@ -142,9 +155,9 @@ def build_rvc(cpu, dev):
         synth_cfg,
         synth_params,
         hubert_params,
-        rmvpe=None,  # autocorr f0 (jitted); RMVPE adds a fixed small cost
+        rmvpe=rmvpe,
         index_features=index,
-        cfg=RVCPipelineConfig(sr=48000, f0_method="yin"),
+        cfg=RVCPipelineConfig(sr=48000, f0_method="rmvpe"),
     )
 
 
@@ -191,15 +204,41 @@ def wait_for_device(max_wait_s: int = 1800, probe_timeout_s: int = 120) -> None:
         _t.sleep(120)
 
 
+def timed_passes(sep, vc, audio_dev, to_rvc_input, n_passes: int):
+    best_total = best_sep = best_rvc = float("inf")
+    for _i in range(n_passes):
+        t0 = time.perf_counter()
+        stems = sep.separate(audio_dev, as_numpy=False)
+        sync(stems["vocals"])
+        t_sep = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        vocals16k = to_rvc_input(stems["vocals"])
+        out = vc.convert(vocals16k, sid=0)
+        t_rvc = time.perf_counter() - t1
+        # free the pass's device buffers before the next one — stems are
+        # ~170 MB each and three live copies fragment v5e HBM into OOM
+        del stems, vocals16k, out
+
+        best_sep = min(best_sep, t_sep)
+        best_rvc = min(best_rvc, t_rvc)
+        best_total = min(best_total, t_sep + t_rvc)
+        log(f"[bench] pass: sep {t_sep:.2f}s ({DUR_S / t_sep:.1f}x), "
+            f"rvc {t_rvc:.2f}s ({DUR_S / t_rvc:.1f}x), "
+            f"total {t_sep + t_rvc:.2f}s ({DUR_S / (t_sep + t_rvc):.1f}x)")
+    return best_total, best_sep, best_rvc
+
+
 def main() -> None:
     wait_for_device(int(os.environ.get("BENCH_TPU_WAIT_S", "1800")))
-    cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
     from audiolab_tpu.kernels.resample import resample
 
+    strength = int(os.environ.get("BENCH_ENSEMBLE", "2"))
+
     t0 = time.perf_counter()
-    sep = build_separator(cpu, dev)
-    vc = build_rvc(cpu, dev)
+    sep = build_separator(dev, strength)
+    vc = build_rvc(dev)
     log(f"[bench] build: {time.perf_counter() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
@@ -216,28 +255,22 @@ def main() -> None:
     run_chain(sep, vc, audio_dev, to_rvc_input)
     log(f"[bench] warmup (compile): {time.perf_counter() - t0:.1f}s")
 
-    best_total = best_sep = best_rvc = float("inf")
-    for _i in range(3):
-        t0 = time.perf_counter()
-        stems = sep.separate(audio_dev, as_numpy=False)
-        sync(stems["vocals"])
-        t_sep = time.perf_counter() - t0
+    best_total, best_sep, best_rvc = timed_passes(
+        sep, vc, audio_dev, to_rvc_input, 3)
 
-        t1 = time.perf_counter()
-        vocals16k = to_rvc_input(stems["vocals"])
-        out = vc.convert(vocals16k, sid=0)
-        sync(out)
-        t_rvc = time.perf_counter() - t1
-        # free the pass's device buffers before the next one — stems are
-        # ~170 MB each and three live copies fragment v5e HBM into OOM
-        del stems, vocals16k, out
+    # strength-1 secondary: SAME compiled graph (members share the apply and
+    # the param buffer), just one member — zero extra compile
+    if strength != 1:
+        from audiolab_tpu.pipelines.separate import StemSeparator
 
-        best_sep = min(best_sep, t_sep)
-        best_rvc = min(best_rvc, t_rvc)
-        best_total = min(best_total, t_sep + t_rvc)
-        log(f"[bench] pass: sep {t_sep:.2f}s ({DUR_S / t_sep:.1f}x), "
-            f"rvc {t_rvc:.2f}s ({DUR_S / t_rvc:.1f}x), "
-            f"total {t_sep + t_rvc:.2f}s ({DUR_S / (t_sep + t_rvc):.1f}x)")
+        sep1 = StemSeparator(sep.members[:1], sr=SEP_SR,
+                             chunk_seconds=sep.chunk_seconds,
+                             overlap_seconds=sep.overlap_seconds,
+                             device_batch=sep.device_batch)
+        s1_total, s1_sep, s1_rvc = timed_passes(
+            sep1, vc, audio_dev, to_rvc_input, 2)
+    else:
+        s1_total, s1_sep, s1_rvc = best_total, best_sep, best_rvc
 
     rtf = DUR_S / best_total
     log(f"[bench] best: sep {DUR_S / best_sep:.1f}x, rvc {DUR_S / best_rvc:.1f}x")
@@ -254,9 +287,12 @@ def main() -> None:
                              if os.environ.get("BENCH_TWO_STEM")
                              else "num_stems=1 + residual instrumental "
                                   "like the published checkpoint") + ")",
-                "ensemble_strength": int(os.environ.get("BENCH_ENSEMBLE", "1")),
+                "ensemble_strength": strength,
+                "f0_method": "rmvpe",
                 "sep_rtf": round(DUR_S / best_sep, 3),
                 "rvc_rtf": round(DUR_S / best_rvc, 3),
+                "strength1_chain_rtf": round(DUR_S / s1_total, 3),
+                "strength1_sep_rtf": round(DUR_S / s1_sep, 3),
             }
         )
     )

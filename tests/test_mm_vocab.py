@@ -242,3 +242,67 @@ def test_spm_byte_fallback():
     ids = sp.encode_as_ids("xé")
     assert sp.m.unk_id not in ids
     assert sp.decode_ids(ids) == "xé"
+
+
+def test_charsmap_trie_longest_match():
+    """darts-clone traversal: longest rule wins, fillers never match."""
+    from audiolab_tpu.utils.spm import PrecompiledCharsMap, build_charsmap
+
+    cmap = PrecompiledCharsMap(build_charsmap({
+        "a": "x", "ab": "y", "ﬁ": "fi", "Ｆ": "F", "　": " ",
+        "\t": " ", "\x01": "",
+    }))
+    data = "ab".encode("utf-8")
+    val, ln = cmap.longest_match(data, 0)
+    assert ln == 2 and cmap.replacement(val) == b"y"   # longest, not first
+    val, ln = cmap.longest_match("aq".encode(), 0)
+    assert ln == 1 and cmap.replacement(val) == b"x"
+    val, ln = cmap.longest_match("ﬁre".encode(), 0)
+    assert ln == len("ﬁ".encode()) and cmap.replacement(val) == b"fi"
+    _, ln = cmap.longest_match(b"qqq", 0)
+    assert ln == 0                                     # no rule
+    val, ln = cmap.longest_match(b"z\x01z", 1)
+    assert ln == 1 and cmap.replacement(val) == b""    # deletion rule
+
+
+def test_charsmap_normalization_end_to_end():
+    """nmt_nfkc-style rules change SEGMENTATION, not just surface text:
+    fullwidth/ligature/space rules embedded in the .model flow through
+    encode_as_ids exactly like the C++ normalizer (mmtokenizer.py:63-71
+    gets this via the sentencepiece wheel)."""
+    from audiolab_tpu.utils.spm import build_charsmap
+
+    cmap = build_charsmap({
+        "ﬁ": "fi", "　": " ", "\t": " ", "Ｔ": "T", "\x00": "",
+    })
+    plain = SentencePieceProcessor(model_proto=_tiny_unigram_proto())
+    with_map = SentencePieceProcessor(model_proto=build_model_proto(
+        # same pieces, plus the charsmap in NormalizerSpec
+        [(plain.id_to_piece(i), plain.m.pieces[i][1], plain.m.pieces[i][2])
+         for i in range(len(plain))],
+        precompiled_charsmap=cmap))
+    want = plain.encode_as_ids("the fire")
+    # ideographic space + fi-ligature normalize into the same ids
+    assert with_map.encode_as_ids("the　ﬁre") == want
+    # tab rule + extra-whitespace collapse interleave like normalizer.cc
+    assert with_map.encode_as_ids(" \t the \t\t ﬁre\t") == want
+    # without the charsmap the ligature cannot match ▁fire
+    assert plain.encode_as_ids("the ﬁre") != want
+    # deletion rule drops the byte entirely
+    assert with_map.encode_as_ids("the \x00ﬁre") == want
+
+
+def test_charsmap_replacement_spaces_collapse():
+    """A replacement ENDING in a space must arm the collapse for the next
+    chunk (normalizer.cc tracks is_prev_space across chunks)."""
+    from audiolab_tpu.utils.spm import build_charsmap
+
+    sp = SentencePieceProcessor(model_proto=build_model_proto(
+        [("<unk>", 0.0, UNKNOWN), ("<s>", 0.0, CONTROL),
+         ("</s>", 0.0, CONTROL), ("▁a", -1.0, NORMAL),
+         ("▁b", -1.0, NORMAL), ("a", -5.0, NORMAL), ("b", -5.0, NORMAL),
+         ("▁", -5.0, NORMAL)],
+        precompiled_charsmap=build_charsmap({"X": "a "})))
+    # "X b" -> "a  b" -> collapse -> ▁a ▁b
+    assert ([sp.id_to_piece(i) for i in sp.encode_as_ids("X b")]
+            == ["▁a", "▁b"])

@@ -293,12 +293,15 @@ def test_flash_attention_tpu_paths(rng):
     k = jnp.asarray(rng.standard_normal((4, 4, 90, 64)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((4, 4, 90, 64)), jnp.bfloat16)
     ref = np.asarray(attention_reference(q, k, v).astype(jnp.float32))
-    # nk1 path (single kv block, padded 90 -> 128), heads batched
-    for bh in (1, 2, 4):
+    # nk1 path (single kv block, padded 90 -> 128), heads batched; bh=8
+    # crosses a batch boundary (b=4, h=4 -> two batch elements per block)
+    for bh in (1, 2, 4, 8):
         out = flash_attention(q, k, v, block_q=128, block_k=128, block_h=bh)
         np.testing.assert_allclose(
             np.asarray(out.astype(jnp.float32)), ref, atol=3e-2)
-    # general online-softmax path (2 kv blocks), heads batched
-    out = flash_attention(q, k, v, block_q=128, block_k=64, block_h=2)
-    np.testing.assert_allclose(
-        np.asarray(out.astype(jnp.float32)), ref, atol=3e-2)
+    # general online-softmax path (2 kv blocks), heads batched; bh=8 again
+    # spans two batch elements per block
+    for bh in (2, 8):
+        out = flash_attention(q, k, v, block_q=128, block_k=64, block_h=bh)
+        np.testing.assert_allclose(
+            np.asarray(out.astype(jnp.float32)), ref, atol=3e-2)
