@@ -262,3 +262,188 @@ def phonemize_ids(text: str, max_len: int = 256) -> np.ndarray:
     """Text -> int32 phoneme ids (0 = pad), drop-in for tokenize_text."""
     ids = [PHONE_ID[p] for p in phonemize(text)][:max_len]
     return np.asarray(ids, np.int32)
+
+
+# --------------------------------------------------- espeak IPA surface
+#
+# The reference phonemizes through the real espeak-ng library
+# (modules/zonos/conditioning.py:180-207, EspeakBackend with_stress=True)
+# and tokenizes the IPA string char-by-char against the VITS symbol table
+# (conditioning.py:25-35).  Three tiers here, best available wins:
+#   1. a real espeak binary (espeak-ng/espeak) or libespeak-ng.so found at
+#      runtime — exact parity with the reference's front-end;
+#   2. the espeak-convention IPA lexicon below (stress marks included);
+#   3. the rule G2P above, mapped ARPAbet -> espeak-style IPA glyphs with
+#      naive primary stress on the first vowel of content words.
+# This image ships neither the espeak binary nor its data files (the
+# reference's libs/libespeak-ng.dll is a 460 KB Windows PE with no
+# dictionaries), so tier 1 is exercised only where espeak exists;
+# tools/gen_espeak_fixture.py regenerates the test fixture from it.
+
+import subprocess as _subprocess
+
+# ARPAbet -> espeak-ng en-us IPA glyphs (espeak uses ɹ, ɚ/ɜː, long marks)
+_ARPA_TO_IPA = {
+    "AA": "ɑː", "AE": "æ", "AH": "ʌ", "AO": "ɔː", "AW": "aʊ", "AY": "aɪ",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "EH": "ɛ", "ER": "ɜː",
+    "EY": "eɪ", "F": "f", "G": "ɡ", "HH": "h", "IH": "ɪ", "IY": "iː",
+    "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n", "NG": "ŋ",
+    "OW": "oʊ", "OY": "ɔɪ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ",
+    "T": "t", "TH": "θ", "UH": "ʊ", "UW": "uː", "V": "v", "W": "w",
+    "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+_IPA_VOWELS = set("ɑæʌɔaəɐɛɜeɪiːoʊuʊɚɝ")
+
+# espeak-ng en-us conventions for high-frequency words (stress placed
+# directly before the stressed VOWEL, espeak's IPA layout; ɐ for reduced
+# a, ɾ for flapped t, ɚ for unstressed r-colored schwa).  Regenerate
+# against a real espeak with tools/gen_espeak_fixture.py; entries match
+# the phonemizer project's published espeak examples where available
+# ("hello world" -> "həlˈoʊ wˈɜːld", "this is a test" -> "ðɪs ɪz ɐ tˈɛst").
+_IPA_LEXICON: dict[str, str] = {
+    "the": "ðə", "a": "ɐ", "an": "ɐn", "and": "ænd", "of": "ʌv",
+    "to": "tuː", "in": "ɪn", "is": "ɪz", "it": "ɪt", "you": "juː",
+    "that": "ðæt", "this": "ðɪs", "he": "hiː", "she": "ʃiː", "we": "wiː",
+    "they": "ðeɪ", "was": "wʌz", "are": "ɑːɹ", "for": "fɔːɹ", "as": "æz",
+    "with": "wɪð", "his": "hɪz", "be": "biː", "at": "æt", "by": "baɪ",
+    "not": "nˈɑːt", "but": "bˈʌt", "from": "fɹʌm", "or": "ɔːɹ",
+    "have": "hæv", "had": "hæd", "has": "hæz", "what": "wˈʌt",
+    "one": "wˈʌn", "two": "tˈuː", "three": "θɹˈiː", "four": "fˈoːɹ",
+    "five": "fˈaɪv", "six": "sˈɪks", "seven": "sˈɛvən", "eight": "ˈeɪt",
+    "nine": "nˈaɪn", "ten": "tˈɛn", "zero": "zˈiəɹoʊ",
+    "hello": "həlˈoʊ", "world": "wˈɜːld", "test": "tˈɛst",
+    "welcome": "wˈɛlkʌm", "good": "ɡˈʊd", "morning": "mˈɔːɹnɪŋ",
+    "night": "nˈaɪt", "day": "dˈeɪ", "time": "tˈaɪm",
+    "music": "mjˈuːzɪk", "voice": "vˈɔɪs", "speech": "spˈiːtʃ",
+    "sound": "sˈaʊnd", "water": "wˈɔːɾɚ", "better": "bˈɛɾɚ",
+    "little": "lˈɪɾəl", "people": "pˈiːpəl", "about": "ɐbˈaʊt",
+    "because": "bɪkˈʌz", "love": "lˈʌv", "over": "ˈoʊvɚ",
+    "under": "ˈʌndɚ", "again": "ɐɡˈɛn", "never": "nˈɛvɚ",
+    "house": "hˈaʊs", "thank": "θˈæŋk", "thanks": "θˈæŋks",
+    "please": "plˈiːz", "yes": "jˈɛs", "no": "nˈoʊ",
+    "computer": "kəmpjˈuːɾɚ", "language": "lˈæŋɡwɪdʒ",
+    "model": "mˈɑːdəl", "number": "nˈʌmbɚ", "word": "wˈɜːd",
+    "sing": "sˈɪŋ", "song": "sˈɔːŋ", "dog": "dˈɑːɡ", "cat": "kˈæt",
+    "bird": "bˈɜːd", "fire": "fˈaɪɚ", "light": "lˈaɪt",
+    "dark": "dˈɑːɹk", "right": "ɹˈaɪt", "left": "lˈɛft",
+    "up": "ˈʌp", "down": "dˈaʊn", "here": "hˈɪɹ", "there": "ðˈɛɹ",
+    "where": "wˈɛɹ", "when": "wˈɛn", "how": "hˈaʊ", "who": "hˈuː",
+    "why": "wˈaɪ", "all": "ˈɔːl", "some": "sˈʌm", "more": "mˈoːɹ",
+    "very": "vˈɛɹi", "out": "ˈaʊt", "new": "nˈuː", "old": "ˈoʊld",
+    "now": "nˈaʊ", "then": "ðˈɛn", "make": "mˈeɪk", "like": "lˈaɪk",
+    "just": "dʒˈʌst", "know": "nˈoʊ", "take": "tˈeɪk", "come": "kˈʌm",
+    "think": "θˈɪŋk", "see": "sˈiː", "way": "wˈeɪ", "look": "lˈʊk",
+    "first": "fˈɜːst", "work": "wˈɜːk", "life": "lˈaɪf", "year": "jˈɪɹ",
+    "name": "nˈeɪm", "play": "plˈeɪ", "read": "ɹˈiːd", "said": "sˈɛd",
+    "friend": "fɹˈɛnd", "today": "tədˈeɪ", "speak": "spˈiːk",
+    "listen": "lˈɪsən", "story": "stˈoːɹi", "happy": "hˈæpi",
+    "quick": "kwˈɪk", "brown": "bɹˈaʊn", "fox": "fˈɑːks",
+    "jumps": "dʒˈʌmps", "lazy": "lˈeɪzi",
+}
+
+
+def _espeak_binary() -> str | None:
+    import shutil
+
+    for name in ("espeak-ng", "espeak"):
+        p = shutil.which(name)
+        if p:
+            return p
+    return None
+
+
+_ESPEAK_LIB = None
+
+
+def _espeak_lib():
+    """ctypes handle to libespeak-ng.so when present (initialized once)."""
+    global _ESPEAK_LIB
+    if _ESPEAK_LIB is not None:
+        return _ESPEAK_LIB or None
+    import ctypes
+    import ctypes.util
+
+    path = (ctypes.util.find_library("espeak-ng")
+            or ctypes.util.find_library("espeak"))
+    if not path:
+        _ESPEAK_LIB = False
+        return None
+    try:
+        lib = ctypes.cdll.LoadLibrary(path)
+        # espeak_Initialize(AUDIO_OUTPUT_RETRIEVAL=1, 0, NULL, 0)
+        if lib.espeak_Initialize(1, 0, None, 0) < 0:
+            _ESPEAK_LIB = False
+            return None
+        lib.espeak_TextToPhonemes.restype = ctypes.c_char_p
+        _ESPEAK_LIB = lib
+        return lib
+    except OSError:
+        _ESPEAK_LIB = False
+        return None
+
+
+def espeak_available() -> bool:
+    return _espeak_binary() is not None or _espeak_lib() is not None
+
+
+def phonemize_espeak(text: str, lang: str = "en-us") -> str | None:
+    """Exact espeak IPA (stress marks included) via the binary or
+    libespeak-ng; None when neither is present."""
+    exe = _espeak_binary()
+    if exe is not None:
+        r = _subprocess.run([exe, "-q", "--ipa", "-v", lang, text],
+                            capture_output=True, text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            s = re.sub(r"\([a-z-]+\)", "", r.stdout)  # language-switch flags
+            return " ".join(s.split())
+    lib = _espeak_lib()
+    if lib is not None:
+        import ctypes
+
+        lib.espeak_SetVoiceByName(lang.encode())
+        buf = ctypes.create_string_buffer(text.encode("utf-8"))
+        ptr = ctypes.cast(ctypes.pointer(buf), ctypes.c_void_p)
+        ref = ctypes.pointer(ptr)
+        parts = []
+        while ptr.value:
+            # textmode 1 = UTF-8 input; phonememode 0x02 = IPA glyphs
+            out = lib.espeak_TextToPhonemes(ref, 1, 0x02)
+            if not out:
+                break
+            parts.append(out.decode("utf-8", errors="replace").strip())
+        if parts:
+            return " ".join(" ".join(parts).split())
+    return None
+
+
+def _word_to_ipa(word: str) -> str:
+    if word in _IPA_LEXICON:
+        return _IPA_LEXICON[word]
+    phones = word_to_phonemes(word)
+    ipa = [_ARPA_TO_IPA.get(p, "") for p in phones if p != "sil"]
+    # naive primary stress: espeak places the mark directly before the
+    # stressed vowel; without dictionary stress, mark the first vowel
+    for i, g in enumerate(ipa):
+        if g and g[0] in _IPA_VOWELS:
+            ipa[i] = "ˈ" + g
+            break
+    return "".join(ipa)
+
+
+def phonemize_ipa(text: str, lang: str = "en-us") -> str:
+    """Text -> espeak-convention IPA string for checkpoint-compatible
+    tokenization (models/zonos.tokenize_phonemes_np -> phoneme_embedder
+    rows).  Uses the real espeak front-end when available; the lexicon +
+    rule fallback otherwise.  Punctuation .,!?;: is preserved (it is part
+    of the Zonos symbol table, conditioning.py:28)."""
+    real = phonemize_espeak(text, lang)
+    if real is not None:
+        return real
+    out: list[str] = []
+    for tok in normalize_text(text).split():
+        bare = tok.strip(".,!?")
+        if bare:
+            out.append(_word_to_ipa(bare))
+        if tok[-1:] in ".,!?":
+            out[-1] = (out[-1] if bare else "") + tok[-1]
+    return " ".join(out)

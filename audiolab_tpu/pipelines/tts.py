@@ -26,10 +26,12 @@ from audiolab_tpu.kernels.mel import log_mel, mel_spectrogram
 from audiolab_tpu.kernels.resample import resample_poly_np
 from audiolab_tpu.models.codecs import DACConfig, DACDecoder
 from audiolab_tpu.models.zonos import (
+    ZONOS_PHONEME_VOCAB,
     SpeakerEncoder,
     ZonosConfig,
     ZonosModel,
     generate,
+    tokenize_phonemes_np,
     tokenize_text,
 )
 
@@ -133,7 +135,14 @@ class ZonosTTS:
         text_ids = np.zeros((n, tmax), np.int32)
         emotions = np.zeros((n, 8), np.float32)
         for i, (s, em) in enumerate(chunks):
-            if c.use_phonemes:
+            if self.model.cfg.vocab_text == ZONOS_PHONEME_VOCAB:
+                # converted checkpoint: text_emb rows ARE the published
+                # phoneme_embedder — ids must come from the espeak-IPA
+                # front-end + symbol table (conditioning.py:148-158)
+                from audiolab_tpu.models.phonemize import phonemize_ipa
+
+                ids = tokenize_phonemes_np([phonemize_ipa(s)])[0][:tmax]
+            elif c.use_phonemes:
                 from audiolab_tpu.models.phonemize import phonemize_ids
 
                 ids = phonemize_ids(s, tmax)
