@@ -66,6 +66,11 @@ def test_ui_arg_form_and_hints(tmp_path):
         for marker in ("renderProcForm", "localStorage", "hintb",
                        "/api/v1/process/processors", "proc-on"):
             assert marker in html, marker
+        # cross-tab "send to Process" wiring (reference main.py:187-194):
+        # generation results stage themselves into the chain's input list
+        for marker in ("sendToProcess", "resultAudio", "p_staged",
+                       "STAGED.concat"):
+            assert marker in html, marker
         r = json.loads(urllib.request.urlopen(
             f"http://127.0.0.1:{port}/api/v1/process/processors",
             timeout=30).read())
