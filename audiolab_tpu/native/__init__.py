@@ -66,6 +66,15 @@ def _load():
                                 ctypes.c_int32, f32p]
     lib.ah_levels.restype = None
     lib.ah_levels.argtypes = [f32p, ctypes.c_int64, f32p, f32p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.ah_world_f0.restype = ctypes.c_int32
+    lib.ah_world_f0.argtypes = [f32p, ctypes.c_int64, ctypes.c_int32,
+                                ctypes.c_int32, ctypes.c_double,
+                                ctypes.c_double, ctypes.c_int32,
+                                ctypes.c_int32, f64p]
+    lib.ah_stonemask.restype = ctypes.c_int32
+    lib.ah_stonemask.argtypes = [f32p, ctypes.c_int64, ctypes.c_int32,
+                                 ctypes.c_int32, f64p, ctypes.c_int64, f64p]
     _lib = lib
     return lib
 
@@ -138,6 +147,42 @@ def resample(x: np.ndarray, up: int, down: int) -> np.ndarray | None:
     if lib.ah_resample(_f32(xin), len(xin), up, down, _f32(out)):
         return None
     return out
+
+
+def world_f0(x: np.ndarray, sr: int, hop: int, fmin: float = 50.0,
+             fmax: float = 1100.0, mode: str = "dio",
+             refine: bool = True) -> np.ndarray | None:
+    """Native WORLD-style f0 oracle (world_f0.cpp): an independent
+    per-frame C++ transcription of DIO/Harvest(+StoneMask) used to gate
+    dsp/f0.py (reference: pyworld, pitch_extraction.py:172-191).
+    Returns (n//hop + 1,) float64 f0 (0 = unvoiced), or None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    xin = np.ascontiguousarray(x, np.float32)
+    t_frames = len(xin) // hop + 1
+    out = np.empty(t_frames, np.float64)
+    rc = lib.ah_world_f0(_f32(xin), len(xin), sr, hop, fmin, fmax,
+                         {"dio": 0, "harvest": 1}[mode], int(refine),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out if rc == 0 else None
+
+
+def world_stonemask(x: np.ndarray, f0: np.ndarray, sr: int,
+                    hop: int) -> np.ndarray | None:
+    """Native StoneMask refinement of an existing f0 track."""
+    lib = _load()
+    if lib is None:
+        return None
+    xin = np.ascontiguousarray(x, np.float32)
+    f0in = np.ascontiguousarray(f0, np.float64)
+    out = np.empty(len(f0in), np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.ah_stonemask(_f32(xin), len(xin), sr, hop,
+                          f0in.ctypes.data_as(dp), len(f0in),
+                          out.ctypes.data_as(dp))
+    return out if rc == 0 else None
 
 
 def levels(x: np.ndarray) -> tuple[float, float]:

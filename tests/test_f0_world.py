@@ -101,6 +101,83 @@ def test_unvoiced_gap_detected():
         assert (tones > 0).mean() > 0.7, fn.__name__
 
 
+# --------------------------------------------------------------------------
+# Native-oracle parity (VERDICT r3 item 6): native/world_f0.cpp is an
+# INDEPENDENT per-frame C++ transcription of the WORLD algorithm flow
+# (SURVEY §2.5: "keep a C++ host op for parity testing").  The vectorized
+# NumPy implementations must agree with it on speech-like signals — on
+# voicing decisions and on f0 within a few percent — which exercises the
+# contour-fix heuristics far harder than the known-truth gates above.
+# --------------------------------------------------------------------------
+
+
+def _speechlike(seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Phrase-like signal: two voiced stretches with glide + vibrato +
+    jitter, separated by an aspirated (noisy) gap, with an amplitude
+    envelope — the texture the heuristics were designed around."""
+    rng = np.random.default_rng(seed)
+    seg1 = 130.0 * 2.0 ** (np.linspace(0.0, 0.4, 140) / 2.0)
+    seg2 = 200.0 * 2.0 ** (0.4 * np.sin(2 * np.pi * np.arange(160) * HOP / SR * 5.5) / 12.0)
+    truth = np.concatenate([seg1, np.zeros(50), seg2])
+    truth_j = truth * (1.0 + 0.003 * rng.standard_normal(len(truth)))
+    x = _sawtooth(np.where(truth_j > 0, truth_j, 1.0))
+    x[140 * HOP:190 * HOP] = 0.02 * rng.standard_normal(50 * HOP)
+    env = 0.4 + 0.6 * np.abs(np.sin(np.pi * np.arange(len(x)) / len(x)))
+    return (x * env).astype(np.float64), truth
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    from audiolab_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    return native
+
+
+@pytest.mark.parametrize("mode,fn", [("dio", f0_dio), ("harvest", f0_harvest)])
+def test_native_oracle_parity(native_lib, mode, fn):
+    x, truth = _speechlike()
+    est = fn(x, sr=SR, hop=HOP)
+    orc = native_lib.world_f0(x, SR, HOP, mode=mode)
+    assert orc is not None
+    n = min(len(est), len(orc), len(truth))
+    est, orc = est[:n], orc[:n]
+    both = (est > 0) & (orc > 0)
+    either = (est > 0) | (orc > 0)
+    # voicing decisions must substantially agree
+    assert both.sum() / max(either.sum(), 1) > 0.75, mode
+    # and the voiced f0 values must match the oracle closely
+    rel = np.abs(est[both] - orc[both]) / orc[both]
+    assert np.median(rel) < 0.02, (mode, float(np.median(rel)))
+    assert np.percentile(rel, 90) < 0.08, (mode, float(np.percentile(rel, 90)))
+
+
+def test_native_oracle_stonemask_parity(native_lib):
+    """StoneMask refinement itself: both implementations refine the SAME
+    raw track; refined values must agree (independent IF estimators:
+    FFT-bin vs exact-DTFT Flanagan)."""
+    x, truth = _speechlike(3)
+    raw = f0_dio(x, sr=SR, hop=HOP, refine=False)
+    py = stonemask(x, raw, sr=SR, hop=HOP)
+    cc = native_lib.world_stonemask(x, raw, SR, HOP)
+    assert cc is not None
+    v = raw > 0
+    rel = np.abs(py[v] - cc[v]) / np.maximum(cc[v], 1e-6)
+    assert np.median(rel) < 0.01, float(np.median(rel))
+
+
+def test_native_oracle_matches_truth(native_lib):
+    """The oracle itself must be accurate — otherwise parity is vacuous."""
+    x, truth = _speechlike(7)
+    for mode in ("dio", "harvest"):
+        orc = native_lib.world_f0(x, SR, HOP, mode=mode)[: len(truth)]
+        m = (orc > 0) & (truth > 0)
+        assert m.mean() > 0.5
+        cents = np.abs(1200.0 * np.log2(orc[m] / truth[m]))
+        assert np.median(cents) < 15.0, mode
+
+
 def test_rvc_dispatch_uses_world(monkeypatch):
     """pipelines/rvc.py must route 'harvest' to f0_harvest and 'dio' to
     f0_dio (pitch_extraction.py:172-191 routes to pyworld equivalents)."""
