@@ -33,17 +33,21 @@ N_CLASS = 360
 
 class ConvBlockRes(nn.Module):
     out_channels: int
+    dtype: str | None = None  # None = follow input (fp32/fp64 parity);
+                              # "bfloat16" rides the MXU like the
+                              # reference's is_half fp16 mode (rmvpe.py)
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=True, name="bn1")(y)
+        dt = self.dtype and jnp.dtype(self.dtype)
+        y = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False, dtype=dt, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, dtype=dt, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=True, name="bn2")(y)
+        y = nn.Conv(self.out_channels, (3, 3), padding="SAME", use_bias=False, dtype=dt, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=True, dtype=dt, name="bn2")(y)
         y = nn.relu(y)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), name="shortcut")(x)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="shortcut")(x)
         return y + x
 
 
@@ -51,11 +55,12 @@ class ResEncoderBlock(nn.Module):
     out_channels: int
     n_blocks: int = 4
     pool: bool = True
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.n_blocks):
-            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x)
+            x = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(x)
         if self.pool:
             pooled = nn.avg_pool(x, (2, 2), strides=(2, 2))
             return x, pooled
@@ -65,21 +70,23 @@ class ResEncoderBlock(nn.Module):
 class ResDecoderBlock(nn.Module):
     out_channels: int
     n_blocks: int = 4
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, skip):
         # torch ConvTranspose2d k3 s2 p1 outpad1 (exact 2x upsample) maps to
         # flax padding ((1,2),(1,2)) with a spatially-flipped kernel — the
         # correspondence is validated to 1e-14 in tests/test_torch_parity_full
+        dt = self.dtype and jnp.dtype(self.dtype)
         x = nn.ConvTranspose(
             self.out_channels, (3, 3), strides=(2, 2),
-            padding=((1, 2), (1, 2)), use_bias=False, name="convt",
+            padding=((1, 2), (1, 2)), use_bias=False, dtype=dt, name="convt",
         )(x)
-        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=dt, name="bn")(x)
         x = nn.relu(x)
-        x = jnp.concatenate([x, skip], axis=-1)
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         for i in range(self.n_blocks):
-            x = ConvBlockRes(self.out_channels, name=f"block_{i}")(x)
+            x = ConvBlockRes(self.out_channels, self.dtype, name=f"block_{i}")(x)
         return x
 
 
@@ -88,23 +95,26 @@ class DeepUnet(nn.Module):
     inter_layers: int = 4
     n_blocks: int = 4
     en_out_channels: int = 16
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
         # x (b, T, 128, 1)
         x = nn.BatchNorm(use_running_average=True, name="bn_in")(x)
+        if self.dtype:
+            x = x.astype(jnp.dtype(self.dtype))
         skips = []
         ch = self.en_out_channels
         for i in range(self.en_de_layers):
-            skip, x = ResEncoderBlock(ch, self.n_blocks, pool=True, name=f"enc_{i}")(x)
+            skip, x = ResEncoderBlock(ch, self.n_blocks, pool=True, dtype=self.dtype, name=f"enc_{i}")(x)
             skips.append(skip)
             ch *= 2
         # intermediate: first maps ch//2? reference: Intermediate(out_ch//2 -> out_ch)
         for i in range(self.inter_layers):
-            x = ResEncoderBlock(ch, self.n_blocks, pool=False, name=f"inter_{i}")(x)
+            x = ResEncoderBlock(ch, self.n_blocks, pool=False, dtype=self.dtype, name=f"inter_{i}")(x)
         for i in range(self.en_de_layers):
             ch //= 2
-            x = ResDecoderBlock(ch, self.n_blocks, name=f"dec_{i}")(x, skips[-1 - i])
+            x = ResDecoderBlock(ch, self.n_blocks, dtype=self.dtype, name=f"dec_{i}")(x, skips[-1 - i])
         return x
 
 
@@ -132,6 +142,7 @@ class E2E(nn.Module):
     n_blocks: int = 4
     en_out_channels: int = 16
     gru_hidden: int = 256
+    dtype: str | None = None  # "bfloat16" = the reference's is_half mode
 
     @nn.compact
     def __call__(self, mel):
@@ -140,8 +151,9 @@ class E2E(nn.Module):
         pad = (-t) % (1 << self.en_de_layers)
         x = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))[..., None]  # (b,T,128,1)
         x = DeepUnet(self.en_de_layers, self.inter_layers, self.n_blocks,
-                     self.en_out_channels, name="unet")(x)
+                     self.en_out_channels, self.dtype, name="unet")(x)
         x = nn.Conv(3, (3, 3), padding="SAME", name="cnn")(x)  # (b,T,128,3)
+        x = x.astype(mel.dtype)  # GRU/decode stay in the input precision
         # reference flattens channel-major: (b,3,T,128)->(b,T,3*128), so the
         # GRU input index is c*128+m — transpose before reshape to match
         x = jnp.transpose(x, (0, 1, 3, 2)).reshape(x.shape[0], x.shape[1], -1)
@@ -172,8 +184,12 @@ def decode_f0(hidden: jnp.ndarray, threshold: float = 0.03) -> jnp.ndarray:
 class RMVPE:
     """Inference wrapper: audio 16 kHz -> f0 (the reference's RMVPE class)."""
 
-    def __init__(self, params=None, batch_stats=None):
-        self.model = E2E()
+    def __init__(self, params=None, batch_stats=None,
+                 dtype: str | None = "bfloat16"):
+        # default bf16 conv stack = the reference's is_half fp16 inference
+        # mode (rmvpe.py runs the E2E net in half precision on CUDA);
+        # parity tests construct E2E directly and stay full-precision
+        self.model = E2E(dtype=dtype)
         self.variables = None
         if params is not None:
             self.variables = {"params": params, "batch_stats": batch_stats or {}}

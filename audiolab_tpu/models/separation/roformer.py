@@ -410,6 +410,28 @@ class MaskEstimator(nn.Module):
         return out_m / jnp.asarray(np.maximum(counts, 1.0))[None, None, :, None]
 
 
+class AxialPair(nn.Module):
+    """One (time transformer, freq transformer) depth step over the
+    (b, t, bands, dim) feature map — the body scanned over depth."""
+
+    cfg: RoformerConfig
+
+    @nn.compact
+    def __call__(self, x, _=None):
+        c = self.cfg
+        b, t_frames, n_bands, _d = x.shape
+        # time attention: fold bands into batch
+        xt = x.transpose(0, 2, 1, 3).reshape(b * n_bands, t_frames, c.dim)
+        xt = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
+                         c.time_depth, c.dtype, name="time")(xt)
+        x = xt.reshape(b, n_bands, t_frames, c.dim).transpose(0, 2, 1, 3)
+        # freq (band) attention: fold time into batch
+        xf = x.reshape(b * t_frames, n_bands, c.dim)
+        xf = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
+                         c.freq_depth, c.dtype, name="freq")(xf)
+        return xf.reshape(b, t_frames, n_bands, c.dim), None
+
+
 class BSRoformer(nn.Module):
     cfg: RoformerConfig = RoformerConfig()
 
@@ -426,19 +448,15 @@ class BSRoformer(nn.Module):
         # matching bs_roformer's 'b (f s) t c -> b t (f s c)' packing
 
         x = BandSplit(c, name="band_split")(spec)  # (b, t, bands, dim)
-        t_frames, n_bands = x.shape[1], x.shape[2]
+        t_frames = x.shape[1]
 
-        for i in range(c.depth):
-            # time attention: fold bands into batch
-            xt = x.transpose(0, 2, 1, 3).reshape(b * n_bands, t_frames, c.dim)
-            xt = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
-                             c.time_depth, c.dtype, name=f"time_{i}")(xt)
-            x = xt.reshape(b, n_bands, t_frames, c.dim).transpose(0, 2, 1, 3)
-            # freq (band) attention: fold time into batch
-            xf = x.reshape(b * t_frames, n_bands, c.dim)
-            xf = Transformer(c.dim, c.heads, c.dim_head, c.ff_mult,
-                             c.freq_depth, c.dtype, name=f"freq_{i}")(xf)
-            x = xf.reshape(b, t_frames, n_bands, c.dim)
+        # nn.scan over depth: params stack along a leading depth axis and
+        # the axial-pair body is traced/compiled ONCE (an unrolled 12-deep
+        # stack made the fused member graph a ~15-minute tunnel compile;
+        # execution is identical — scan iterations run sequentially)
+        pairs = nn.scan(AxialPair, variable_axes={"params": 0},
+                        split_rngs={"params": True}, length=c.depth)
+        x, _ = pairs(c, name="depth")(x)
 
         x = RMSNorm(name="final_norm")(x)
 

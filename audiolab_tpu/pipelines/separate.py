@@ -80,7 +80,7 @@ class StemSeparator:
         members: list[EnsembleMember],
         sr: int = 44100,
         chunk_seconds: float = 8.0,
-        overlap_seconds: float = 1.0,
+        overlap_seconds: float = 0.5,
         device_batch: int = 8,
         mesh=None,
         matmul_precision: str = "bfloat16",
@@ -168,10 +168,15 @@ class StemSeparator:
                 chunks = jnp.concatenate(
                     [chunks,
                      jnp.zeros((pad,) + chunks.shape[1:], chunks.dtype)])
-            groups = [member.apply_fn(params, chunks[g * db:(g + 1) * db])
-                      for g in range(n_groups)]
-            out = {s: jnp.concatenate([gr[s] for gr in groups])[: plan.count]
-                   for s in groups[0]}
+            # lax.map over groups: the model body is traced/compiled ONCE
+            # instead of inlined n_groups times (a 4-min track at batch 7 is
+            # 5 groups — unrolling quintupled the XLA graph and pushed the
+            # tunnel compile to ~15 min; execution order is identical)
+            batched = chunks.reshape((n_groups, db) + chunks.shape[1:])
+            stacked = jax.lax.map(
+                lambda b: member.apply_fn(params, b), batched)
+            out = {s: v.reshape((n_groups * db,) + v.shape[2:])[: plan.count]
+                   for s, v in stacked.items()}
             return {s: stitch_chunks(v, plan) for s, v in out.items()}
 
         fn = jax.jit(graph)

@@ -884,6 +884,36 @@ def roformer_mapping(template: dict,
     return m
 
 
+def _roformer_unstack(template: dict) -> tuple[dict, int]:
+    """Scan-stacked BSRoformer template (params['depth']['time'|'freq']
+    leaves carry a leading depth axis) -> unrolled time_i/freq_i view for
+    the per-layer checkpoint mapping."""
+    import jax
+
+    d = template["depth"]
+    depth = next(iter(jax.tree_util.tree_leaves(d))).shape[0]
+    out = {k: v for k, v in template.items() if k != "depth"}
+    for i in range(depth):
+        for axis in ("time", "freq"):
+            out[f"{axis}_{i}"] = jax.tree_util.tree_map(
+                lambda a: np.zeros(a.shape[1:], np.float32), d[axis])
+    return out, depth
+
+
+def _roformer_restack(filled: dict, depth: int) -> dict:
+    import jax
+
+    out = {k: v for k, v in filled.items()
+           if not (k.startswith("time_") or k.startswith("freq_"))}
+    out["depth"] = {
+        axis: jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs),
+            *[filled[f"{axis}_{i}"] for i in range(depth)])
+        for axis in ("time", "freq")
+    }
+    return out
+
+
 def convert_roformer(state_dict: dict, template: dict,
                      stems: tuple | list | None = None,
                      strict: bool = True) -> dict:
@@ -892,7 +922,11 @@ def convert_roformer(state_dict: dict, template: dict,
         if k.startswith("model."):  # lightning-style prefix on some ckpts
             k = k[len("model."):]
         sd[k] = np.asarray(v)
-    return fill_tree(template, roformer_mapping(template, stems), sd, strict)
+    stacked = "depth" in template
+    if stacked:
+        template, depth = _roformer_unstack(template)
+    filled = fill_tree(template, roformer_mapping(template, stems), sd, strict)
+    return _roformer_restack(filled, depth) if stacked else filled
 
 
 def load_roformer_checkpoint(path: str, cfg) -> dict:

@@ -104,7 +104,7 @@ def build_separator(dev, strength: int):
             )
         )
     return StemSeparator(members, sr=SEP_SR, chunk_seconds=chunk_s,
-                         overlap_seconds=1.0, device_batch=batch)
+                         overlap_seconds=0.5, device_batch=batch)
 
 
 def build_rvc(dev):

@@ -214,10 +214,11 @@ def bench_sep_member(dev) -> dict:
         stft(a, n_fft=cfg.n_fft, hop=cfg.hop), -1), x)
     t_split = timeit(lambda p, s: split.apply({"params": p}, s),
                      params["band_split"], spec)
+    layer0 = jax.tree_util.tree_map(lambda a: a[0], params["depth"])
     t_time = cfg.depth * timeit(
-        lambda p, a: tr.apply({"params": p}, a), params["time_0"], xt)
+        lambda p, a: tr.apply({"params": p}, a), layer0["time"], xt)
     t_freq = cfg.depth * timeit(
-        lambda p, a: tr.apply({"params": p}, a), params["freq_0"], xf)
+        lambda p, a: tr.apply({"params": p}, a), layer0["freq"], xf)
     t_mask = timeit(lambda p, a: mask.apply({"params": p}, a),
                     params["mask_vocals"], xb)
     re = jax.device_put(jnp.asarray(
