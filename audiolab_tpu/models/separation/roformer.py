@@ -133,18 +133,25 @@ def rope_half(x: jnp.ndarray) -> jnp.ndarray:
     :func:`qk_deinterleave_perm` below, which folds that permutation into
     the q/k projection WEIGHT COLUMNS (attention scores are invariant
     under any shared q/k feature permutation, so outputs are unchanged).
-    Why: the interleaved form needs stride-2 gathers + a (…, d/2, 2)
-    stack — lane-hostile shuffles that cost ~12 ms per 350 MB tensor on
-    v5e; rotate-half is two contiguous 32-lane slices (~2 ms)."""
+
+    The rotate-half itself is a CONSTANT 64x64 signed-permutation MATMUL,
+    not a slice+concat: lane-axis shuffles on (..., 64) bf16 tiles cost
+    ~5.6 ms per member-scale call on v5e (48 calls = ~270 ms/member),
+    while the MXU eats the +-1 matrix for free and the result is EXACT
+    (one +-1 per column, fp32 accumulate - no rounding)."""
     t, d = x.shape[-2], x.shape[-1]
     half = d // 2
     freqs = 1.0 / (10000.0 ** (np.arange(0, half, dtype=np.float32) / half))
     angles = np.arange(t)[:, None] * freqs[None, :]          # (t, half)
     cos = jnp.asarray(np.concatenate([np.cos(angles)] * 2, -1))  # (t, d)
     sin = jnp.asarray(np.concatenate([np.sin(angles)] * 2, -1))
-    rot = jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
-    return (x.astype(jnp.float32) * cos
-            + rot.astype(jnp.float32) * sin).astype(x.dtype)
+    R = np.zeros((d, d), np.float32)
+    R[half:, :half] = -np.eye(half, dtype=np.float32)  # rot[j<half] = -x[j+half]
+    R[:half, half:] = np.eye(half, dtype=np.float32)   # rot[j>=half] = x[j-half]
+    rot = jax.lax.dot_general(x, jnp.asarray(R).astype(x.dtype),
+                              (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return (x.astype(jnp.float32) * cos + rot * sin).astype(x.dtype)
 
 
 def qk_deinterleave_perm(heads: int, dim_head: int, inner: int) -> np.ndarray:

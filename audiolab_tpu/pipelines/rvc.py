@@ -313,12 +313,15 @@ class VoiceConverter:
         protect: float = 0.33,
         rms_mix_rate: float = 1.0,
         seed: int = 0,
+        as_numpy: bool = True,
     ) -> np.ndarray:
         """Full conversion of a mono 16 kHz track -> waveform at model sr.
 
         Accepts numpy OR a device array; device inputs stay on device (the
         48 Hz high-pass becomes a zero-phase FIR conv there — device->host
-        readback over tunneled TPUs is orders slower than the filter)."""
+        readback over tunneled TPUs is orders slower than the filter).
+        ``as_numpy=False`` returns the device array so downstream stages
+        (export encode, merge) consume it without a host round trip."""
         if isinstance(audio16k, jnp.ndarray):
             x = _highpass_device(audio16k)
         else:
@@ -387,9 +390,12 @@ class VoiceConverter:
         y = stitch_chunks(out, out_plan)
         if rms_mix_rate < 1.0:
             y = self._mix_rms(x, y, self.synth_cfg.sr, rms_mix_rate)
-        peak = float(jnp.abs(y).max())
-        if peak > 0.99:
-            y = y * (0.99 / peak)
+        # peak normalize IN-GRAPH: a float() readback here costs a full
+        # host round trip per call on tunneled TPUs
+        peak = jnp.abs(y).max()
+        y = jnp.where(peak > 0.99, y * (0.99 / jnp.maximum(peak, 1e-9)), y)
+        if not as_numpy:
+            return y
         result = np.asarray(y, dtype=np.float32)
         self._debug_dump(x, result)
         return result
