@@ -16,6 +16,11 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite is compile-bound on this 1-CPU host
+# (425 tests, most of the wall clock is XLA:CPU tracing/compiling the same
+# member/pipeline graphs every run) — cache hits cut repeat runs sharply
+jax.config.update("jax_compilation_cache_dir", "/tmp/audiolab_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

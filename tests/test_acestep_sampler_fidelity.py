@@ -25,6 +25,8 @@ import torch
 
 from audiolab_tpu.models.acestep import acestep_sigmas, apg, fm_sample
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 # ------------------------------------------------------------ torch oracle
 

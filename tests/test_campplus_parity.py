@@ -13,6 +13,8 @@ import jax.numpy as jnp  # noqa: E402
 from audiolab_tpu.models.campplus import CAMPPlus, CAMPPlusConfig  # noqa: E402
 from audiolab_tpu.utils.convert import convert_campplus  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 TINY = CAMPPlusConfig(feat_dim=16, embedding_size=12, growth_rate=4,
                       bn_size=2, init_channels=8, m_channels=4,
                       block_layers=(2, 3), block_kernels=(3, 3),

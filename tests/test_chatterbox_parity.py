@@ -20,6 +20,8 @@ from audiolab_tpu.models.chatterbox_t3 import (  # noqa: E402
 from audiolab_tpu.utils.convert import (  # noqa: E402
     convert_chatterbox_t3, convert_voice_encoder)
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _snap_f32(model):
     for p in model.parameters():

@@ -16,6 +16,8 @@ import jax.numpy as jnp  # noqa: E402
 from audiolab_tpu.models.dcae import AutoencoderDC, DCAEConfig  # noqa: E402
 from audiolab_tpu.utils.convert import convert_dcae  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _cfg(down: str, up: str) -> DCAEConfig:
     return DCAEConfig(

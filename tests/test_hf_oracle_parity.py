@@ -26,6 +26,8 @@ tfm = pytest.importorskip("transformers")
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _snap_f32(model):
     with torch.no_grad():

@@ -17,6 +17,8 @@ from audiolab_tpu.models.separation.htdemucs import (  # noqa: E402
 )
 from audiolab_tpu.utils.convert import convert_htdemucs  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _tiny_cfg(**kw) -> HTDemucsConfig:
     base = dict(

@@ -17,6 +17,10 @@ from audiolab_tpu.models.ksampler import (
     v_denoiser,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _torch_sigmas_polyexp(n, smin, smax, rho=1.0):
     ramp = torch.linspace(1, 0, n) ** rho

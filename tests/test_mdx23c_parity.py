@@ -17,6 +17,8 @@ from audiolab_tpu.models.separation.mdx23c import (  # noqa: E402
 )
 from audiolab_tpu.utils.convert import convert_mdx23c  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _tiny_cfg(**kw) -> MDX23CConfig:
     base = dict(

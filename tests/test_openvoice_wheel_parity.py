@@ -16,6 +16,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 WHEEL = "/root/reference/wheels/openvoice_cli-0.0.6-py3-none-any.whl"
 
 

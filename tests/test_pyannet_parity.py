@@ -10,6 +10,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def test_pyannet_full_parity():
     from tests.torch_pyannet_replica import PyanNet as TorchPyanNet

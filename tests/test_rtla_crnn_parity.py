@@ -12,6 +12,8 @@ import torch.nn.functional as F  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 class TorchConvStack(nn.Module):
     """modules/rtla/CRNN_model.py:63-92 with the exact Sequential indices."""

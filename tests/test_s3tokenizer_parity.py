@@ -14,6 +14,8 @@ from audiolab_tpu.models.s3tokenizer import (  # noqa: E402
     S3AudioEncoder, S3TokenizerConfig, S3TokenizerV2)
 from audiolab_tpu.utils.convert import convert_s3tokenizer  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 TINY = S3TokenizerConfig(n_mels=12, n_state=32, n_head=4, n_layer=2,
                          n_ctx=64, fsmn_kernel=7)
 

@@ -14,6 +14,8 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 WHEEL = ("/root/reference/wheels/"
          "stable_audio_tools-0.0.20-py3-none-any.whl")
 

@@ -15,6 +15,8 @@ tfm = pytest.importorskip("transformers")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _t5_case(gated: bool, seed: int):
     """Build a tiny transformers T5EncoderModel + matching flax config."""

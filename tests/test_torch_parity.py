@@ -16,6 +16,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from audiolab_tpu.utils.convert import extract, fold_weight_norm  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def test_conv1d_layout_matches_torch():
     t_conv = torch.nn.Conv1d(4, 8, 5, padding=2)

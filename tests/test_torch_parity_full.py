@@ -23,6 +23,8 @@ from tests.torch_ref_models import (  # noqa: E402
     SynthesizerTrnMs768NSFsid,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 # small-but-structurally-complete config (all the v2-48k structure, fewer
 # channels so CPU runtime stays in seconds)
 CFG = dict(

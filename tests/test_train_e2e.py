@@ -18,6 +18,8 @@ from audiolab_tpu.train.checkpoint import export_generator, load_generator
 from audiolab_tpu.train.trainer import TrainRVCConfig, build_index, train_rvc
 from tests.test_train import tiny_cfg
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _stub_hubert(wavs):
     """(b, n) 16 kHz -> (b, t50, 32): framed energy features, hop 320."""

@@ -18,6 +18,8 @@ from audiolab_tpu.models.separation.vr import (  # noqa: E402
 )
 from audiolab_tpu.utils.convert import convert_vr  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _parity(t_model, cfg, seed, frames=32, atol=1e-7):
     with torch.no_grad():

@@ -11,6 +11,8 @@ tfm = pytest.importorskip("transformers")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def test_wav2vec2_ctc_parity():
     """Full-stack logits parity (conv extractor + projection + pos-conv +

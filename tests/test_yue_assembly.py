@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from tests.test_mm_vocab import _tiny_unigram_proto
 
+pytestmark = pytest.mark.slow  # torch-oracle/wheel-parity tier (pytest.ini: fast tier = -m "not slow")
+
 
 def _write_llama_dir(d, *, shards: int = 1, seed: int = 0):
     """Tiny HF-LLaMA checkpoint dir: config.json + model.safetensors
