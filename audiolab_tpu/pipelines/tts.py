@@ -254,27 +254,6 @@ class XTTSEngine:
                               seed=seed)
 
 
-class ChatterboxEngine:
-    """Chatterbox-STYLE engine (original design; NOT checkpoint-compatible
-    with the published resemble-ai `chatterbox` weights, whose t3/s3gen
-    topology differs — reference layouts/tts.py:381): unit LM +
-    flow-matching decoder + Vocos with the exaggeration knob
-    (models/chatterbox.py)."""
-
-    voices = ["default"]
-    engine_note = ("chatterbox-style (original); published Chatterbox "
-                   "checkpoints are not loadable")
-
-    def __init__(self, model):
-        self.model = model  # models.chatterbox.Chatterbox
-
-    def generate(self, text: str, voice: str = "default", speed: float = 1.0,
-                 seed: int = 0, exaggeration: float = 0.5, **_):
-        n_units = max(12, int(len(text.split()) * 10 / max(speed, 0.25)))
-        return self.model.tts(text, exaggeration=float(exaggeration),
-                              max_units=min(n_units, 384), seed=seed)
-
-
 def register_default_backends(tts_api, zonos=None, dia=None, xtts=None,
                               chatterbox=None) -> None:
     """Engine table mirroring layouts/tts.py:570 generate_tts dispatch:
@@ -327,12 +306,45 @@ def random_xtts(seed: int = 0) -> "XTTSEngine":
     return XTTSEngine(XTTS.random_init(cfg, seed))
 
 
-def random_chatterbox(seed: int = 0) -> "ChatterboxEngine":
-    """Random-weight Chatterbox-class engine."""
-    from audiolab_tpu.models.chatterbox import Chatterbox, ChatterboxConfig
+def random_chatterbox(seed: int = 0) -> "ChatterboxCheckpointEngine":
+    """Random-weight Chatterbox engine at tiny scale — the SAME
+    checkpoint-faithful T3 + S3Gen(flow+HiFT) stack the converters fill
+    from the published resemble-ai safetensors (utils/convert.py
+    load_chatterbox_checkpoint), just initialized small so the demo
+    backend and engine-API tests stay instant.  There is deliberately no
+    second Chatterbox implementation."""
+    from audiolab_tpu.models.chatterbox_s3gen import (CausalMaskedDiffWithXvec,
+                                                      FlowConfig,
+                                                      HiFTConfig,
+                                                      HiFTGenerator)
+    from audiolab_tpu.models.chatterbox_t3 import T3, T3CkptConfig
 
-    cfg = ChatterboxConfig(dim=64, n_layers=2, n_heads=4, max_seq_len=1024)
-    return ChatterboxEngine(Chatterbox.random_init(cfg, seed))
+    t3_cfg = T3CkptConfig(text_vocab=40, speech_vocab=36, dim=32, n_layers=2,
+                          n_heads=4, ffn_dim=64, max_text_tokens=64,
+                          max_speech_tokens=64, speaker_embed_size=8,
+                          perceiver_tokens=4, perceiver_heads=2,
+                          start_text_token=38, stop_text_token=0,
+                          start_speech_token=30, stop_speech_token=31)
+    flow_cfg = FlowConfig(token_vocab=30, dim=32, mel_dim=8, xvector_dim=12,
+                          heads=2, ffn_dim=64, n_layers=2, n_up_layers=1,
+                          est_channels=16, est_mid_blocks=2, est_n_blocks=1,
+                          est_heads=2, est_head_dim=4, n_timesteps=2)
+    hift_cfg = HiFTConfig(in_channels=8, base_channels=16,
+                          f0_cond_channels=12)
+
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    t3 = T3(t3_cfg, max_seq_len=256)
+    t3_p = t3.init(ks[0], jnp.zeros((1, 3), jnp.int32),
+                   jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 8)),
+                   jnp.zeros((1, 2), jnp.int32), jnp.zeros((1,)))["params"]
+    flow = CausalMaskedDiffWithXvec(flow_cfg)
+    flow_p = flow.init(ks[1], jnp.zeros((1, 3), jnp.int32),
+                       jnp.zeros((1, 12)), None,
+                       jnp.zeros((1, 6, 8)))["params"]
+    hift = HiFTGenerator(hift_cfg)
+    hift_p = hift.init(ks[2], jnp.zeros((1, 4, 8)), ks[3])["params"]
+    return ChatterboxCheckpointEngine(t3_cfg, t3_p, flow_cfg, flow_p,
+                                      hift_cfg, hift_p)
 
 
 # ------------------------------------------------ XTTS-v2 checkpoint engine

@@ -16,10 +16,16 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite is compile-bound on this 1-CPU host
-# (425 tests, most of the wall clock is XLA:CPU tracing/compiling the same
-# member/pipeline graphs every run) — cache hits cut repeat runs sharply
-jax.config.update("jax_compilation_cache_dir", "/tmp/audiolab_jax_cache_cpu")
+# persistent compile cache: the suite is compile-bound (most of the wall
+# clock is XLA:CPU tracing/compiling the same member/pipeline graphs every
+# run) — cache hits cut repeat runs sharply.  Repo-stable path (gitignored)
+# so the warm cache survives /tmp cleaning and round transitions; override
+# with AUDIOLAB_TEST_CACHE.
+_cache = os.environ.get(
+    "AUDIOLAB_TEST_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
