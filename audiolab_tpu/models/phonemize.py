@@ -362,9 +362,24 @@ def _espeak_lib():
         return _ESPEAK_LIB or None
     import ctypes
     import ctypes.util
+    import os
 
-    path = (ctypes.util.find_library("espeak-ng")
-            or ctypes.util.find_library("espeak"))
+    # probe order: explicit env override, a user-built .so dropped next to
+    # the other native/ artifacts (the loader pattern audiohost uses), then
+    # the system linker.  Building espeak-ng in-tree is NOT possible in
+    # this image (no source tarball, no apt/pip package, zero network
+    # egress, and the reference ships only a Windows PE DLL with no
+    # espeak-ng-data) — but any environment that has or builds the library
+    # gets exact reference parity with no code change.
+    candidates = [os.environ.get("AUDIOLAB_ESPEAK_LIB")]
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    candidates += [os.path.join(native_dir, "libespeak-ng.so"),
+                   os.path.join(native_dir, "libespeak.so")]
+    path = next((c for c in candidates if c and os.path.exists(c)), None)
+    if not path:
+        path = (ctypes.util.find_library("espeak-ng")
+                or ctypes.util.find_library("espeak"))
     if not path:
         _ESPEAK_LIB = False
         return None
