@@ -7,6 +7,7 @@ full 8-period stack is minutes-slow and adds nothing numerically.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from audiolab_tpu.core.mesh import local_mesh
 from audiolab_tpu.models.rvc.synthesizer import SynthesizerConfig
@@ -62,3 +63,32 @@ def test_train_step_dp_sharded_two_steps():
     assert m2["loss_mel"] > 0
     # optimisation on a fixed batch should move the generator losses
     assert m1 != m2
+
+
+@pytest.mark.slow  # two full compiles of the GAN step (~5 min on XLA:CPU)
+def test_train_dp_sharding_is_semantically_invariant():
+    """The dp=8 sharded step and the unsharded step must trace the SAME
+    loss curve on the same data (sharding changes layout, not semantics) —
+    the scaling gate VERDICT r4 item 6 asks for: curve over steps, not
+    wall time.  Tolerance covers fp32 reduction-order drift only."""
+    cfg = tiny_cfg()
+    batch = make_batch(cfg, b=8)
+
+    def run(mesh, steps=3):
+        state, gen, disc = create_train_state(
+            cfg, jax.random.PRNGKey(0), batch_size=8, spec_frames=16,
+            periods=(2, 3))
+        step = make_train_step(cfg, gen, disc, mesh=mesh)
+        curve = []
+        for _ in range(steps):
+            state, metrics = step(state, batch, jax.random.PRNGKey(1))
+            curve.append({k: float(v) for k, v in metrics.items()})
+        return curve
+
+    sharded = run(local_mesh(8))
+    unsharded = run(None)
+    for s, u in zip(sharded, unsharded):
+        for k in s:
+            assert np.isfinite(s[k]) and np.isfinite(u[k])
+            assert abs(s[k] - u[k]) <= 5e-3 * max(1.0, abs(u[k])), (
+                f"{k}: sharded {s[k]} vs unsharded {u[k]}")
