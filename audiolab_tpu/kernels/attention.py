@@ -115,26 +115,60 @@ def _flash_kernel(
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-def _flash_kernel_nk1(q_ref, k_ref, v_ref, o_ref, *, n_pad: int):
+def _flash_kernel_nk1(q_ref, k_ref, v_ref, o_ref, *, n_pad: int,
+                      scale: float):
     """Single-kv-block specialization: the whole score row is in VMEM, so
     the online-softmax rescale chain (m/l scratch, alpha rescales) and the
     padding mask collapse.  Padded keys are EXACT zero k/v rows: they add
-    exp(0-m) to the denominator (subtracted in closed form — n_pad is
-    static) and exp(0-m)*0 to the numerator.  ~half the VPU passes of the
-    general kernel, which is what this shape is bound by."""
+    exp2(0-m) to the denominator (subtracted in closed form — n_pad is
+    static) and exp2(0-m)*0 to the numerator.
+
+    Two savings over the general kernel's structure (this shape is bound
+    by VPU slab work — the exp dominates — plus fixed per-step cost):
+      - q*scale moves in-kernel onto the (bh, bq, d) q BLOCK (bk/d-times
+        smaller than the slab), deleting the q*scale HBM read+write
+        prepass the caller used to make — and it stays bitwise-identical
+        to that prepass for power-of-two scales (1/sqrt(64) etc.);
+      - the denominator comes out of the MXU: v is widened in VMEM with
+        a ones column, so p @ [v | 1] yields numerator AND row-sums in
+        one matmul — at d=64 the pv matmul only used half the MXU's 128
+        lanes, making the extra column free and deleting the VPU
+        row-sum reduction pass.  (An exp2(s*log2e) refactor was tried
+        and reverted: exp already lowers to exp2+mul in-register, and
+        folding log2e into the bf16 q rounds where *scale alone is
+        exact — 3x worse max error for zero time.)"""
+    f32 = jnp.float32
+    dt = q_ref.dtype
+    qs = q_ref[0] * jnp.asarray(scale, dt)
     s = jax.lax.dot_general(
-        q_ref[0], k_ref[0], (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (bh, bq, bk) — scale pre-folded into q
+        qs, k_ref[0], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (bh, bq, bk)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(s - m).astype(dt)
+    v = v_ref[0]  # (bh, bk, d)
+    d = v.shape[-1]
+    if d % 128:
+        # widen v to the 128-lane tile with a ones block: row-sums ride
+        # the otherwise-idle MXU lanes
+        ones = jnp.ones(v.shape[:-1] + (128 - d % 128,), dt)
+        acc = jax.lax.dot_general(
+            p, jnp.concatenate([v, ones], axis=-1),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        l = acc[..., d:d + 1]
+        acc = acc[..., :d]
+    else:
+        # lanes already full — the extra column would cost a real tile;
+        # keep the VPU reduction
+        acc = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        l = jnp.sum(p.astype(f32), axis=-1, keepdims=True)
     if n_pad:
         l = l - n_pad * jnp.exp(-m)
-    acc = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
     o_ref[0] = (acc / jnp.where(l > 0.0, l, 1.0)).astype(o_ref.dtype)
 
 
@@ -183,7 +217,8 @@ def flash_attention(
     grid = (b * h // bh, tq_p // bq, tk_p // bk)
     if tk_p // bk == 1 and not causal:
         out = pl.pallas_call(
-            functools.partial(_flash_kernel_nk1, n_pad=tk_p - tk),
+            functools.partial(_flash_kernel_nk1, n_pad=tk_p - tk,
+                              scale=float(scale)),
             out_shape=jax.ShapeDtypeStruct((b * h // bh, bh, tq_p, d), q.dtype),
             grid=(b * h // bh, tq_p // bq),
             in_specs=[
@@ -194,7 +229,7 @@ def flash_attention(
             out_specs=pl.BlockSpec(
                 (1, bh, bq, d), lambda g, iq: (g, 0, iq, 0), memory_space=pltpu.VMEM
             ),
-        )((qp * np.float32(scale)).astype(qp.dtype), kp, vp)
+        )(qp, kp, vp)
         return out.reshape(b, h, tq_p, d)[:, :, :tq, :]
     out = pl.pallas_call(
         functools.partial(

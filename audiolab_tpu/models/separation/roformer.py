@@ -286,12 +286,13 @@ class Attention(nn.Module):
             bh = max(1, min(64, int(8e6 // (t * t * 4))))
             o = flash_attention(q, k, v, block_q=t, block_k=t, block_h=bh)
         else:
-            # one q/kv block per grid step, two heads per step: the single
+            # one q/kv block per grid step, four heads per step: the single
             # kv block takes the nk1 kernel path (no online-softmax rescale
-            # chain, padding handled in closed form) — measured 48.8 ->
-            # 38.5 ms per layer batch at this shape; fp32 score slab
-            # 2*768*768*4B = 4.7 MB fits VMEM with double buffering
-            o = flash_attention(q, k, v, block_q=768, block_k=768, block_h=2)
+            # chain, padding handled in closed form); with the in-kernel
+            # scale + MXU row-sum kernel, block_h=4 measured 12.39/12.40 ms
+            # across runs vs 12.90/13.01 at block_h=2 (member time shape);
+            # fp32 score slab 4*768*768*4B = 9.4 MB fits scoped VMEM
+            o = flash_attention(q, k, v, block_q=768, block_k=768, block_h=4)
         # per-head sigmoid gates (bs_roformer Attention.to_gates)
         gates = nn.Dense(self.heads, dtype=dt, name="to_gates")(x)  # (b, t, h)
         o = o * jax.nn.sigmoid(gates).transpose(0, 2, 1)[..., None]
