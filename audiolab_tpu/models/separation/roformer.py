@@ -267,7 +267,12 @@ class Attention(nn.Module):
         qkv = wq(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         # rope in the packed 2-d layout (full 128-lane tiles, no per-head
-        # transpose of q/k first) — numerically identical, see rope_packed
+        # transpose of q/k first) — numerically identical, see rope_packed.
+        # Fusing rope INTO the nk1 kernel was probed and REJECTED: the
+        # packed XLA prepass costs ~2.1 ms/call here, while the in-kernel
+        # table math added ~9 ms/call at the member time shape
+        # (tools/probe_packed_attn.py: 27.0 ms rope-prepass vs 32.2 ms
+        # rope-fused for the full attention sub-block).
         q = rope_packed(q, self.heads, d)
         k = rope_packed(k, self.heads, d)
 

@@ -28,12 +28,18 @@ def get_file(fid: str) -> str:
     return path
 
 
-def file_response(fid: str) -> dict:
+def file_response(fid: str):
+    """RAW file bytes with download headers — the reference's download
+    routes stream FileResponse bodies (e.g. layouts/tts.py speech
+    download), not JSON envelopes."""
+    import mimetypes
+
+    from audiolab_tpu.serve.http import RawResponse
+
     path = get_file(fid)
     with open(path, "rb") as f:
         data = f.read()
-    return {
-        "filename": os.path.basename(path),
-        "content": base64.b64encode(data).decode(),
-        "size": len(data),
-    }
+    name = os.path.basename(path)
+    ctype = mimetypes.guess_type(name)[0] or "application/octet-stream"
+    return RawResponse(data, content_type=ctype, headers={
+        "Content-Disposition": f'attachment; filename="{name}"'})

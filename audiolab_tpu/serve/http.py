@@ -21,9 +21,11 @@ Handler = Callable[[dict, dict], Any]  # (path_params, body) -> response
 class RawResponse:
     """Non-JSON response (HTML/JS/binary) from a route handler."""
 
-    def __init__(self, body: bytes | str, content_type: str = "text/html"):
+    def __init__(self, body: bytes | str, content_type: str = "text/html",
+                 headers: dict[str, str] | None = None):
         self.body = body.encode() if isinstance(body, str) else body
         self.content_type = content_type
+        self.headers = dict(headers or {})
 
 
 class Route:
@@ -98,13 +100,17 @@ def make_handler(router: Router):
         protocol_version = "HTTP/1.1"
 
         def _respond(self, code: int, payload: Any) -> None:
+            extra = {}
             if isinstance(payload, RawResponse):
                 data, ctype = payload.body, payload.content_type
+                extra = payload.headers
             else:
                 data, ctype = json.dumps(payload).encode(), "application/json"
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
+            for hk, hv in extra.items():
+                self.send_header(hk, hv)
             # "*" mirrors the reference's CORS policy (api.py:98-104); an
             # operator can pin it (e.g. to the UI origin) via env.
             self.send_header(

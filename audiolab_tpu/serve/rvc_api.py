@@ -142,12 +142,17 @@ def register(router, output_root: str) -> None:
 
     @router.get("/api/v1/rvc/download/{name}", "Download a trained voice model")
     def download(params, _body):
+        from audiolab_tpu.serve.http import RawResponse
+
         p = os.path.join(models_dir, os.path.basename(params["name"]))
         if not os.path.exists(p):
             raise FileNotFoundError(params["name"])
         with open(p, "rb") as fh:
-            return {"filename": params["name"],
-                    "content": base64.b64encode(fh.read()).decode()}
+            # raw bytes, like the reference's FileResponse download routes
+            return RawResponse(
+                fh.read(), content_type="application/octet-stream",
+                headers={"Content-Disposition":
+                         f'attachment; filename="{params["name"]}"'})
 
     @router.post("/api/v1/rvc/analyze", "Pitch-range analysis of uploaded audio")
     def analyze(_params, body):

@@ -52,7 +52,9 @@ def test_rvc_upload_download(router):
         {"files": [{"filename": "v.npz", "content": content}]})
     assert code == 200 and resp["saved"] == ["v.npz"]
     code, resp = router.dispatch("GET", "/api/v1/rvc/download/v.npz", {})
-    assert code == 200 and resp["content"] == content
+    # raw-bytes contract (reference FileResponse semantics)
+    assert code == 200 and resp.body == b"fake npz"
+    assert "v.npz" in resp.headers.get("Content-Disposition", "")
     code, resp = router.dispatch("GET", "/api/v1/rvc/models", {})
     assert "v.npz" in resp["models"]
 
@@ -70,8 +72,8 @@ def test_file_registry_roundtrip(tmp_path):
     open(p, "wb").write(b"hello")
     fid = register_file(p)
     resp = file_response(fid)
-    assert base64.b64decode(resp["content"]) == b"hello"
-    assert resp["size"] == 5
+    assert resp.body == b"hello"
+    assert "x.bin" in resp.headers["Content-Disposition"]
 
 
 def test_align_endpoint(router, tmp_path):

@@ -22,7 +22,9 @@ jax.config.update("jax_compilation_cache_dir",
 import jax.numpy as jnp
 import numpy as np
 
-from audiolab_tpu.kernels.attention import attention_reference, flash_attention
+from audiolab_tpu.kernels.attention import (apply_rope_tables,
+                                            attention_reference,
+                                            flash_attention, rope_tables)
 
 PEAK = 197e12
 
@@ -66,23 +68,56 @@ for (b, h, t, d, cfg) in [
     print(f"numerics t={t}: flash-vs-f32ref {relerr(out, ref):.2e}",
           flush=True)
 
-# member-shape timing
+# fused-rope numerics: kernel path vs table rope applied out-of-kernel +
+# f32 reference attention
+for (b, h, t, d, cfg) in [
+        (8, 8, 690, 64, dict(block_q=768, block_k=768, block_h=2)),
+        (48, 8, 62, 64, dict(block_q=62, block_k=62, block_h=64))]:
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.bfloat16)
+               for _ in range(3))
+    cos, sin = rope_tables(t, d)
+    qr = apply_rope_tables(q, cos, sin)
+    kr = apply_rope_tables(k, cos, sin)
+    ref = jax.jit(lambda a, b2, c: attention_reference(
+        a.astype(jnp.float32), b2.astype(jnp.float32),
+        c.astype(jnp.float32)))(qr, kr, v)
+    out = jax.jit(lambda a, b2, c: flash_attention(
+        a, b2, c, rope_cos=cos, rope_sin=sin, **cfg))(q, k, v)
+    print(f"rope-fused numerics t={t}: vs f32ref {relerr(out, ref):.2e}",
+          flush=True)
+
+# member-shape timing (plain and rope-fused — the fused number replaces
+# plain attn + 2 rope prepasses in the member stacks)
 for (shape, cfgs) in [
-        ((496, 8, 690, 64), [dict(block_q=768, block_k=768, block_h=2),
-                             dict(block_q=768, block_k=768, block_h=4)]),
+        ((496, 8, 690, 64), [dict(block_q=768, block_k=768, block_h=4),
+                             dict(block_q=768, block_k=768, block_h=4,
+                                  rope=True),
+                             dict(block_q=768, block_k=768, block_h=2,
+                                  rope=True),
+                             dict(block_q=768, block_k=768, block_h=8,
+                                  rope=True)]),
         ((5520, 8, 62, 64), [dict(block_q=62, block_k=62, block_h=64),
-                             dict(block_q=62, block_k=62, block_h=80),
-                             dict(block_q=62, block_k=62, block_h=96)])]:
+                             dict(block_q=62, block_k=62, block_h=64,
+                                  rope=True),
+                             dict(block_q=62, block_k=62, block_h=32,
+                                  rope=True)])]:
     b, h, t, d = shape
     q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
                for _ in range(3))
     fl = 2 * 2 * b * h * t * t * d
+    cos, sin = rope_tables(t, d)
     for cfg in cfgs:
+        cfg = dict(cfg)
+        if cfg.pop("rope", False):
+            cfg["rope_cos"], cfg["rope_sin"] = cos, sin
+        label = {k2: v2 for k2, v2 in cfg.items()
+                 if not isinstance(v2, np.ndarray)}
+        label["rope"] = "rope_cos" in cfg
         try:
             tt = timeit(lambda a, b2, c: flash_attention(a, b2, c, **cfg),
                         q, k, v)
-            print(f"t={t} {cfg}: {tt * 1e3:7.2f} ms  "
+            print(f"t={t} {label}: {tt * 1e3:7.2f} ms  "
                   f"{fl / tt / PEAK:6.1%} MFU", flush=True)
         except Exception as e:
-            print(f"t={t} {cfg}: FAIL {str(e)[:100]}", flush=True)
+            print(f"t={t} {label}: FAIL {str(e)[:100]}", flush=True)
 print("done", flush=True)
